@@ -1,0 +1,119 @@
+"""Dataset-level checks (no lyra counterpart — BASELINE.json:6 mandates them).
+
+Each returns a violation-shaped DataFrame (*key_cols, partition_col, rule_id,
+observed_value) so lyra_spark.engine.validate() can union it into the main
+violation stream and verdict grid.
+
+Scale notes (10^12-turn design point):
+  * uniqueness uses a two-phase SALTED aggregate — the partial pass groups on
+    (key, salt) so one hot conv_id cannot pin a single reducer (BASELINE.json:6
+    "salted hash-aggregate to defeat hot-conversation skew");
+  * referential integrity is a broadcast LEFT ANTI join — the dimension ships
+    to every executor, zero shuffle of the fact table;
+  * monotone ordering is a per-conv_id window; rows for one conversation must
+    co-locate, so the shuffle is unavoidable — AQE skew handling splits
+    oversized partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY_COLS = ["conv_id", "turn_idx"]
+
+UNIQ_RULE = "uniq_conv_turn"
+REF_RULE = "tool_ref"
+MONO_RULE = "ts_monotone"
+
+
+def with_salt(df: DataFrame, buckets: int = 32, col: str = "__salt__") -> DataFrame:
+    """Deterministic salt from the full row key hash — shared skew helper."""
+    return df.withColumn(col, F.pmod(F.hash(*df.columns), F.lit(buckets)))
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key_cols: list[str] = KEY_COLS,
+    partition_col: str | None = "part_date",
+    salt_buckets: int = 32,
+    rule_id: str = UNIQ_RULE,
+) -> DataFrame:
+    """Duplicate-key detection via salted two-phase aggregation.
+
+    Phase 1 groups on (key, salt) — map-side partials spread a hot key over
+    ``salt_buckets`` reducers; phase 2 sums the partial counts per key. Every
+    row of a duplicated key is a violation (count > 1), reported once per key
+    with the duplicate count as observed_value.
+    """
+    keep = list(key_cols) + ([partition_col] if partition_col else [])
+    # Salt must differ across rows of the SAME hot key → derive it from a
+    # per-row id, not from the key columns.
+    salted = df.select(
+        *keep,
+        F.pmod(F.abs(F.hash(F.monotonically_increasing_id())), F.lit(salt_buckets)).alias("__salt__"),
+    )
+    partial = salted.groupBy(*keep, "__salt__").agg(F.count(F.lit(1)).alias("c"))
+    final = partial.groupBy(*keep).agg(F.sum("c").alias("c")).filter(F.col("c") > 1)
+    return final.select(
+        *key_cols,
+        *([partition_col] if partition_col else []),
+        F.lit(rule_id).alias("rule_id"),
+        F.col("c").cast("string").alias("observed_value"),
+    )
+
+
+def referential_violations(
+    df: DataFrame,
+    dim: DataFrame,
+    fk_col: str = "tool",
+    dim_col: str = "tool_name",
+    key_cols: list[str] = KEY_COLS,
+    partition_col: str | None = "part_date",
+    rule_id: str = REF_RULE,
+) -> DataFrame:
+    """Non-null FK values absent from the broadcast dimension (BASELINE.json:6)."""
+    keep = list(key_cols) + ([partition_col] if partition_col else [])
+    dim_keys = F.broadcast(dim.select(F.col(dim_col).alias(fk_col)).distinct())
+    return (
+        df.filter(F.col(fk_col).isNotNull())
+        .select(*keep, fk_col)
+        .join(dim_keys, fk_col, "left_anti")
+        .select(
+            *key_cols,
+            *([partition_col] if partition_col else []),
+            F.lit(rule_id).alias("rule_id"),
+            F.col(fk_col).cast("string").alias("observed_value"),
+        )
+    )
+
+
+def monotone_violations(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    key_cols: list[str] = KEY_COLS,
+    partition_col: str | None = "part_date",
+    rule_id: str = MONO_RULE,
+) -> DataFrame:
+    """Within each conversation ordered by turn_idx, ts must be non-decreasing
+    and turn_idx strictly increasing (BASELINE.json:6 'monotone turn ordering
+    per conv_id via Window'). The violating row is the LATER turn whose ts
+    precedes its predecessor's."""
+    w = Window.partitionBy(group_col).orderBy(order_col, ts_col)
+    keep = list(key_cols) + ([partition_col] if partition_col else [])
+    lagged = df.select(
+        *keep,
+        ts_col,
+        F.lag(ts_col).over(w).alias("__prev_ts__"),
+    )
+    return (
+        lagged.filter(F.col("__prev_ts__") > F.col(ts_col))
+        .select(
+            *key_cols,
+            *([partition_col] if partition_col else []),
+            F.lit(rule_id).alias("rule_id"),
+            F.col(ts_col).cast("string").alias("observed_value"),
+        )
+    )

@@ -1,0 +1,158 @@
+"""RuleSpec → Catalyst Column compiler.
+
+Each check compiles to a pair ``(pass: Column[boolean, never-null],
+observed: Column[string])``; the engine assembles every pair into ONE wide
+select (SURVEY.md §2 row 22) so the whole rule family evaluates in a single
+shuffle-free, whole-stage-codegen'd pass over the scan. Rule predicates stay
+native Column expressions (never opaque UDFs) so Catalyst keeps predicate
+pushdown and column pruning (SURVEY.md §4); the single exception is the
+``custom`` kind, which is an Arrow-vectorized pandas UDF by contract
+(BASELINE.json:6 — never per-row Python).
+
+Null semantics (pinned, SEMANTICS.md): ``required`` fails on NULL; every other
+check passes on NULL (lyra optional semantics — validate only what's present).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lyra_spark.rules import Cond, RuleSet, RuleSpec, get_custom
+
+RAW_PREFIX = "__raw__"
+
+
+@dataclass
+class CompiledCheck:
+    spec: RuleSpec
+    passes: Column  # boolean, never null
+    observed: Column  # string
+
+
+def compile_cond(cond: Cond) -> Column:
+    col, op, val = cond
+    c = F.col(col)
+    if op == "==":
+        return c == F.lit(val)
+    if op == "!=":
+        return c != F.lit(val)
+    if op == "in":
+        return c.isin(*val)
+    if op == "notin":
+        return ~c.isin(*val)
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
+    raise ValueError(f"unsupported condition op {op!r}")
+
+
+def _skip_null_wrap(col: Column, raw_pred: Column) -> Column:
+    """NULL input passes; otherwise the predicate, with predicate-NULL ⇒ fail."""
+    return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(raw_pred, F.lit(False)))
+
+
+def _check_predicate(spec: RuleSpec, col: Column) -> Column:
+    """Raw pass-predicate for one rule kind over the (possibly coerced) column."""
+    p = spec.p
+    kind = spec.kind
+    if kind == "required":
+        return col.isNotNull()
+    if kind == "forbidden":
+        return col.isNull()
+    if kind == "nonempty":
+        return _skip_null_wrap(col, F.length(col) > 0)
+    if kind == "enum":
+        return _skip_null_wrap(col, col.isin(*p["values"]))
+    if kind == "deny":
+        return _skip_null_wrap(col, ~col.isin(*p["values"]))
+    if kind == "pattern":
+        regex = p["regex"]
+        if p.get("full", True):
+            regex = f"^(?:{regex})$"
+        return _skip_null_wrap(col, col.rlike(regex))
+    if kind == "length":
+        pred = F.lit(True)
+        if p.get("min") is not None:
+            pred = pred & (F.length(col) >= p["min"])
+        if p.get("max") is not None:
+            pred = pred & (F.length(col) <= p["max"])
+        return _skip_null_wrap(col, pred)
+    if kind == "range":
+        pred = F.lit(True)
+        if p.get("min") is not None:
+            lo = F.lit(p["min"])
+            pred = pred & ((col > lo) if p.get("strict_min") else (col >= lo))
+        if p.get("max") is not None:
+            hi = F.lit(p["max"])
+            pred = pred & ((col < hi) if p.get("strict_max") else (col <= hi))
+        return _skip_null_wrap(col, pred)
+    if kind == "integer":
+        return _skip_null_wrap(col, col == F.floor(col))
+    if kind == "multiple_of":
+        return _skip_null_wrap(col, F.pmod(col, F.lit(p["k"])) == 0)
+    if kind == "cast":
+        # pass iff NULL or castable; evaluated on the RAW column.
+        return _skip_null_wrap(col, col.try_cast(p["to"]).isNotNull())
+    if kind == "custom":
+        fn = get_custom(spec.rule_id)
+
+        @F.pandas_udf("boolean")
+        def _pred(s: pd.Series) -> pd.Series:
+            mask = s.notna()
+            out = pd.Series(True, index=s.index, dtype="boolean")
+            if mask.any():
+                out.loc[mask] = pd.Series(fn(s[mask]), index=s[mask].index, dtype="boolean")
+            return out.fillna(False)
+
+        return F.coalesce(_pred(col), F.lit(True))
+    raise ValueError(f"unknown rule kind {spec.kind!r}")
+
+
+def apply_coercions(df: DataFrame, ruleset: RuleSet) -> DataFrame:
+    """Rewrite columns per coercion rules, preserving originals as __raw__<col>.
+
+    Order matters (lyra sequential-rule semantics): coercions apply in ruleset
+    order, each seeing the previous one's output. A pure projection — no
+    shuffle, stays inside whole-stage codegen.
+    """
+    coerced: set[str] = set()
+    for spec in ruleset.coercions:
+        c = spec.column
+        if c not in coerced:
+            df = df.withColumn(RAW_PREFIX + c, F.col(c))
+            coerced.add(c)
+        p = spec.p
+        if spec.kind == "cast":
+            if not p.get("strict"):
+                df = df.withColumn(c, F.col(c).try_cast(p["to"]))
+        elif spec.kind == "default":
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(p["value"])))
+        elif spec.kind == "transform":
+            fn = {"trim": F.trim, "lower": F.lower, "upper": F.upper}[p["fn"]]
+            df = df.withColumn(c, fn(F.col(c)))
+    return df
+
+
+def compile_checks(df: DataFrame, ruleset: RuleSet) -> list[CompiledCheck]:
+    """Compile every checking rule against ``df`` (already coerced).
+
+    ``cast`` checks evaluate on the raw column (was the original castable?);
+    all other checks see the coerced value, and ``observed_value`` always
+    reports the ORIGINAL input (lyra reports what the user supplied).
+    """
+    cols = set(df.columns)
+    out: list[CompiledCheck] = []
+    for spec in ruleset.checks:
+        raw_name = RAW_PREFIX + spec.column if RAW_PREFIX + spec.column in cols else spec.column
+        target = F.col(raw_name) if spec.kind == "cast" else F.col(spec.column)
+        pred = _check_predicate(spec, target)
+        if spec.when is not None:
+            pred = F.when(compile_cond(spec.when), pred).otherwise(F.lit(True))
+        observed = F.col(raw_name).cast("string")
+        out.append(CompiledCheck(spec=spec, passes=pred, observed=observed))
+    return out

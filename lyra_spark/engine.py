@@ -1,0 +1,120 @@
+"""Validation engine: one-pass violation assembly + per-partition verdicts.
+
+The whole row-rule family evaluates in a single shuffle-free select
+(SURVEY.md §2 row 22): every rule contributes a struct(rule_id, ok, observed)
+to an array literal; ``filter(array, x -> !x.ok)`` keeps failures; ``explode``
+emits one violation row per failure with rule order preserved. At 10^12-turn
+scale this is one columnar scan with zero exchanges — verdict roll-ups are the
+only aggregations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from lyra_spark.compiler import apply_coercions, compile_checks
+from lyra_spark.rules import RuleSet
+
+KEY_COLS = ["conv_id", "turn_idx"]
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame  # (*key_cols, [partition_col], rule_id, observed_value)
+    verdicts: DataFrame  # (partition_col, rule_id, pass, violation_count, row_count)
+    key_cols: list[str]
+    partition_col: str | None
+
+    def violations_sorted(self) -> DataFrame:
+        """Stable (conv_id, turn_idx, rule_id) ordering — the byte-match contract."""
+        return self.violations.orderBy(*self.key_cols, "rule_id", "observed_value")
+
+    def unpersist(self) -> None:
+        self.violations.unpersist()
+
+
+def row_violations(
+    df: DataFrame,
+    ruleset: RuleSet,
+    key_cols: list[str] = KEY_COLS,
+    partition_col: str | None = "part_date",
+) -> DataFrame:
+    """Evaluate all row-level rules; one violation row per (row, failed rule)."""
+    coerced = apply_coercions(df, ruleset)
+    checks = compile_checks(coerced, ruleset)
+    if not checks:
+        raise ValueError("ruleset has no checking rules")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(c.spec.rule_id).alias("rule_id"),
+                c.passes.alias("ok"),
+                c.observed.alias("observed_value"),
+            )
+            for c in checks
+        ]
+    )
+    keep = list(key_cols) + ([partition_col] if partition_col else [])
+    return (
+        coerced.select(*keep, F.explode(F.filter(arr, lambda x: ~x["ok"])).alias("v"))
+        .select(*keep, F.col("v.rule_id").alias("rule_id"), F.col("v.observed_value").alias("observed_value"))
+    )
+
+
+def compute_verdicts(
+    df: DataFrame,
+    violations: DataFrame,
+    rule_ids: list[str],
+    partition_col: str = "part_date",
+) -> DataFrame:
+    """Per (partition, rule) pass/fail with counts (BASELINE.json:6,14).
+
+    The (partitions × rules) grid is tiny (dates × ~dozen rules) — built from a
+    broadcastable rule-id frame so the whole roll-up is two small hash
+    aggregations over pre-aggregated counts, never a shuffle of raw rows.
+    """
+    spark = df.sparkSession
+    rows = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("row_count"))
+    rules = spark.createDataFrame([(r,) for r in rule_ids], f"rule_id string")
+    grid = rows.crossJoin(F.broadcast(rules))
+    vc = violations.groupBy(partition_col, "rule_id").agg(F.count(F.lit(1)).alias("violation_count"))
+    return (
+        grid.join(vc, [partition_col, "rule_id"], "left")
+        .withColumn("violation_count", F.coalesce(F.col("violation_count"), F.lit(0)))
+        .withColumn("pass", F.col("violation_count") == 0)
+        .select(partition_col, "rule_id", "pass", "violation_count", "row_count")
+    )
+
+
+def validate(
+    df: DataFrame,
+    ruleset: RuleSet,
+    key_cols: list[str] = KEY_COLS,
+    partition_col: str | None = "part_date",
+    extra_violations: list[DataFrame] | None = None,
+    extra_rule_ids: list[str] | None = None,
+    persist: bool = True,
+) -> ValidationResult:
+    """Run the row-rule family (+ optional dataset-check violation frames) and
+    roll up per-partition verdicts.
+
+    ``extra_violations`` lets dataset-level checks (uniqueness, referential,
+    monotone — lyra_spark.checks) merge into the same violations output and
+    verdict grid; each frame must share the violation schema.
+    """
+    viol = row_violations(df, ruleset, key_cols, partition_col)
+    for ev in extra_violations or []:
+        viol = viol.unionByName(ev)
+    if persist:
+        viol = viol.persist(StorageLevel.MEMORY_AND_DISK)
+    rule_ids = [r.rule_id for r in ruleset.checks] + list(extra_rule_ids or [])
+    verd = (
+        compute_verdicts(df, viol, rule_ids, partition_col)
+        if partition_col
+        else None
+    )
+    return ValidationResult(violations=viol, verdicts=verd, key_cols=list(key_cols), partition_col=partition_col)

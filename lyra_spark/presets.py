@@ -1,0 +1,48 @@
+"""Canonical rulesets + one-call suites for the mandated inputs.
+
+``transcript_ruleset``/``validate_transcripts`` implement the BASELINE.json:6
+check suite over the transcripts schema; rule_ids match FIXTURES.md §1 so the
+golden manifests line up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from lyra_spark import checks
+from lyra_spark.engine import ValidationResult, validate
+from lyra_spark.rules import RuleSet, enum, nonempty, range_rule, required
+from lyra_spark.schema import ROLE_ENUM
+
+
+def transcript_ruleset() -> RuleSet:
+    return RuleSet(
+        [
+            required("text", rule_id="text_required"),
+            nonempty("text", rule_id="text_nonempty"),
+            enum("role", ROLE_ENUM, rule_id="role_enum"),
+            range_rule("turn_idx", min=0, rule_id="turn_idx_range"),
+        ]
+    )
+
+
+def validate_transcripts(
+    df: DataFrame,
+    tools_dim: DataFrame,
+    partition_col: str | None = "part_date",
+    ruleset: RuleSet | None = None,
+) -> ValidationResult:
+    """Full suite: row rules + uniqueness + referential + monotone ordering."""
+    ruleset = ruleset or transcript_ruleset()
+    extra = [
+        checks.uniqueness_violations(df, partition_col=partition_col),
+        checks.referential_violations(df, tools_dim, partition_col=partition_col),
+        checks.monotone_violations(df, partition_col=partition_col),
+    ]
+    return validate(
+        df,
+        ruleset,
+        partition_col=partition_col,
+        extra_violations=extra,
+        extra_rule_ids=[checks.UNIQ_RULE, checks.REF_RULE, checks.MONO_RULE],
+    )

@@ -1,0 +1,229 @@
+"""Declarative rule DSL — the engine's equivalent of lyra's schema-builder AST.
+
+lyra (recalled public API; reference checkout empty — see SURVEY.md §0) builds
+schemas as chained rule objects: ``lyra.string().required().pattern(...)``,
+``lyra.number().min(0)``, ``lyra.any().valid(...)``. Here each rule is a
+``RuleSpec`` dataclass; a ``RuleSet`` is the ordered schema. Compilation to
+Catalyst Column expressions happens in lyra_spark/compiler.py — specs stay
+engine-agnostic and hashable (rule versioning feeds checkpoint invalidation,
+BASELINE.json:6,14).
+
+Pinned semantics (SEMANTICS.md):
+  * ``required`` fails on NULL only; empty string is a separate ``nonempty`` rule.
+  * Every non-required check SKIPS nulls (lyra optional semantics).
+  * ``pattern`` is a FULL match by default (lyra/Joi anchor by default).
+  * ``cast`` in convert mode coerces via try_cast — un-castable ⇒ violation, not
+    exception; downstream rules see the coerced column. strict mode ⇒ no
+    coercion, any value that would need one is a violation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+# Condition for conditional rules: (column, op, value) with op ∈ {==,!=,in,notin,isnull,notnull}
+Cond = tuple[str, str, Any]
+
+
+@dataclass(frozen=True)
+class RuleSpec:
+    rule_id: str
+    kind: str
+    column: str
+    params: tuple[tuple[str, Any], ...] = ()
+    when: Cond | None = None
+    severity: str = "error"
+    version: str = "1"
+
+    @property
+    def p(self) -> dict[str, Any]:
+        return dict(self.params)
+
+    def fingerprint(self) -> str:
+        blob = json.dumps(
+            [self.rule_id, self.kind, self.column, self.params, self.when, self.version],
+            sort_keys=True,
+            default=str,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _mk(kind: str, column: str, rule_id: str | None = None, when: Cond | None = None, **params: Any) -> RuleSpec:
+    rid = rule_id or f"{column}_{kind}"
+    items = tuple(sorted((k, v if not isinstance(v, list) else tuple(v)) for k, v in params.items() if v is not None))
+    return RuleSpec(rule_id=rid, kind=kind, column=column, params=items, when=when)
+
+
+# --- presence -----------------------------------------------------------------
+def required(column: str, rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """lyra .required(): NULL ⇒ violation."""
+    return _mk("required", column, rule_id, when)
+
+
+def nonempty(column: str, rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """Empty string ⇒ violation (null passes — pair with required)."""
+    return _mk("nonempty", column, rule_id, when)
+
+
+def forbidden(column: str, rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """lyra .forbidden(): any non-NULL value ⇒ violation."""
+    return _mk("forbidden", column, rule_id, when)
+
+
+# --- membership ---------------------------------------------------------------
+def enum(column: str, values: Sequence[str], rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """lyra .valid(...): value ∉ allowed set ⇒ violation."""
+    return _mk("enum", column, rule_id, when, values=list(values))
+
+
+def deny(column: str, values: Sequence[str], rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """lyra .invalid(...): value ∈ denied set ⇒ violation."""
+    return _mk("deny", column, rule_id, when, values=list(values))
+
+
+# --- string -------------------------------------------------------------------
+def pattern(
+    column: str,
+    regex: str,
+    full: bool = True,
+    rule_id: str | None = None,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """lyra .pattern(re). Java regex dialect (Spark rlike); full match by default."""
+    return _mk("pattern", column, rule_id, when, regex=regex, full=full)
+
+
+def length(
+    column: str,
+    min: int | None = None,
+    max: int | None = None,
+    rule_id: str | None = None,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """lyra string .min/.max/.length — char-length bounds, inclusive."""
+    return _mk("length", column, rule_id, when, min=min, max=max)
+
+
+# --- numeric / temporal -------------------------------------------------------
+def range_rule(
+    column: str,
+    min: Any = None,
+    max: Any = None,
+    strict_min: bool = False,
+    strict_max: bool = False,
+    rule_id: str | None = None,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """lyra .min/.max/.greater/.less for numbers, timestamps, dates."""
+    return _mk(
+        "range", column, rule_id, when, min=min, max=max, strict_min=strict_min or None, strict_max=strict_max or None
+    )
+
+
+def integer(column: str, rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """lyra number .integer(): fractional part ⇒ violation."""
+    return _mk("integer", column, rule_id, when)
+
+
+def multiple_of(column: str, k: int, rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """lyra number .multiple(k)."""
+    return _mk("multiple_of", column, rule_id, when, k=k)
+
+
+# --- coercions (rewrite the value before later rules; lyra convert mode) -------
+def cast(
+    column: str,
+    to: str,
+    strict: bool = False,
+    rule_id: str | None = None,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """Type coercion. convert (default): try_cast, un-castable non-null ⇒
+    violation and downstream rules see the coerced column. strict: no rewrite;
+    a value whose cast differs from a plain string round-trip ⇒ violation."""
+    return _mk("cast", column, rule_id, when, to=to, strict=strict or None)
+
+
+def default(column: str, value: Any, rule_id: str | None = None) -> RuleSpec:
+    """lyra .default(v): NULL replaced before later rules. Never violates."""
+    return _mk("default", column, rule_id, value=value)
+
+
+def transform(column: str, fn: str, rule_id: str | None = None) -> RuleSpec:
+    """String coercion: fn ∈ {trim, lower, upper}. Never violates."""
+    if fn not in ("trim", "lower", "upper"):
+        raise ValueError(f"unsupported transform {fn!r}")
+    return _mk("transform", column, rule_id, fn=fn)
+
+
+# --- conditional & custom -----------------------------------------------------
+def conditional(rule: RuleSpec, when: Cond) -> RuleSpec:
+    """Apply ``rule`` only where ``when`` holds (lyra when/refs)."""
+    return RuleSpec(
+        rule_id=rule.rule_id,
+        kind=rule.kind,
+        column=rule.column,
+        params=rule.params,
+        when=when,
+        severity=rule.severity,
+        version=rule.version,
+    )
+
+
+# Registry of custom vectorized predicates: rule_id → pandas Series→Series[bool].
+_CUSTOM_REGISTRY: dict[str, Callable] = {}
+
+
+def custom(
+    column: str,
+    fn: Callable,
+    rule_id: str,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """lyra .custom(fn) — arbitrary user predicate, ALWAYS vectorized
+    (BASELINE.json:6: Arrow/pandas UDF, never per-row Python). ``fn`` maps a
+    pandas Series of the column to a boolean Series (True = pass; nulls are
+    skipped before fn is applied)."""
+    _CUSTOM_REGISTRY[rule_id] = fn
+    return _mk("custom", column, rule_id, when)
+
+
+def get_custom(rule_id: str) -> Callable:
+    return _CUSTOM_REGISTRY[rule_id]
+
+
+# --- rule set -------------------------------------------------------------------
+@dataclass
+class RuleSet:
+    rules: list[RuleSpec] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        seen: set[str] = set()
+        for r in self.rules:
+            if r.rule_id in seen:
+                raise ValueError(f"duplicate rule_id {r.rule_id!r}")
+            seen.add(r.rule_id)
+
+    def __iter__(self):
+        return iter(self.rules)
+
+    @property
+    def coercions(self) -> list[RuleSpec]:
+        return [r for r in self.rules if r.kind in ("cast", "default", "transform")]
+
+    @property
+    def checks(self) -> list[RuleSpec]:
+        return [r for r in self.rules if r.kind not in ("default", "transform")]
+
+    def fingerprint(self) -> str:
+        h = hashlib.sha256()
+        for r in self.rules:
+            h.update(r.fingerprint().encode())
+        return h.hexdigest()[:16]
+
+    def versions(self) -> dict[str, str]:
+        return {r.rule_id: f"{r.version}:{r.fingerprint()}" for r in self.rules}

@@ -1,0 +1,140 @@
+"""Unit tests per rule compiler (SURVEY.md §5.3) — tiny frames, edge cases."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyra_spark import rules as R
+from lyra_spark.engine import row_violations
+from lyra_spark.rules import RuleSet
+
+
+def run(spark, rows, schema, ruleset):
+    df = spark.createDataFrame(rows, schema)
+    v = row_violations(df, ruleset, key_cols=["id"], partition_col=None)
+    return {(r.id, r.rule_id, r.observed_value) for r in v.collect()}
+
+
+def test_required_and_nonempty(spark):
+    got = run(
+        spark,
+        [(1, "hi"), (2, None), (3, ""), (4, " ")],
+        "id int, text string",
+        RuleSet([R.required("text", rule_id="req"), R.nonempty("text", rule_id="ne")]),
+    )
+    assert got == {(2, "req", None), (3, "ne", "")}
+
+
+def test_enum_and_deny(spark):
+    got = run(
+        spark,
+        [(1, "user"), (2, "robot"), (3, None), (4, "USER")],
+        "id int, role string",
+        RuleSet([R.enum("role", ["user", "assistant"], rule_id="enum"), R.deny("role", ["USER"], rule_id="deny")]),
+    )
+    assert got == {(2, "enum", "robot"), (4, "enum", "USER"), (4, "deny", "USER")}
+
+
+def test_pattern_full_vs_partial(spark):
+    rs = RuleSet(
+        [
+            R.pattern("s", "[a-z]+", rule_id="full"),
+            R.pattern("s", "[a-z]+", full=False, rule_id="part"),
+        ]
+    )
+    got = run(spark, [(1, "abc"), (2, "abc1"), (3, "123"), (4, None)], "id int, s string", rs)
+    assert got == {(2, "full", "abc1"), (3, "full", "123"), (3, "part", "123")}
+
+
+def test_range_strict_and_inclusive(spark):
+    rs = RuleSet(
+        [
+            R.range_rule("v", min=0, max=10, rule_id="incl"),
+            R.range_rule("v", min=0, strict_min=True, rule_id="strict"),
+        ]
+    )
+    got = run(spark, [(1, 0), (2, 10), (3, -1), (4, 11), (5, None)], "id int, v int", rs)
+    assert got == {(3, "incl", "-1"), (4, "incl", "11"), (3, "strict", "-1"), (1, "strict", "0")}
+
+
+def test_length_bounds(spark):
+    rs = RuleSet([R.length("s", min=2, max=4, rule_id="len")])
+    got = run(spark, [(1, "ab"), (2, "a"), (3, "abcde"), (4, None), (5, "")], "id int, s string", rs)
+    assert got == {(2, "len", "a"), (3, "len", "abcde"), (5, "len", "")}
+
+
+def test_integer_and_multiple(spark):
+    rs = RuleSet([R.integer("v", rule_id="int"), R.multiple_of("v", 2, rule_id="mul")])
+    got = run(spark, [(1, 4.0), (2, 4.5), (3, 3.0), (4, None)], "id int, v double", rs)
+    assert got == {(2, "int", "4.5"), (2, "mul", "4.5"), (3, "mul", "3.0")}
+
+
+def test_forbidden(spark):
+    rs = RuleSet([R.forbidden("s", rule_id="forb")])
+    got = run(spark, [(1, None), (2, "x")], "id int, s string", rs)
+    assert got == {(2, "forb", "x")}
+
+
+def test_cast_convert_coerces_and_flags(spark):
+    """Convert mode: un-castable ⇒ violation; downstream rules see coerced value;
+    observed_value reports the ORIGINAL string (lyra reports user input)."""
+    rs = RuleSet(
+        [
+            R.cast("v", "int", rule_id="cast"),
+            R.range_rule("v", min=0, rule_id="rng"),
+        ]
+    )
+    got = run(spark, [(1, "7"), (2, "x7"), (3, "-3"), (4, None)], "id int, v string", rs)
+    assert got == {(2, "cast", "x7"), (3, "rng", "-3")}
+
+
+def test_cast_strict_no_rewrite(spark):
+    rs = RuleSet([R.cast("v", "int", strict=True, rule_id="cast")])
+    got = run(spark, [(1, "7"), (2, "x7")], "id int, v string", rs)
+    assert got == {(2, "cast", "x7")}
+
+
+def test_default_and_transform_feed_later_rules(spark):
+    rs = RuleSet(
+        [
+            R.transform("s", "trim"),
+            R.transform("s", "lower", rule_id="s_lower"),
+            R.default("s", "user"),
+            R.enum("s", ["user", "assistant"], rule_id="enum"),
+        ]
+    )
+    got = run(spark, [(1, " USER "), (2, None), (3, "bot")], "id int, s string", rs)
+    # ' USER ' → trim→lower = 'user' passes; None → default 'user' passes; 'bot' fails.
+    # observed_value reports the raw input.
+    assert got == {(3, "enum", "bot")}
+
+
+def test_conditional_rule(spark):
+    base = R.required("tool", rule_id="tool_req")
+    rs = RuleSet([R.conditional(base, when=("role", "==", "tool"))])
+    got = run(
+        spark,
+        [(1, "tool", None), (2, "user", None), (3, "tool", "t1")],
+        "id int, role string, tool string",
+        rs,
+    )
+    assert got == {(1, "tool_req", None)}
+
+
+def test_custom_pandas_predicate(spark):
+    rs = RuleSet([R.custom("s", lambda s: s.str.len() % 2 == 0, rule_id="even_len")])
+    got = run(spark, [(1, "ab"), (2, "abc"), (3, None)], "id int, s string", rs)
+    assert got == {(2, "even_len", "abc")}
+
+
+def test_duplicate_rule_id_rejected():
+    with pytest.raises(ValueError):
+        RuleSet([R.required("a", rule_id="x"), R.required("b", rule_id="x")])
+
+
+def test_rule_order_preserved_in_output(spark):
+    """Violations for one row keep ruleset order pre-sort (lyra error order)."""
+    rs = RuleSet([R.length("s", min=5, rule_id="z_len"), R.pattern("s", "[0-9]+", rule_id="a_pat")])
+    df = spark.createDataFrame([(1, "ab")], "id int, s string")
+    v = row_violations(df, rs, key_cols=["id"], partition_col=None).collect()
+    assert [r.rule_id for r in v] == ["z_len", "a_pat"]
