@@ -1,0 +1,138 @@
+"""Distribution-drift checks: KS statistic + PSI on per-partition t-digest
+sketches merged tree-wise (BASELINE.json:6).
+
+Scale architecture — raw rows NEVER shuffle for drift:
+  stage 1 (map-side): ``mapInPandas`` folds each Arrow batch into a t-digest →
+    one (partition_key, blob) row per batch; only ~O(δ) floats leave the scan;
+  stage 2: ``applyInPandas`` per partition_key merges batch blobs → one digest
+    per Iceberg partition (this IS the combiner tree's middle layer);
+  stage 3 (driver): the per-partition digests (hundreds of rows) merge
+    pairwise-tree into the global/reference digest; KS and PSI evaluate on the
+    digests' CDFs — pure numpy on tiny data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lyra_spark.sketch.tdigest import TDigest, merge_all
+
+SKETCH_SCHEMA = "part_key string, sketch binary, n long"
+
+
+def sketch_by_partition(
+    df: DataFrame,
+    value_col,
+    partition_col: str = "part_date",
+    delta: int = 200,
+) -> DataFrame:
+    """Per-partition t-digest blobs of ``value_col`` (an expression string or
+    Column). Two-stage: per-Arrow-batch sketch (no raw-row shuffle), then a
+    tiny per-partition blob merge."""
+    src = df.select(
+        F.col(partition_col).cast("string").alias("part_key"),
+        F.expr(value_col).alias("v") if isinstance(value_col, str) else value_col.alias("v"),
+    ).filter(F.col("v").isNotNull())
+
+    def batch_sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, g in pdf.groupby("part_key", sort=False):
+                d = TDigest.from_values(g["v"].to_numpy(dtype=np.float64), delta)
+                rows.append((key, d.to_bytes(), len(g)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["part_key", "sketch", "n"])
+
+    batch_blobs = src.mapInPandas(batch_sketch, schema=SKETCH_SCHEMA)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = merge_all([TDigest.from_bytes(b) for b in pdf["sketch"]])
+        return pd.DataFrame(
+            {"part_key": [pdf["part_key"].iloc[0]], "sketch": [merged.to_bytes()], "n": [int(pdf["n"].sum())]}
+        )
+
+    return batch_blobs.groupBy("part_key").applyInPandas(merge_group, schema=SKETCH_SCHEMA)
+
+
+def collect_digests(sketches: DataFrame) -> dict[str, TDigest]:
+    """Driver-side: part_key → TDigest. Input is one small row per partition."""
+    return {r["part_key"]: TDigest.from_bytes(r["sketch"]) for r in sketches.collect()}
+
+
+def global_digest(digests: dict[str, TDigest]) -> TDigest:
+    return merge_all([digests[k] for k in sorted(digests)])
+
+
+# --- drift metrics (numpy on digests) -------------------------------------
+def ks_statistic(a: TDigest, b: TDigest, grid_points: int = 256) -> float:
+    """max |CDF_a − CDF_b| on a shared quantile-union grid."""
+    qs = np.linspace(0.0, 1.0, grid_points)
+    grid = np.unique(np.concatenate([a.quantile(qs), b.quantile(qs)]))
+    return float(np.max(np.abs(a.cdf(grid) - b.cdf(grid))))
+
+
+def psi(reference: TDigest, current: TDigest, bins: int = 10, eps: float = 1e-6) -> float:
+    """Population Stability Index over equi-probable bins from the reference."""
+    edges = reference.quantile(np.linspace(0.0, 1.0, bins + 1))
+    edges[0], edges[-1] = -np.inf, np.inf
+    # interior edges must be strictly increasing for cdf differencing
+    interior = np.maximum.accumulate(edges[1:-1])
+    ref_cdf = np.concatenate([[0.0], reference.cdf(interior), [1.0]])
+    cur_cdf = np.concatenate([[0.0], current.cdf(interior), [1.0]])
+    p = np.clip(np.diff(ref_cdf), eps, None)
+    q = np.clip(np.diff(cur_cdf), eps, None)
+    p, q = p / p.sum(), q / q.sum()
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def drift_verdicts(
+    sketches: DataFrame,
+    reference: TDigest | None = None,
+    ks_threshold: float = 0.10,
+    psi_threshold: float = 0.25,
+    psi_min_n: int = 500,
+    ks_alpha_c: float = 1.95,
+    rule_id: str = "text_len_drift",
+) -> pd.DataFrame:
+    """Per-partition KS/PSI vs a reference digest → pass/fail frame.
+
+    If ``reference`` is None, each partition is compared against the merged
+    digest of ALL OTHER partitions (leave-one-out self-reference) — the
+    cold-start mode when no historical baseline exists.
+
+    Thresholds are SAMPLE-SIZE AWARE: a fixed KS cut is statistically wrong
+    for small partitions (pure sampling noise gives KS ≈ c/√n), so the KS gate
+    is max(ks_threshold, c·√((n+m)/(n·m))) — the two-sample KS critical value
+    at α≈0.001 for c=1.95. PSI only gates partitions with ≥ psi_min_n rows
+    (binned PSI on tiny samples is dominated by empty-bin noise); it is always
+    reported.
+    """
+    digests = collect_digests(sketches)
+    keys = sorted(digests)
+    rows = []
+    for k in keys:
+        ref = reference if reference is not None else merge_all([digests[j] for j in keys if j != k])
+        cur = digests[k]
+        ks = ks_statistic(ref, cur)
+        p = psi(ref, cur)
+        n, m = max(cur.size, 1.0), max(ref.size, 1.0)
+        ks_crit = max(ks_threshold, ks_alpha_c * np.sqrt((n + m) / (n * m)))
+        ks_fail = ks > ks_crit
+        psi_fail = n >= psi_min_n and p > psi_threshold
+        rows.append(
+            {
+                "part_key": k,
+                "rule_id": rule_id,
+                "n": int(n),
+                "ks": ks,
+                "ks_crit": ks_crit,
+                "psi": p,
+                "pass": not (ks_fail or psi_fail),
+            }
+        )
+    return pd.DataFrame(rows)

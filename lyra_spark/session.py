@@ -8,8 +8,31 @@ shuffle partitions sized to the local core count instead of the 200 default.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the lyra_spark package to executor Python workers.
+
+    pandas-UDF closures (custom predicates, t-digest sketching) pickle
+    references to lyra_spark modules; executors must be able to import them.
+    Under ``spark-submit --py-files dist/lyra_spark.zip`` (the production
+    launch shape, BASELINE.json:14) this is a no-op; for ad-hoc sessions we
+    zip the package once and ``addPyFile`` it.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), f"lyra_spark_pyfiles_{os.getpid()}")
+    zip_path = shutil.make_archive(base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="lyra_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
 
 
 def get_spark(
@@ -51,4 +74,5 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)
     return spark

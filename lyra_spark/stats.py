@@ -1,0 +1,108 @@
+"""Per-column statistics (BASELINE.json:6): null-rate, distinct-count via HLL,
+min/max, length histograms — per partition and global.
+
+All built-in Catalyst aggregates: partial (map-side) + final aggregation is
+automatic, and `approx_count_distinct`'s HLL±± buffers merge tree-wise inside
+the agg, so a 1000-executor run never funnels raw rows to one node. The
+`hll_sketch_agg` variants (Apache DataSketches, Spark ≥3.5) additionally give
+re-usable, mergeable sketch blobs across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str],
+    partition_col: str | None = "part_date",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One row per (partition, column): null_rate, approx_distinct, min, max.
+
+    min/max are emitted as strings so heterogeneous column types stack into one
+    long-format frame.
+    """
+    group = [partition_col] if partition_col else []
+    # ONE aggregation pass computes every column's stats (4 aggs per column in
+    # a single hash-agg), then an inline unpivot to long format — at scale this
+    # is one scan + one exchange, not len(columns) of each.
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in columns:
+        aggs += [
+            F.avg(F.col(c).isNull().cast("double")).alias(f"__nr_{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"__ad_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.groupBy(*group).agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nr_{c}").alias("null_rate"),
+                F.col(f"__ad_{c}").alias("approx_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(*group, "row_count", F.explode(per_col).alias("s")).select(
+        *group, "s.column", "row_count", "s.null_rate", "s.approx_distinct", "s.min_value", "s.max_value"
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    column: str = "text",
+    bucket_width: int = 50,
+    partition_col: str | None = "part_date",
+) -> DataFrame:
+    """Bucketed counts of length(column) per partition (BASELINE.json:6).
+
+    bucket = floor(length / width); long format (partition, bucket, count) —
+    collect to ARRAY<STRUCT> only at report time, never mid-plan.
+    """
+    group = [partition_col] if partition_col else []
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(*group, F.floor(F.length(column) / bucket_width).cast("long").alias("bucket"))
+        .groupBy(*group, "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def hll_sketches(
+    df: DataFrame,
+    columns: list[str],
+    partition_col: str | None = "part_date",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable Apache DataSketches HLL blobs per (partition, column).
+
+    Unlike approx_count_distinct these persist across runs: re-validate only
+    new partitions, `hll_union_agg` the stored blobs, `hll_sketch_estimate`
+    the union — the incremental path at 10^12-turn scale.
+    """
+    group = [partition_col] if partition_col else []
+    # one agg pass for all columns, unpivoted after (same shape as column_stats)
+    aggs = [F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k)).alias(f"__sk_{c}") for c in columns]
+    wide = df.groupBy(*group).agg(*aggs)
+    per_col = F.array(
+        *[F.struct(F.lit(c).alias("column"), F.col(f"__sk_{c}").alias("sketch")) for c in columns]
+    )
+    return wide.select(*group, F.explode(per_col).alias("s")).select(
+        *group, "s.column", "s.sketch", F.hll_sketch_estimate("s.sketch").alias("estimate")
+    )
+
+
+def merge_hll(sketches: DataFrame, group_cols: list[str] = ("column",)) -> DataFrame:
+    """Tree-wise merge of stored HLL blobs → global distinct estimates."""
+    return (
+        sketches.groupBy(*group_cols)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .withColumn("estimate", F.hll_sketch_estimate("sketch"))
+    )

@@ -1,0 +1,83 @@
+"""t-digest accuracy, merge associativity, and end-to-end drift detection
+(SURVEY.md §5.5, M4; tolerances from BASELINE.md)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lyra_spark.drift import drift_verdicts, ks_statistic, psi, sketch_by_partition
+from lyra_spark.sketch.tdigest import TDigest, merge_all
+
+
+def exact_ks(a: np.ndarray, b: np.ndarray) -> float:
+    grid = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    cb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    return float(np.max(np.abs(ca - cb)))
+
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(0)
+    v = rng.lognormal(4.0, 0.6, 200_000)
+    d = TDigest.from_values(v, delta=200)
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        exact = np.quantile(v, q)
+        got = float(d.quantile(q)[0])
+        assert abs(d.cdf(exact)[0] - q) < 0.01, (q, exact, got)
+
+
+def test_tdigest_roundtrip_bytes():
+    d = TDigest.from_values(np.arange(1000.0))
+    d2 = TDigest.from_bytes(d.to_bytes())
+    assert np.allclose(d.means, d2.means) and np.allclose(d.weights, d2.weights)
+    assert d2.delta == d.delta and d2.size == d.size
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6), min_size=10, max_size=500), st.integers(2, 5))
+def test_merge_associativity_vs_direct(values, splits):
+    """Merging chunked digests ≈ digest of everything (order must not matter)."""
+    v = np.asarray(values)
+    chunks = np.array_split(v, splits)
+    merged = merge_all([TDigest.from_values(c, 100) for c in chunks if len(c)])
+    direct = TDigest.from_values(v, 100)
+    assert merged.size == direct.size
+    for q in [0.1, 0.5, 0.9]:
+        lo, hi = v.min(), v.max()
+        scale = max(hi - lo, 1e-9)
+        assert abs(merged.quantile(q)[0] - direct.quantile(q)[0]) / scale < 0.15
+
+
+def test_ks_between_digests_close_to_exact():
+    rng = np.random.default_rng(1)
+    a = rng.normal(0, 1, 100_000)
+    b = rng.normal(0.3, 1, 100_000)  # true KS ≈ 0.119
+    ks_d = ks_statistic(TDigest.from_values(a, 200), TDigest.from_values(b, 200))
+    assert abs(ks_d - exact_ks(a, b)) < 0.01
+
+
+def test_psi_detects_shift_and_passes_same():
+    rng = np.random.default_rng(2)
+    base = TDigest.from_values(rng.lognormal(4, 0.6, 100_000), 200)
+    same = TDigest.from_values(rng.lognormal(4, 0.6, 100_000), 200)
+    shifted = TDigest.from_values(rng.lognormal(4, 0.6, 100_000) * 3, 200)
+    assert psi(base, same) < 0.05
+    assert psi(base, shifted) > 0.5
+
+
+def test_drift_end_to_end_flags_drifted_partition(spark, fixtures_sf0001):
+    """The fixture multiplies text length ×3 in the LAST part_date partition —
+    leave-one-out drift must fail exactly that partition region."""
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    sk = sketch_by_partition(tdf, "cast(length(text) as double)", "part_date")
+    verdicts = drift_verdicts(sk, reference=None, ks_threshold=0.10)
+    last = max(verdicts["part_key"])
+    drifted = verdicts.loc[verdicts["part_key"] == last, "pass"].iloc[0]
+    assert not drifted, f"last partition must fail drift:\n{verdicts.tail()}"
+    # the overwhelming majority of partitions must pass
+    assert verdicts["pass"].mean() > 0.9, verdicts[~verdicts["pass"]]
