@@ -1,38 +1,298 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation suite on sf0.001. Each
+``queries()[name]`` runs at sf0.01 and is compared against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Every query goes through the lyra_spark public API — these ARE
+the engine's operators (SURVEY.md §2), not ad-hoc SQL.
+
+Cross-engine hygiene: aggregate/computed columns aliased identically on both
+sides; doubles rounded before emission; timestamps compared as epoch
+microseconds (unix_micros ↔ epoch_us) — Spark session TZ is UTC.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lyra_spark import checks
+from lyra_spark import rules as R
+from lyra_spark.engine import compute_verdicts, row_violations
+from lyra_spark.rules import RuleSet
+from lyra_spark.session import ensure_shipped
+from lyra_spark.stats import column_stats, length_histogram
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# The events-table ruleset: thresholds chosen so violations EXIST in the
+# driver-generated data (event_type enum subset, value ≤ 100, 2-digit json k).
+# ---------------------------------------------------------------------------
+def events_ruleset() -> RuleSet:
+    return RuleSet(
+        [
+            R.enum("event_type", ["click", "view", "purchase", "signup"], rule_id="event_type_enum"),
+            R.range_rule("value", min=0.0, max=100.0, rule_id="value_range"),
+            R.pattern("props", '\\{"k": [0-9]{2}\\}', rule_id="props_pattern"),
+            R.required("event_type", rule_id="event_type_required"),
+        ]
+    )
+
+
+EVENTS_ORACLE_VIOLATIONS = """
+    SELECT event_id, 'event_type_enum' AS rule_id, event_type AS observed_value
+      FROM events WHERE event_type IS NOT NULL
+       AND event_type NOT IN ('click','view','purchase','signup')
+    UNION ALL
+    SELECT event_id, 'value_range' AS rule_id, CAST(value AS VARCHAR) AS observed_value
+      FROM events WHERE value IS NOT NULL AND NOT (value >= 0.0 AND value <= 100.0)
+    UNION ALL
+    SELECT event_id, 'props_pattern' AS rule_id, props AS observed_value
+      FROM events WHERE props IS NOT NULL
+       AND NOT regexp_matches(props, '^(?:\\{"k": [0-9]{2}\\})$')
+    UNION ALL
+    SELECT event_id, 'event_type_required' AS rule_id, CAST(NULL AS VARCHAR) AS observed_value
+      FROM events WHERE event_type IS NULL
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full rule-family validation of the events table at sf0.001."""
+    ensure_shipped(spark)
+    events = _read(spark, "/root/testdata/sf0.001", "events")
+    return row_violations(events, events_ruleset(), key_cols=["event_id"], partition_col=None)
+
+
+# ---------------------------------------------------------------------------
+# queries() — each is one SURVEY.md §2 operator exercised through the engine.
+# ---------------------------------------------------------------------------
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 rows 8-22: compiled rule family + violation assembly (one pass)."""
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events")
+    return row_violations(events, events_ruleset(), key_cols=["event_id"], partition_col=None)
+
+
+def q_verdicts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 row 34: per-partition (day) × per-rule pass/fail verdicts."""
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    viol = row_violations(events, events_ruleset(), key_cols=["event_id"], partition_col="day")
+    rule_ids = [r.rule_id for r in events_ruleset().checks]
+    return compute_verdicts(events, viol, rule_ids, partition_col="day").withColumnRenamed("pass", "passed")
+
+
+def q_null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 row 23: per-group null-rate + min/max via the stats block."""
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events")
+    s = column_stats(events, ["value"], partition_col="event_type")
+    return s.select(
+        "event_type",
+        F.col("row_count"),
+        F.round("null_rate", 6).alias("null_rate"),
+        F.col("min_value"),
+        F.col("max_value"),
+    )
+
+
+def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 row 24 (exact flavor for the oracle; HLL tested in-repo)."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 row 26: bucketed text-length histogram on documents."""
+    ensure_shipped(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return length_histogram(docs, "text", bucket_width=50, partition_col=None)
+
+
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 row 27: salted duplicate-key detection (o_custkey repeats)."""
+    ensure_shipped(spark)
+    orders = _read(spark, sf_dir, "orders")
+    return checks.uniqueness_violations(orders, key_cols=["o_custkey"], partition_col=None, rule_id="uniq_custkey")
+
+
+def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 row 28: broadcast anti-join — parts never referenced by lineitem."""
+    ensure_shipped(spark)
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey")).distinct()
+    return checks.referential_violations(
+        part, li, fk_col="p_partkey", dim_col="p_partkey", key_cols=["p_partkey"], partition_col=None, rule_id="part_unreferenced"
+    ).select("p_partkey", "rule_id")
+
+
+def q_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 row 29: monotone ordering via Window/lag — per-order line items
+    whose l_shipdate precedes an earlier line's (fires ~20k rows at sf0.01)."""
+    ensure_shipped(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    v = checks.monotone_violations(
+        li, group_col="l_orderkey", order_col="l_linenumber", ts_col="l_shipdate",
+        key_cols=["l_orderkey", "l_linenumber"], partition_col=None, rule_id="shipdate_monotone",
+    )
+    return v.select("l_orderkey", "l_linenumber", "rule_id")
+
+
+def q_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 row 38: hash aggregation with partial/final (TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 row 36: broadcast hash join orders ⋈ customer."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("segment_revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 rows 39-40: top-2 orders per customer by totalprice (deterministic
+    tie-break on o_orderkey)."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("totalprice"), "rk")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 row 42: JSON scalar extraction on events.props."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 6).alias("avg_k"), F.count(F.lit(1)).alias("n"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "validate_events": q_validate_events,
+        "verdicts_events": q_verdicts_events,
+        "null_rate": q_null_rate,
+        "distinct_exact": q_distinct_exact,
+        "length_histogram": q_length_histogram,
+        "uniqueness": q_uniqueness,
+        "referential": q_referential,
+        "monotone": q_monotone,
+        "agg_lineitem": q_agg_lineitem,
+        "broadcast_join": q_broadcast_join,
+        "window_topk": q_window_topk,
+        "json_extract": q_json_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_events": EVENTS_ORACLE_VIOLATIONS,
+        "verdicts_events": f"""
+            WITH viol AS ({EVENTS_ORACLE_VIOLATIONS}),
+            ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
+            days AS (SELECT day, COUNT(*) AS row_count FROM ev GROUP BY day),
+            rules(rule_id) AS (VALUES ('event_type_enum'), ('value_range'), ('props_pattern'), ('event_type_required')),
+            vc AS (
+                SELECT day, rule_id, COUNT(*) AS violation_count
+                FROM viol JOIN ev USING (event_id) GROUP BY day, rule_id
+            )
+            SELECT d.day, r.rule_id,
+                   COALESCE(vc.violation_count, 0) = 0 AS passed,
+                   COALESCE(vc.violation_count, 0) AS violation_count,
+                   d.row_count
+            FROM days d CROSS JOIN rules r
+            LEFT JOIN vc ON vc.day = d.day AND vc.rule_id = r.rule_id
+        """,
+        "null_rate": """
+            SELECT event_type,
+                   COUNT(*) AS row_count,
+                   ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+                   CAST(MIN(value) AS VARCHAR) AS min_value,
+                   CAST(MAX(value) AS VARCHAR) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "distinct_exact": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+        """,
+        "length_histogram": """
+            SELECT CAST(FLOOR(LENGTH(text) / 50) AS BIGINT) AS bucket, COUNT(*) AS count
+            FROM documents WHERE text IS NOT NULL GROUP BY 1
+        """,
+        "uniqueness": """
+            SELECT o_custkey, 'uniq_custkey' AS rule_id, CAST(COUNT(*) AS VARCHAR) AS observed_value
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        "referential": """
+            SELECT p_partkey, 'part_unreferenced' AS rule_id
+            FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "monotone": """
+            WITH ordered AS (
+                SELECT l_orderkey, l_linenumber, l_shipdate,
+                       LAG(l_shipdate) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate) AS prev_ts
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, 'shipdate_monotone' AS rule_id
+            FROM ordered WHERE prev_ts > l_shipdate
+        """,
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 4) AS segment_revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "window_topk": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS totalprice, rk
+            FROM ranked WHERE rk <= 2
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+    }

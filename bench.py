@@ -1,0 +1,101 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline metric: validated transcript turns/sec through the full suite
+(row rules + uniqueness + referential + monotone + verdicts), the
+BASELINE.json:2 metric. Also times the stats block, drift sketching, and the
+driver-table operator queries.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Transcripts are synthesized deterministically (lyra_spark.fixtures, seed=42)
+at the scale matching the sf dir and cached under .fixtures/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def force(df) -> int:
+    """Fully materialize a DataFrame without driver collection (noop sink)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    if sf not in ("0.001", "0.01", "0.1"):
+        sf = "0.1"
+
+    from lyra_spark.fixtures import materialize
+    from lyra_spark.session import get_spark
+
+    fx = materialize(sf, os.path.join(REPO, ".fixtures", f"sf{sf}"))
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name="lyra_bench")
+
+    import __spark_entry__ as entry_mod
+    from lyra_spark.drift import drift_verdicts, sketch_by_partition
+    from lyra_spark.presets import validate_transcripts
+    from lyra_spark.stats import column_stats, length_histogram
+
+    tdf = spark.read.parquet(os.path.join(fx, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fx, "tools_dim.parquet"))
+    n_turns = tdf.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # warm the JVM/codegen once on a trivial job
+    tdf.limit(10).count()
+
+    def run_suite():
+        res = validate_transcripts(tdf, dim)
+        force(res.violations)
+        force(res.verdicts)
+        res.unpersist()
+
+    timed("transcript_validate_suite", run_suite)
+    timed("transcript_stats", lambda: force(column_stats(tdf, ["conv_id", "role", "text", "tool", "turn_idx"])))
+    timed("transcript_length_hist", lambda: force(length_histogram(tdf, "text")))
+    timed(
+        "transcript_drift",
+        lambda: drift_verdicts(sketch_by_partition(tdf, "cast(length(text) as double)", "part_date")),
+    )
+
+    qs = entry_mod.queries()
+    for name in ["validate_events", "verdicts_events", "agg_lineitem", "broadcast_join", "window_topk", "uniqueness", "monotone"]:
+        timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    turns_per_sec = round(n_turns / timings["transcript_validate_suite"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "validated turns/sec (full suite)",
+                "value": turns_per_sec,
+                "unit": "turns/sec",
+                "queries": timings,
+                "sf": float(sf),
+                "turns": n_turns,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
