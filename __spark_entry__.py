@@ -197,6 +197,113 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis).
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy). The driver corpus has no duplicates, so the
+    query plants them deterministically (every 7th doc re-appears with a
+    shifted id) — same construction in the oracle SQL."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    dup = exact_duplicates(docs.unionByName(planted))
+    return dup.select("content_hash", "dup_count", F.element_at("doc_ids", 1).alias("min_doc_id"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-word Jaccard near-dup pairs, blocked by lang (the
+    ground-truth twin of the MinHash-LSH path)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, block_col="lang", threshold=0.9, shingle_k=1)
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs verified at jaccard ≥ 0.9 on
+    3-word shingles. Hash-dependent candidates → rows-only driver check; the
+    in-repo test pins recall vs the exact path."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import minhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.9, shingle_k=3)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs via chunk blocking (rows-only: hash-dependent)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=6, chunks=8)
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (computed in double on
+    both engines)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(emb, queries_df, k=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above 0.45 (exact all-pairs at this sf;
+    the LSH-bucketed variant covers scale — tested in-repo)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.similarity import all_pairs_above
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return all_pairs_above(emb, threshold=0.45)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char stats per language."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution per source (rows-only: heuristic)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return lang_id(docs).groupBy("source", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (rows-only: xxhash64 is Spark-side)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -211,6 +318,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "window_topk": q_window_topk,
         "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "simsearch_topk": q_simsearch_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -295,4 +411,66 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
+        "dedup_exact": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+                FROM corpus
+            )
+            SELECT content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS min_doc_id
+            FROM hashed GROUP BY content_hash HAVING COUNT(*) > 1
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS ws
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.ws, b.ws))::DOUBLE
+                         / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+                  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+        """,
+        "simsearch_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        """,
+        "token_stats": """
+            WITH t AS (
+                SELECT lang, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                FROM documents
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(n_tokens), 6) AS avg_tokens,
+                   ROUND(AVG(LENGTH(text)), 6) AS avg_chars,
+                   SUM(n_tokens) AS total_tokens
+            FROM t GROUP BY lang
+        """,
+        # minhash_neardup / simhash_neardup / lang_id / fingerprint: engine-hash
+        # dependent or heuristic → rows-only checks; recall is pinned by
+        # tests/test_pipeline.py against the exact-SQL twins above.
     }

@@ -1,0 +1,256 @@
+"""Deduplication operators for web-scale corpora.
+
+Shuffle budget at 100 TB (the design constraint for every operator here):
+  * exact: one hash-aggregate on a 64-char digest — rows shuffle once, by
+    digest, with map-side partials;
+  * MinHash: the ENTIRE signature computes inside per-row Catalyst
+    expressions (array_min over transformed shingle arrays — no explode, no
+    shuffle); only (doc_id, band_hash) pairs — n_bands small ints per doc —
+    ever hit an exchange;
+  * candidate verification joins only within LSH buckets, never all-pairs;
+  * SimHash is the one pandas-UDF stage (bit-vote needs a 64-counter loop);
+    it ships one long per row back.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- shared text normalization ------------------------------------------------
+def _norm(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>)."""
+    toks = F.split(_norm(text_col), " ")
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    ))).otherwise(F.array(_norm(text_col)))
+
+
+# --- exact deduplication --------------------------------------------------------
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization) docs.
+
+    Returns (content_hash, dup_count, doc_ids sorted) for groups with >1 doc.
+    sha2-256 collision-safe at any corpus size; one shuffle on the digest.
+    """
+    hashed = df.select(F.col(id_col), F.sha2(_norm(text_col), 256).alias("content_hash"))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def distinct_by_content(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-content group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(_norm(text_col), 256)).orderBy(F.col(id_col))
+    return df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_k: int = 3) -> DataFrame:
+    """64-permutation MinHash signature as array<bigint> — pure expressions.
+
+    Permutation i is xxhash64(seed=i, shingle); min over the shingle set is
+    the classic one-permutation-per-seed MinHash. Zero shuffles, zero Python.
+    """
+    shingles = word_shingles(text_col, shingle_k)
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
+    )
+    return df.withColumn("minhash", sig)
+
+
+def lsh_candidate_pairs(
+    with_sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Emits (id_a, id_b) with id_a < id_b, deduplicated across bands. Shuffle
+    carries only (band_idx, band_hash, doc_id). Within-bucket pairing is
+    quadratic per bucket by construction — bucket sizes are bounded because a
+    full-band match at r = num_hashes/bands rows implies near-identical docs.
+    """
+    r = num_hashes // bands
+    band_arr = F.array(
+        *[F.xxhash64(F.lit(b), *[F.col("minhash")[b * r + j] for j in range(r)]) for b in range(bands)]
+    )
+    exploded = with_sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signature → banded candidates → exact
+    shingle-Jaccard verification ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    with_sig = minhash_signature(df, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(with_sig, id_col, num_hashes, bands)
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("sh"))
+    return (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over (optionally blocked) pairs — the oracle-able
+    exhaustive variant. At scale ALWAYS pass block_col (all-pairs is O(n²));
+    LSH (minhash_near_duplicates) is the scale path, this is its ground truth.
+    """
+    sh = df.select(F.col(id_col), *( [block_col] if block_col else [] ), word_shingles(text_col, shingle_k).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "jaccard"
+        )
+    )
+
+
+# --- SimHash --------------------------------------------------------------------
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per doc via an Arrow-vectorized pandas UDF.
+
+    Token hashes vote per bit position; the sign of each vote becomes the bit.
+    Near-duplicates have small Hamming distance. The UDF returns one long per
+    row — minimal Python↔JVM traffic.
+    """
+
+    @F.pandas_udf("long")
+    def _simhash(s: pd.Series) -> pd.Series:
+        arange = np.arange(64, dtype=np.uint64)
+        cache: dict[str, np.ndarray] = {}  # token → ±1 bit votes (amortizes FNV)
+        out = np.zeros(len(s), dtype=np.int64)
+        for i, txt in enumerate(s):
+            if not txt:
+                continue
+            toks = txt.lower().split()
+            if not toks:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                bits = cache.get(t)
+                if bits is None:
+                    h = np.uint64(hash_fnv1a(t))
+                    bits = (((h >> arange) & np.uint64(1)).astype(np.int64) * 2 - 1)
+                    cache[t] = bits
+                votes += bits
+            val = int(((votes > 0).astype(np.uint64) << arange).sum(dtype=np.uint64))
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def hash_fnv1a(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's hash() is salted per process)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup via chunk blocking: by pigeonhole, two hashes within
+    ``max_hamming`` (< chunks) differing bits share at least one identical
+    64/chunks-bit chunk, so candidates come from equi-joins on chunks — never
+    all-pairs. max_hamming ≥ chunks loses the recall guarantee (documented
+    trade: more chunks → guaranteed recall at higher hamming but bigger
+    candidate buckets)."""
+    if 64 % chunks:
+        raise ValueError("chunks must divide 64")
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    with_h = simhash(df, text_col).select(id_col, "simhash")
+    chunk_cols = [
+        (F.shiftrightunsigned(F.col("simhash"), width * i).bitwiseAND(F.lit(mask))).alias(f"c{i}")
+        for i in range(chunks)
+    ]
+    e = with_h.select(id_col, "simhash", *chunk_cols)
+    exploded = e.select(
+        id_col, "simhash", F.posexplode(F.array(*[F.col(f"c{i}") for i in range(chunks)])).alias("ci", "cv")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), xor.alias("x"))
+        .distinct()
+        .withColumn("hamming", F.bit_count("x"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (pure Catalyst: zip_with
++ aggregate, broadcast queries — no Python). The scale path is random-
+hyperplane LSH bucketing: at 10^9+ vectors the bucket equi-join touches only
+candidate buckets instead of the full cross product; planes are a small seeded
+numpy matrix shipped as literals, so bucket assignment is still whole-stage
+codegen. An IVF variant (k-means coarse quantizer) would slot in the same way
+— bucket id from nearest centroid — and is left to the LSH machinery since the
+sandbox has no MLlib model persistence needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (query_id, embedding). The query side is broadcast — the corpus
+    never shuffles; ranking is a per-query window over the scored scan.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv__"))
+    scored = df.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv__")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def all_pairs_above(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact; O(n²) — small n or use
+    LSH buckets below as the blocking stage at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def assign_lsh_buckets(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id (int) — pure expressions, planes are
+    literals, so this is a map-only stage with no Python."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(F.col(vec_col), lit_plane) > 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+
+    Trades recall for a ~2^n_planes candidate reduction; the bucketed corpus
+    can be written partitioned by bucket so queries prune at the scan.
+    """
+    from pyspark.sql import Window
+
+    corpus = assign_lsh_buckets(df, planes, vec_col)
+    q = assign_lsh_buckets(queries, planes, vec_col).select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv__"), F.col("bucket")
+    )
+    scored = corpus.join(F.broadcast(q), "bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv__")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

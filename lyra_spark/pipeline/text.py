@@ -1,0 +1,114 @@
+"""Text analysis for training-data pipelines: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything except language-ID is pure Catalyst expressions (JVM-side,
+whole-stage codegen). Language-ID scores stopword overlap per language with
+built-in array functions — still no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles (public common function words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+    "zh": [],  # CJK: detected by script range, not stopwords
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish token estimator: word fragments of ≤4 chars, digits, punctuation runs
+BPE_ISH_RE = r"[a-zA-Z]{1,4}|[0-9]+|[^\sa-zA-Z0-9]"
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, TOKEN_SPLIT_RE)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Rough BPE token estimate via regex fragment extraction (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: char/token lengths, punctuation & digit
+    ratios, stopword ratio, mean word length — the usual web-corpus filters."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = F.split(F.trim(c), TOKEN_SPLIT_RE)
+    n_tokens = token_count(c)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return df.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": F.round(
+                F.length(F.regexp_replace(c, r"[^\p{Punct}]", "")) / F.greatest(n_chars, F.lit(1)), 6
+            ),
+            "digit_ratio": F.round(F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.greatest(n_chars, F.lit(1)), 6),
+            "stopword_ratio": F.round(
+                F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+            "mean_word_len": F.round(
+                (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 6
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the features (simple web-corpus
+    heuristic: long enough, not punctuation/digit soup, some stopwords)."""
+    feat = quality_features(df, text_col)
+    len_ok = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))
+    digit_ok = F.lit(1.0) - F.least(F.col("digit_ratio") * 5, F.lit(1.0))
+    return feat.withColumn(
+        "quality_score", F.round((len_ok + punct_ok + digit_ok) / 3.0, 6)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: CJK script detection first, else argmax stopword
+    overlap across language profiles; 'und' when nothing matches."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        if not words:
+            continue
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(F.struct(F.size(F.array_intersect(toks, arr)).alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    return df.withColumn(
+        out_col,
+        F.when(has_cjk, F.lit("zh")).otherwise(
+            F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5, out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic 64-bit document fingerprint: min rolling-shingle hash.
+
+    Normalizes whitespace/case, forms k-word shingles, hashes each with
+    xxhash64, keeps the minimum — a 1-perm MinHash, stable under reordering of
+    surrounding corpus and cheap enough for a 100 TB pass (pure codegen)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    shingles = F.when(n >= shingle_k, F.transform(
+        F.sequence(F.lit(0), n - shingle_k),
+        lambda i: F.array_join(F.slice(toks, i + 1, shingle_k), " "),
+    )).otherwise(F.array(norm))
+    return df.withColumn(out_col, F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))))

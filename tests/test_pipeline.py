@@ -1,0 +1,174 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyra_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+        (2, "THE QUICK  brown fox jumps over the lazy dog and runs away fast"),  # norm dup of 0
+        (3, "the quick brown fox jumps over the lazy cat and runs away fast"),  # near dup (1 word)
+        (4, "completely different content about spark dataframes and shuffles here"),
+        (5, "short text"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- exact dedup ---------------------------------------------------------------
+def test_exact_duplicates_normalized(docs):
+    got = dedup.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["dup_count"] == 3 and got[0]["doc_ids"] == [0, 1, 2]
+
+
+def test_distinct_by_content_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in dedup.distinct_by_content(docs).collect())
+    assert kept == [0, 3, 4, 5, 6]
+
+
+# --- minhash / jaccard -----------------------------------------------------------
+def test_minhash_finds_near_dup_and_skips_distinct(docs):
+    got = dedup.minhash_near_duplicates(docs.filter("text <> ''"), threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_recall_vs_exact_jaccard(docs):
+    """LSH candidates must cover every truly-similar pair (recall on this set)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs.filter("text <> ''"), threshold=0.7).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(docs.filter("text <> ''"), threshold=0.7).collect()
+    }
+    assert exact == lsh
+
+
+def test_simhash_near_duplicates(docs):
+    got = dedup.simhash_near_duplicates(docs.filter("text <> ''"), max_hamming=6, chunks=8)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got.collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0
+    # docs 0 vs 3 differ by one word → hamming 4 (measured); 8-chunk blocking
+    # guarantees recall up to hamming 7
+    assert pairs[(0, 3)] == 4
+    assert not any(4 in p for p in pairs)
+
+
+# --- similarity search -----------------------------------------------------------
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)  # near-dup of 0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def np_topk(base, qi, k):
+    sims = base @ base[qi] / (np.linalg.norm(base, axis=1) * np.linalg.norm(base[qi]))
+    order = np.lexsort((np.arange(len(base)), -sims))
+    return [int(i) for i in order[:k]]
+
+
+def test_brute_force_topk_matches_numpy(vecs):
+    queries = vecs.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.brute_force_topk(vecs, queries, k=5).orderBy("rank").collect()
+    base = np.array(vecs.orderBy("vec_id").toPandas()["embedding"].tolist())
+    assert [r.vec_id for r in got] == np_topk(base, 0, 5)
+    assert got[0].vec_id == 0 and got[0].cos_sim == 1.0 and got[1].vec_id == 1
+
+
+def test_all_pairs_above_finds_planted_dup(vecs):
+    got = similarity.all_pairs_above(vecs, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
+
+
+def test_lsh_topk_high_recall_on_near_dup(vecs):
+    planes = similarity.random_hyperplanes(16, n_planes=4, seed=1)
+    queries = vecs.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.lsh_topk(vecs, queries, planes, k=3).orderBy("rank").collect()
+    # near-identical vectors land in the same bucket: 0 and its planted dup 1
+    ids = [r.vec_id for r in got]
+    assert ids[0] == 0 and 1 in ids
+
+
+# --- text analysis ----------------------------------------------------------------
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "a b  c"), (2, ""), (3, "   "), (4, None)], "id int, text string")
+    got = {r.id: r.n for r in df.select("id", text.token_count("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: None}
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it is a good day for running in the park"),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+            (3, "123 456 789 000 111 222 333 444 555 666"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r.quality_score for r in text.quality_score(df).collect()}
+    assert got[1] > got[2] and got[1] > got[3]
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "der hund ist nicht zu haus und das ist gut"),
+            (3, "el perro es grande y la casa es bonita"),
+            (4, "le chat est dans la maison et ce pour quoi"),
+            (5, "这是一个中文句子"),
+            (6, "zzzz qqqq wwww"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_fingerprint_stable_and_normalizing(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World foo bar baz qux"), (2, "hello world foo bar baz qux"), (3, "different text entirely here ok")],
+        "id int, text string",
+    )
+    got = {r.id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+# --- multimodal plumbing -------------------------------------------------------
+def test_multimodal_features_shape_and_determinism(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media).orderBy("media_id")
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(0.0 <= r.byte_mean <= 1.0 for r in rows)
+    rows2 = multimodal.extract_features(multimodal.synth_media(spark, n=30)).orderBy("media_id").collect()
+    assert [r.feature for r in rows] == [r.feature for r in rows2]
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.synth_media(spark, n=30)
+    frames = multimodal.sample_frames(media, every_n=10)
+    pdf = frames.toPandas()
+    assert (pdf["frame_idx"] % 10 == 0).all()
+    meta = {r.media_id: r.meta.n_frames for r in media.filter("kind='video'").collect()}
+    counts = pdf.groupby("media_id").size().to_dict()
+    for mid, nf in meta.items():
+        assert counts.get(mid, 0) == (nf + 9) // 10
