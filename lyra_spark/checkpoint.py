@@ -1,0 +1,97 @@
+"""Checkpoint manifest: per-partition lineage, rule versions, timing metrics —
+resumable runs (BASELINE.json:6,14).
+
+The manifest is driver-side JSON (small: one record per Iceberg partition),
+written atomically (tmp + os.replace) so a killed run never leaves a torn
+file. Resume = set-difference of partition keys whose recorded rule-version
+fingerprint matches the current ruleset; bumping any rule's version or params
+invalidates exactly the partitions validated under the old fingerprint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from lyra_spark.rules import RuleSet
+
+MANIFEST_NAME = "manifest.json"
+
+
+@dataclass
+class PartitionRecord:
+    partition: str
+    ruleset_fingerprint: str
+    rows: int
+    violations: int
+    wall_ms: float
+    completed_at: float
+    snapshot_id: str | None = None  # Iceberg snapshot lineage in prod
+    rule_versions: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class Manifest:
+    run_id: str
+    records: dict[str, PartitionRecord] = field(default_factory=dict)
+
+    def completed(self, ruleset: RuleSet) -> set[str]:
+        fp = ruleset.fingerprint()
+        return {k for k, r in self.records.items() if r.ruleset_fingerprint == fp}
+
+    def pending(self, all_partitions: list[str], ruleset: RuleSet) -> list[str]:
+        done = self.completed(ruleset)
+        return [p for p in all_partitions if p not in done]
+
+    def record(
+        self,
+        partition: str,
+        ruleset: RuleSet,
+        rows: int,
+        violations: int,
+        wall_ms: float,
+        snapshot_id: str | None = None,
+    ) -> None:
+        self.records[partition] = PartitionRecord(
+            partition=partition,
+            ruleset_fingerprint=ruleset.fingerprint(),
+            rows=rows,
+            violations=violations,
+            wall_ms=wall_ms,
+            completed_at=time.time(),
+            snapshot_id=snapshot_id,
+            rule_versions=ruleset.versions(),
+        )
+
+
+def manifest_path(checkpoint_dir: str, run_id: str) -> str:
+    return os.path.join(checkpoint_dir, run_id, MANIFEST_NAME)
+
+
+def load_manifest(checkpoint_dir: str, run_id: str) -> Manifest:
+    path = manifest_path(checkpoint_dir, run_id)
+    if not os.path.exists(path):
+        return Manifest(run_id=run_id)
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # corrupt manifest ⇒ start clean (forces full re-validation, never a crash)
+        return Manifest(run_id=run_id)
+    records = {k: PartitionRecord(**v) for k, v in raw.get("records", {}).items()}
+    return Manifest(run_id=raw.get("run_id", run_id), records=records)
+
+
+def save_manifest(checkpoint_dir: str, m: Manifest) -> str:
+    """Atomic write: tmp file + os.replace (POSIX-atomic within a filesystem)."""
+    d = os.path.join(checkpoint_dir, m.run_id)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, MANIFEST_NAME)
+    tmp = path + ".tmp"
+    payload = {"run_id": m.run_id, "records": {k: asdict(v) for k, v in m.records.items()}}
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return path

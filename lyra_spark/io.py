@@ -1,0 +1,52 @@
+"""Table layer abstraction (SURVEY.md §7 risk R4).
+
+Locally the transcript table is Hive-partitioned parquet (part_date=…/); in
+production it is Iceberg (``format("iceberg")`` + snapshot-id lineage). The
+engine core only sees this interface, so no Iceberg-specific code leaks in.
+The sandbox image carries no Iceberg jars — the iceberg branch is exercised
+only by its error message here, by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lyra_spark.schema import PARTITION_COLUMN
+
+
+def read_transcripts(spark: SparkSession, uri: str) -> DataFrame:
+    """uri: 'iceberg:<catalog.table>' in prod, else a parquet directory."""
+    if uri.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(uri[len("iceberg:") :])
+    return spark.read.parquet(uri)
+
+
+def list_partitions(spark: SparkSession, df: DataFrame, partition_col: str = PARTITION_COLUMN) -> list[str]:
+    """Distinct partition keys (Iceberg: snapshot metadata; parquet: cheap
+    distinct over the partition column, which prunes to directory listing)."""
+    return sorted(str(r[0]) for r in df.select(partition_col).distinct().collect())
+
+
+def partition_scope(df: DataFrame, partition_key: str, partition_col: str = PARTITION_COLUMN) -> DataFrame:
+    """Filter on the partition column — Catalyst turns this into partition
+    pruning, so a per-partition validation run scans ONLY that directory."""
+    return df.filter(F.col(partition_col).cast("string") == partition_key)
+
+
+def write_violations(
+    violations: DataFrame,
+    out_dir: str,
+    partition_col: str = PARTITION_COLUMN,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> None:
+    """Deterministic violation sink (BASELINE.json:6 byte-match contract):
+    one file per input partition, rows sorted by (conv_id, turn_idx, rule_id)
+    within each file — two runs produce byte-identical output."""
+    (
+        violations.repartition(partition_col)
+        .sortWithinPartitions(partition_col, *key_cols, "rule_id", "observed_value")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(out_dir)
+    )

@@ -1,0 +1,98 @@
+"""Checkpoint/resume semantics (SURVEY.md §5.7) + deterministic sink (§5.8)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from lyra_spark import checkpoint as ckpt
+from lyra_spark import io as lio
+from lyra_spark import rules as R
+from lyra_spark.presets import transcript_ruleset, validate_transcripts
+from lyra_spark.rules import RuleSet
+
+
+@pytest.fixture()
+def ruleset():
+    return transcript_ruleset()
+
+
+def test_manifest_roundtrip_and_pending(tmp_path, ruleset):
+    m = ckpt.load_manifest(str(tmp_path), "run1")
+    assert m.pending(["a", "b", "c"], ruleset) == ["a", "b", "c"]
+    m.record("a", ruleset, rows=10, violations=1, wall_ms=5.0)
+    m.record("b", ruleset, rows=20, violations=0, wall_ms=6.0)
+    ckpt.save_manifest(str(tmp_path), m)
+
+    m2 = ckpt.load_manifest(str(tmp_path), "run1")
+    assert m2.pending(["a", "b", "c"], ruleset) == ["c"]
+    assert m2.records["a"].rows == 10
+    assert m2.records["a"].rule_versions == ruleset.versions()
+
+
+def test_rule_version_bump_invalidates(tmp_path, ruleset):
+    m = ckpt.load_manifest(str(tmp_path), "run1")
+    m.record("a", ruleset, rows=10, violations=1, wall_ms=5.0)
+    ckpt.save_manifest(str(tmp_path), m)
+
+    changed = RuleSet(
+        [R.required("text", rule_id="text_required")]  # different ruleset → different fingerprint
+    )
+    m2 = ckpt.load_manifest(str(tmp_path), "run1")
+    assert m2.pending(["a"], changed) == ["a"]
+    assert m2.pending(["a"], ruleset) == []
+
+
+def test_corrupt_manifest_forces_revalidation(tmp_path, ruleset):
+    m = ckpt.load_manifest(str(tmp_path), "run1")
+    m.record("a", ruleset, rows=1, violations=0, wall_ms=1.0)
+    path = ckpt.save_manifest(str(tmp_path), m)
+    with open(path, "w") as f:
+        f.write("{ not json")
+    m2 = ckpt.load_manifest(str(tmp_path), "run1")
+    assert m2.pending(["a"], ruleset) == ["a"]
+
+
+def test_cli_run_and_resume(tmp_path, spark, fixtures_sf0001, capsys):
+    """End-to-end CLI: first run validates all partitions; rerun skips them."""
+    from jobs.validate import main
+
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path),
+        "--run-id", "r1",
+        "--limit-partitions", "3",
+    ]
+    assert main(args) == 0
+    out1 = capsys.readouterr().out
+    assert "this_run=3" in out1
+    mf = ckpt.load_manifest(str(tmp_path), "r1")
+    assert len(mf.records) == 3
+
+    assert main(args) == 0
+    out2 = capsys.readouterr().out
+    mf2 = ckpt.load_manifest(str(tmp_path), "r1")
+    assert len(mf2.records) == 6  # 3 more, first 3 skipped
+    first3 = sorted(mf.records)[:3]
+    for k in first3:
+        assert mf2.records[k].completed_at == mf.records[k].completed_at  # untouched
+
+
+def test_violation_sink_deterministic(tmp_path, spark, fixtures_sf0001):
+    """Two writes of the same violations produce byte-identical parquet data
+    (BASELINE.json:6)."""
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+
+    outs = []
+    for i in (1, 2):
+        res = validate_transcripts(tdf, dim)
+        out = str(tmp_path / f"v{i}")
+        lio.write_violations(res.violations_sorted(), out)
+        res.unpersist()
+        pdf = pd.read_parquet(out).reset_index(drop=True)
+        outs.append(pdf)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) > 0
