@@ -31,9 +31,20 @@ def validate_transcripts(
     tools_dim: DataFrame,
     partition_col: str | None = "part_date",
     ruleset: RuleSet | None = None,
+    fused: bool = True,
 ) -> ValidationResult:
-    """Full suite: row rules + uniqueness + referential + monotone ordering."""
+    """Full suite: row rules + uniqueness + referential + monotone ordering.
+
+    fused=True (default): two-pass plan — one scan for all row rules with the
+    tools dim inlined, one conv_id exchange for uniqueness+monotone
+    (lyra_spark.fused). fused=False: the composable operators (salted
+    aggregate, broadcast anti-join, window) — same results, more passes; the
+    right choice when the dim is large or duplicate multiplicity is skewed."""
     ruleset = ruleset or transcript_ruleset()
+    if fused:
+        from lyra_spark.fused import validate_transcripts_fused
+
+        return validate_transcripts_fused(df, tools_dim, ruleset, partition_col=partition_col)
     extra = [
         checks.uniqueness_violations(df, partition_col=partition_col),
         checks.referential_violations(df, tools_dim, partition_col=partition_col),

@@ -65,7 +65,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("LYRA_DRIVER_MEM", "8g"))
+        # local mode: one JVM hosts every executor thread — size the heap for
+        # N concurrent tasks' shuffle/agg buffers or 32 threads GC-thrash.
+        .config("spark.driver.memory", os.environ.get("LYRA_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
     )
