@@ -17,8 +17,9 @@ FORBIDDEN = [
     (re.compile(r"\.collect\(\)\s*$"), None),  # checked below with allowlist
 ]
 
-# collect() is legitimate only on tiny frames (sketch blobs, partition lists)
-COLLECT_ALLOWED = {"drift.py", "io.py"}
+# collect() is legitimate only on tiny frames (sketch blobs, partition lists,
+# small-dimension value lists inlined as enum literals in fused.py)
+COLLECT_ALLOWED = {"drift.py", "io.py", "fused.py"}
 
 
 def _sources():
