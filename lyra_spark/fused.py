@@ -51,19 +51,66 @@ def conv_scoped_violations(
     group_col: str = "conv_id",
     order_col: str = "turn_idx",
     ts_col: str = "ts",
+    bucket_turns: int = 4096,
+    partition_from_ts: bool = True,
 ) -> DataFrame:
-    """Uniqueness + monotone violations off ONE exchange on conv_id."""
-    w_mono = Window.partitionBy(group_col).orderBy(order_col, ts_col)
-    w_dup = Window.partitionBy(group_col, order_col, partition_col)
+    """Uniqueness + monotone violations off ONE exchange on (conv_id, bucket).
+
+    Skew-proof lag: windowing ``partitionBy(conv_id)`` puts a whole
+    conversation in one task — a hot conversation holding 10% of 10^12 turns
+    would pin a single executor forever. Instead turns are bucketed
+    (``floor(turn_idx / bucket_turns)``) so window partitions are bounded at
+    ~``bucket_turns`` rows regardless of skew, and the cross-bucket lag is
+    restored from a boundary frame (one row per (conv_id, bucket): the
+    bucket's last (turn_idx, ts) under the same ordering) that is ~1/4096th
+    of the input — joined back via AQE (broadcast at small scale,
+    co-partitioned hash join at 10^12 where the boundary itself is big).
+    Both windows share the (conv_id, bucket) hash exchange: HashPartitioning
+    on a subset of a window's partition keys satisfies its clustering, so
+    Catalyst plans exactly one Exchange for the whole branch.
+    """
+    bkt = F.floor(F.col(order_col).cast("long") / F.lit(int(bucket_turns)))
+    # Single-sort trick: when the Iceberg partition column derives
+    # monotonically from ts (part_date = date(ts), the standard layout),
+    # ordering by (turn_idx, part_date, ts) is the SAME total order as
+    # (turn_idx, ts) — but it makes all three windows' required child
+    # orderings prefixes of one sort key (conv, bkt, turn, part, ts), so
+    # Catalyst plans ONE sort for the whole window stack instead of three.
+    mono_order = [order_col, partition_col, ts_col] if partition_from_ts else [order_col, ts_col]
+    w_mono = Window.partitionBy(group_col, "__bkt__").orderBy(*mono_order)
+    w_dup = Window.partitionBy(group_col, "__bkt__", order_col, partition_col)
     w_dup_rank = w_dup.orderBy(ts_col)
 
     keep = [*key_cols, partition_col]
-    annotated = df.select(
+    dfb = df.select(*keep, ts_col, bkt.alias("__bkt__"))
+
+    # Boundary frame: last (turn_idx, ts) of every (conv, bucket) under the
+    # mono ordering, lagged to the NEXT non-empty bucket of the same conv.
+    # Tiny (≤ rows/bucket_turns) — its per-conv window is skew-free by
+    # construction (hot conv of 10^11 turns → ~10^7 boundary rows, windowed
+    # in ~2.4e4-row groups... still bounded: boundary is 1/4096 of input).
+    w_bnd = Window.partitionBy(group_col).orderBy("__bkt__")
+    boundary = (
+        dfb.groupBy(group_col, "__bkt__")
+        .agg(F.max(F.struct(order_col, ts_col)).alias("__last__"))
+        .select(
+            group_col,
+            "__bkt__",
+            F.lag(F.col(f"__last__.{ts_col}")).over(w_bnd).alias("__prev_bucket_ts__"),
+        )
+    )
+
+    annotated = dfb.select(
         *keep,
         ts_col,
-        F.lag(ts_col).over(w_mono).alias("__prev_ts__"),
+        "__bkt__",
+        F.lag(ts_col).over(w_mono).alias("__prev_in_bucket__"),
+        F.row_number().over(w_mono).alias("__mono_rn__"),
         F.count(F.lit(1)).over(w_dup).alias("__dup_cnt__"),
         F.row_number().over(w_dup_rank).alias("__dup_rn__"),
+    ).join(boundary, [group_col, "__bkt__"], "left").withColumn(
+        "__prev_ts__",
+        F.when(F.col("__mono_rn__") == 1, F.col("__prev_bucket_ts__")).otherwise(F.col("__prev_in_bucket__")),
     )
     # Emit BOTH violation kinds from the SAME windowed branch (array→filter→
     # explode, as in engine.row_violations): one scan, one exchange, no union.
@@ -97,7 +144,10 @@ def validate_transcripts_fused(
     """Full suite in two data passes (see module docstring)."""
     from pyspark.storagelevel import StorageLevel
 
-    fused_rules = RuleSet(ruleset.rules + [inline_referential_rule(tools_dim)])
+    if any(r.rule_id == REF_RULE for r in ruleset.rules):
+        fused_rules = ruleset  # caller pre-compiled the referential rule
+    else:
+        fused_rules = RuleSet(ruleset.rules + [inline_referential_rule(tools_dim)])
     row_v = row_violations(df, fused_rules, key_cols, partition_col)
     conv_v = conv_scoped_violations(df, key_cols, partition_col)
     # column order must match for union

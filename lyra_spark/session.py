@@ -65,11 +65,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # local mode: one JVM hosts every executor thread — size the heap for
-        # N concurrent tasks' shuffle/agg buffers or 32 threads GC-thrash.
-        .config("spark.driver.memory", os.environ.get("LYRA_DRIVER_MEM", "64g"))
+        # local mode: one JVM hosts every executor thread. Keep the heap
+        # modest and PRE-TOUCHED: this sandbox's VM faults guest pages in
+        # lazily on first touch (high sys-time stalls mid-job with a big lazy
+        # heap) — AlwaysPreTouch moves that cost into JVM startup.
+        .config("spark.driver.memory", os.environ.get("LYRA_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC -XX:+AlwaysPreTouch")
     )
     if extra_conf:
         for k, v in extra_conf.items():
