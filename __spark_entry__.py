@@ -200,6 +200,57 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text analysis).
 # ---------------------------------------------------------------------------
+def q_coercion_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 rows 8,12,15-20: cast coercion (coerce-then-check), deny-list,
+    length bounds, multiple-of, and a conditional rule — one compiled pass
+    over orders with a derived mixed-type string column (same derivation in
+    the oracle): every 10th key carries a non-numeric priority string."""
+    ensure_shipped(spark)
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "pstr",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_orderpriority")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+    )
+    rs = RuleSet(
+        [
+            R.cast("pstr", "double", rule_id="pstr_cast"),
+            R.range_rule("pstr", max=300000.0, rule_id="pstr_range"),  # sees coerced double
+            R.deny("o_orderpriority", ["4-NOT SPECIFIED"], when=("o_orderstatus", "==", "O"), rule_id="prio_deny"),
+            R.length("o_orderpriority", min=6, max=14, rule_id="prio_len"),
+            R.multiple_of("o_custkey", 3, rule_id="custkey_mod3"),
+        ]
+    )
+    return row_violations(orders, rs, key_cols=["o_orderkey"], partition_col=None)
+
+
+def q_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 rows 32-33 data path: fixed-bin length histograms per source —
+    the distributed half of KS/PSI drift (bin arithmetic is driver-side)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("source", (F.floor(F.least(F.length("text"), F.lit(1999)) / 100)).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_regression_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 row 41: exceptAll regression diff — violations introduced by
+    tightening value_range from ≤100 to ≤90 between two runs."""
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events")
+    loose = row_violations(
+        events, RuleSet([R.range_rule("value", min=0.0, max=100.0, rule_id="value_range")]),
+        key_cols=["event_id"], partition_col=None,
+    )
+    tight = row_violations(
+        events, RuleSet([R.range_rule("value", min=0.0, max=90.0, rule_id="value_range")]),
+        key_cols=["event_id"], partition_col=None,
+    )
+    return tight.exceptAll(loose)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy). The driver corpus has no duplicates, so the
     query plants them deterministically (every 7th doc re-appears with a
@@ -318,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "window_topk": q_window_topk,
         "json_extract": q_json_extract,
+        "coercion_orders": q_coercion_orders,
+        "drift_bins": q_drift_bins,
+        "regression_diff": q_regression_diff,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
@@ -410,6 +464,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "coercion_orders": """
+            WITH o AS (
+                SELECT *,
+                       CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+                            ELSE CAST(o_totalprice AS VARCHAR) END AS pstr
+                FROM orders
+            )
+            SELECT o_orderkey, 'pstr_cast' AS rule_id, pstr AS observed_value
+              FROM o WHERE pstr IS NOT NULL AND TRY_CAST(pstr AS DOUBLE) IS NULL
+            UNION ALL
+            SELECT o_orderkey, 'pstr_range' AS rule_id, pstr AS observed_value
+              FROM o WHERE TRY_CAST(pstr AS DOUBLE) IS NOT NULL
+               AND NOT (TRY_CAST(pstr AS DOUBLE) <= 300000.0)
+            UNION ALL
+            SELECT o_orderkey, 'prio_deny' AS rule_id, o_orderpriority AS observed_value
+              FROM o WHERE o_orderstatus = 'O' AND o_orderpriority = '4-NOT SPECIFIED'
+            UNION ALL
+            SELECT o_orderkey, 'prio_len' AS rule_id, o_orderpriority AS observed_value
+              FROM o WHERE o_orderpriority IS NOT NULL
+               AND NOT (LENGTH(o_orderpriority) >= 6 AND LENGTH(o_orderpriority) <= 14)
+            UNION ALL
+            SELECT o_orderkey, 'custkey_mod3' AS rule_id, CAST(o_custkey AS VARCHAR) AS observed_value
+              FROM o WHERE o_custkey IS NOT NULL AND o_custkey % 3 <> 0
+        """,
+        "drift_bins": """
+            SELECT source,
+                   CAST(FLOOR(LEAST(LENGTH(text), 1999) / 100) AS BIGINT) AS bucket,
+                   COUNT(*) AS n
+            FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        """,
+        "regression_diff": """
+            SELECT event_id, 'value_range' AS rule_id, CAST(value AS VARCHAR) AS observed_value
+              FROM events WHERE value IS NOT NULL AND NOT (value >= 0.0 AND value <= 90.0)
+            EXCEPT ALL
+            SELECT event_id, 'value_range' AS rule_id, CAST(value AS VARCHAR) AS observed_value
+              FROM events WHERE value IS NOT NULL AND NOT (value >= 0.0 AND value <= 100.0)
         """,
         "dedup_exact": """
             WITH corpus AS (
