@@ -56,9 +56,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        """Best of 2 runs — this host is a shared microVM with 2-3x
+        neighbor-noise spikes; a single sample regularly measures the
+        neighbors instead of the query."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # warm the JVM/codegen once on a trivial job
     tdf.limit(10).count()
