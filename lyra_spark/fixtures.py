@@ -173,14 +173,19 @@ def inject_violations(df: pd.DataFrame, sf: str = "0.01") -> tuple[pd.DataFrame,
     records += [(df.at[j, "conv_id"], int(df.at[j, "turn_idx"]), "tool_ref") for j in i]
 
     # ts_monotone: swap ts of two adjacent turns in a sample of conversations.
+    # One groupby pass for per-conv row positions — a full-frame scan per
+    # sampled conversation is O(k·n) and takes an hour at sf4 (~25M rows).
     convs = df["conv_id"].unique()
     k = max(1, int(round(len(convs) * INJECTION_RATES["ts_monotone"])))
+    conv_pos = df.groupby("conv_id", sort=False).indices
+    turn_arr = df["turn_idx"].to_numpy()
     for cid in rng.choice(convs, size=k, replace=False):
-        cand = np.flatnonzero((df["conv_id"] == cid).to_numpy() & ~taken)
-        rows = df.loc[cand].sort_values("turn_idx").index
+        cand = conv_pos[cid]
+        cand = cand[~taken[cand]]
+        rows = cand[np.argsort(turn_arr[cand], kind="stable")]
         if len(rows) < 3:
             continue
-        a, b = rows[1], rows[2]
+        a, b = int(rows[1]), int(rows[2])
         df.loc[[a, b], "ts"] = df.loc[[b, a], "ts"].to_numpy()
         records.append((cid, int(df.at[b, "turn_idx"]), "ts_monotone"))
 
