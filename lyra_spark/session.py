@@ -65,6 +65,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # local-mode split sizing: default 128m gives too few scan splits to
+        # feed 32 threads on GB-scale inputs; 32m keeps every core busy while
+        # staying far above the per-task fixed cost. On a real cluster the
+        # input is orders of magnitude larger and 128m is fine either way.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("LYRA_MAX_PARTITION_BYTES", "33554432"))
         # local mode: one JVM hosts every executor thread. Keep the heap
         # modest and PRE-TOUCHED: this sandbox's VM faults guest pages in
         # lazily on first touch (high sys-time stalls mid-job with a big lazy
