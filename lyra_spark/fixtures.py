@@ -67,9 +67,14 @@ def _gen_texts(rng: np.random.Generator, n: int) -> np.ndarray:
     return np.array([" ".join(VOCAB[w]) for w in np.split(flat, bounds)], dtype=object)
 
 
-def gen_clean_transcripts(sf: str = "0.01") -> pd.DataFrame:
-    """Clean (violation-free) transcripts at the given scale factor."""
-    rng = np.random.default_rng(SEED)
+def gen_clean_transcripts(sf: str = "0.01", seed: int = SEED, conv_offset: int = 0) -> pd.DataFrame:
+    """Clean (violation-free) transcripts at the given scale factor.
+
+    ``seed``/``conv_offset`` support chunked generation of very large
+    fixtures: each chunk draws from its own stream and owns a disjoint
+    conv_id range, so chunks can be generated in parallel processes and
+    written into one dataset root."""
+    rng = np.random.default_rng(seed)
     n_convs = N_CONVS[sf]
 
     # Turns per conversation: Zipf(1.5)×8 truncated to [2, 200] → mean ≈ 57, so
@@ -81,7 +86,7 @@ def gen_clean_transcripts(sf: str = "0.01") -> pd.DataFrame:
     turns[0] = hot_turns
     total = int(turns.sum())
 
-    conv_ord = np.repeat(np.arange(n_convs), turns)
+    conv_ord = np.repeat(np.arange(conv_offset, conv_offset + n_convs), turns)
     conv_id = np.char.add("c", np.char.zfill(conv_ord.astype(str), 8))
     turn_idx = np.concatenate([np.arange(t) for t in turns]).astype(np.int32)
 
@@ -125,7 +130,7 @@ def gen_clean_transcripts(sf: str = "0.01") -> pd.DataFrame:
     return df
 
 
-def inject_violations(df: pd.DataFrame, sf: str = "0.01") -> tuple[pd.DataFrame, pd.DataFrame]:
+def inject_violations(df: pd.DataFrame, sf: str = "0.01", seed: int = SEED) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Corrupt a seeded subset of rows; return (dirty_df, injected_manifest).
 
     The manifest records (conv_id, turn_idx, rule_id) for every injected row so
@@ -133,7 +138,7 @@ def inject_violations(df: pd.DataFrame, sf: str = "0.01") -> tuple[pd.DataFrame,
     recomputed by the in-repo pandas oracle (tests/oracle.py), which handles
     interactions between injections.
     """
-    rng = np.random.default_rng(SEED + 1)
+    rng = np.random.default_rng(seed + 1)
     df = df.copy()
     n = len(df)
     records: list[tuple[str, int, str]] = []
@@ -207,18 +212,24 @@ def inject_violations(df: pd.DataFrame, sf: str = "0.01") -> tuple[pd.DataFrame,
     return df, manifest
 
 
-def materialize(sf: str, outdir: str) -> str:
+def materialize(sf: str, outdir: str, seed: int = SEED, conv_offset: int = 0, chunk: str | None = None) -> str:
     """Write transcripts (Hive-partitioned by part_date), tools_dim, and the
-    injected-violations manifest under ``outdir``. Idempotent via a _SUCCESS marker."""
+    injected-violations manifest under ``outdir``. Idempotent via a _SUCCESS marker.
+
+    ``chunk`` names one slice of a larger fixture: chunks share ``outdir``
+    (their files accumulate in the same part_date=… dirs), own disjoint
+    conv_id ranges via ``conv_offset``, and draw from per-chunk seeds — so a
+    100M-turn fixture generates as N parallel bounded-memory processes
+    (tools/gen_chunks.py)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    done = os.path.join(outdir, "_SUCCESS")
+    done = os.path.join(outdir, f"_SUCCESS_{chunk}" if chunk else "_SUCCESS")
     if os.path.exists(done):
         return outdir
     os.makedirs(outdir, exist_ok=True)
-    clean = gen_clean_transcripts(sf)
-    dirty, manifest = inject_violations(clean, sf)
+    clean = gen_clean_transcripts(sf, seed=seed, conv_offset=conv_offset)
+    dirty, manifest = inject_violations(clean, sf, seed=seed)
     dirty = dirty.sort_values(["part_date", "conv_id", "turn_idx"], ignore_index=True)
 
     table = pa.Table.from_pandas(dirty, preserve_index=False)
@@ -226,9 +237,12 @@ def materialize(sf: str, outdir: str) -> str:
         table,
         root_path=os.path.join(outdir, "transcripts"),
         partition_cols=["part_date"],
+        basename_template=(f"{chunk}-" if chunk else "") + "part-{i}.parquet",
     )
     gen_tools_dim().to_parquet(os.path.join(outdir, "tools_dim.parquet"), index=False)
-    manifest.to_parquet(os.path.join(outdir, "injected_violations.parquet"), index=False)
+    manifest.to_parquet(
+        os.path.join(outdir, f"injected_violations{'_' + chunk if chunk else ''}.parquet"), index=False
+    )
     with open(done, "w") as f:
         f.write("ok")
     return outdir

@@ -73,26 +73,42 @@ def conv_scoped_violations(
     # Single-sort trick: when the Iceberg partition column derives
     # monotonically from ts (part_date = date(ts), the standard layout),
     # ordering by (turn_idx, part_date, ts) is the SAME total order as
-    # (turn_idx, ts) — but it makes all three windows' required child
-    # orderings prefixes of one sort key (conv, bkt, turn, part, ts), so
-    # Catalyst plans ONE sort for the whole window stack instead of three.
+    # (turn_idx, ts) — but it makes both windows' required child orderings
+    # prefixes of one sort key (conv, bkt, turn, part, ts), so Catalyst plans
+    # ONE sort for the whole window stack.
     mono_order = [order_col, partition_col, ts_col] if partition_from_ts else [order_col, ts_col]
     w_mono = Window.partitionBy(group_col, "__bkt__").orderBy(*mono_order)
     w_dup = Window.partitionBy(group_col, "__bkt__", order_col, partition_col)
-    w_dup_rank = w_dup.orderBy(ts_col)
 
     keep = [*key_cols, partition_col]
-    dfb = df.select(*keep, ts_col, bkt.alias("__bkt__"))
+    # ONE explicit exchange feeds the window stack AND the boundary aggregate
+    # (ReusedExchange) — the boundary branch costs no second scan of the table.
+    # The explicit NULL-key filter does two jobs: rows with NULL conv_id /
+    # turn_idx are schema violations (required/row rules catch them) that have
+    # no place in per-conversation checks, and it makes both consumers'
+    # subplans canonically identical — the boundary join would otherwise push
+    # inferred isnotnull filters into only one branch and defeat reuse.
+    dfb = (
+        df.select(*keep, ts_col, bkt.alias("__bkt__"))
+        .filter(F.col(group_col).isNotNull() & F.col("__bkt__").isNotNull())
+        .repartition(group_col, "__bkt__")
+    )
 
     # Boundary frame: last (turn_idx, ts) of every (conv, bucket) under the
     # mono ordering, lagged to the NEXT non-empty bucket of the same conv.
     # Tiny (≤ rows/bucket_turns) — its per-conv window is skew-free by
-    # construction (hot conv of 10^11 turns → ~10^7 boundary rows, windowed
-    # in ~2.4e4-row groups... still bounded: boundary is 1/4096 of input).
+    # construction (hot conv of 10^11 turns → ~10^7 boundary rows; boundary
+    # is 1/4096 of input). groupBy keys equal the exchange keys, so the
+    # aggregate runs in place with no further shuffle.
     w_bnd = Window.partitionBy(group_col).orderBy("__bkt__")
+    # The struct includes partition_col under partition_from_ts: same max row
+    # (the ordering equivalence above), and consuming it keeps the boundary
+    # branch's column set identical to the main branch's so column pruning
+    # cannot differentiate the two subplans (which would defeat exchange reuse).
+    last_struct = F.struct(*mono_order)
     boundary = (
         dfb.groupBy(group_col, "__bkt__")
-        .agg(F.max(F.struct(order_col, ts_col)).alias("__last__"))
+        .agg(F.max(last_struct).alias("__last__"))
         .select(
             group_col,
             "__bkt__",
@@ -100,14 +116,22 @@ def conv_scoped_violations(
         )
     )
 
+    # Duplicate keys are detected from the SAME mono window: under the
+    # (turn, part, ts) ordering a (conv, bkt, turn, part) group is contiguous,
+    # so its head is any row whose predecessor belongs to a different group —
+    # no third window (row_number over a second ordering) needed. Falls back
+    # to the rank window when partition_from_ts=False (ordering by (turn, ts)
+    # alone does not keep same-turn rows of different partitions contiguous).
     annotated = dfb.select(
         *keep,
         ts_col,
         "__bkt__",
         F.lag(ts_col).over(w_mono).alias("__prev_in_bucket__"),
         F.row_number().over(w_mono).alias("__mono_rn__"),
+        F.lag(order_col).over(w_mono).alias("__prev_turn__"),
+        F.lag(partition_col).over(w_mono).alias("__prev_part__"),
         F.count(F.lit(1)).over(w_dup).alias("__dup_cnt__"),
-        F.row_number().over(w_dup_rank).alias("__dup_rn__"),
+        *([] if partition_from_ts else [F.row_number().over(w_dup.orderBy(ts_col)).alias("__dup_rn__")]),
     ).join(boundary, [group_col, "__bkt__"], "left").withColumn(
         "__prev_ts__",
         F.when(F.col("__mono_rn__") == 1, F.col("__prev_bucket_ts__")).otherwise(F.col("__prev_in_bucket__")),
@@ -115,7 +139,14 @@ def conv_scoped_violations(
     # Emit BOTH violation kinds from the SAME windowed branch (array→filter→
     # explode, as in engine.row_violations): one scan, one exchange, no union.
     mono_fail = F.col("__prev_ts__") > F.col(ts_col)
-    dup_fail = (F.col("__dup_cnt__") > 1) & (F.col("__dup_rn__") == 1)
+    if partition_from_ts:
+        dup_head = ~(
+            F.col("__prev_turn__").eqNullSafe(F.col(order_col))
+            & F.col("__prev_part__").eqNullSafe(F.col(partition_col))
+        )
+    else:
+        dup_head = F.col("__dup_rn__") == 1
+    dup_fail = (F.col("__dup_cnt__") > 1) & dup_head
     checks_arr = F.array(
         F.struct(
             F.lit(MONO_RULE).alias("rule_id"),

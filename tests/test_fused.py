@@ -22,22 +22,28 @@ def test_fused_equals_composable(spark, fixtures_sf0001):
 
 
 def test_fused_plan_shape_conv_checks(spark, fixtures_sf0001):
-    """The conv-scoped pass exchanges the FULL-WIDTH data exactly once: all
-    three windows (lag, dup-count, dup-rank) stack on the single
-    (conv_id, __bkt__) hash exchange. The skew-proof boundary branch is a
-    thin 4-column aggregate (tiny output) joined back WITHOUT re-exchanging
-    the main side — broadcast at this scale."""
+    """The conv-scoped pass shuffles the data exactly ONCE at runtime: the
+    window stack (lag + dup-count) sorts once on the (conv_id, __bkt__)
+    exchange, and the skew-proof boundary branch re-reads that SAME shuffle
+    (ReusedExchange under AQE) instead of scanning the table again, then
+    joins back as a broadcast at this scale."""
     from lyra_spark.fused import conv_scoped_violations
 
     tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
-    plan = conv_scoped_violations(tdf)._jdf.queryExecution().executedPlan().toString()
-    main, _, boundary = plan.partition("BroadcastExchange")
-    assert "BroadcastHashJoin" in main, plan[:2000]
-    # main side above the join: 3 stacked windows, exactly 1 exchange
-    assert main.count("Exchange hashpartitioning") == 1, plan[:2000]
-    assert main.count("Window") == 3, plan[:2000]
-    # boundary side: thin aggregate + its own small exchanges only
-    assert boundary.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    df = conv_scoped_violations(tdf)
+    df.collect()  # AQE finalizes stage reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final[:2000]
+    # the full-width data is exchanged once; the boundary reuses that stage
+    assert "ReusedExchange" in final, final[:2000]
+    real_repart = [
+        l for l in final.splitlines() if "REPARTITION_BY_COL" in l and "ReusedExchange" not in l
+    ]
+    assert len(real_repart) == 1, final[:2000]
+    # two window operators on the main side (lag family + dup count), one
+    # tiny per-conv window on the boundary side
+    assert final.count("Window") == 3, final[:2000]
 
 def test_bucketed_lag_equals_global_window(spark, fixtures_sf0001):
     """Force tiny buckets so every conversation spans many buckets (and the
