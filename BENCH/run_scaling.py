@@ -142,6 +142,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="4.0", help="transcript scale (1.0 → ~6.3M turns; 4.0 → ~25M)")
     ap.add_argument("--levels", default="4,16", help="N,4N core counts (see module docstring)")
+    ap.add_argument("--fx-dir", default=None, help="pre-generated fixture dir (e.g. from tools/gen_chunks.py)")
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--rounds", type=int, default=2, help="interleaved level rounds; best kept")
     args = ap.parse_args()
@@ -151,10 +152,13 @@ def main() -> None:
     sys.path.insert(0, REPO)
     from lyra_spark import fixtures
 
-    # allow larger-than-driver scales by extending the ladder
-    if args.sf not in fixtures.N_CONVS:
-        fixtures.N_CONVS[args.sf] = int(float(args.sf) * 100_000)
-    fx = fixtures.materialize(args.sf, os.path.join(REPO, ".fixtures", f"sf{args.sf}"))
+    if args.fx_dir:
+        fx = args.fx_dir
+    else:
+        # allow larger-than-driver scales by extending the ladder
+        if args.sf not in fixtures.N_CONVS:
+            fixtures.N_CONVS[args.sf] = int(float(args.sf) * 100_000)
+        fx = fixtures.materialize(args.sf, os.path.join(REPO, ".fixtures", f"sf{args.sf}"))
 
     probe = cpu_ceiling_probe(lo, hi)
     print(json.dumps({"cpu_ceiling_probe": probe}))
