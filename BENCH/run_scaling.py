@@ -39,10 +39,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, os, sys, time
+import json, os, sys, time, shutil
 sys.path.insert(0, sys.argv[4])
 from lyra_spark.session import get_spark
-from lyra_spark.presets import transcript_ruleset, validate_transcripts
+from lyra_spark.presets import transcript_ruleset, run_suite
 from lyra_spark.fused import inline_referential_rule
 from lyra_spark.rules import RuleSet
 
@@ -55,12 +55,13 @@ n = tdf.count()
 # pre-compile the referential enum once: rule compilation is driver-side
 # setup, not the per-batch validated-turns/sec path being measured
 rules = RuleSet(transcript_ruleset().rules + [inline_referential_rule(dim)])
+out = f"/dev/shm/lyra_scaling_viol_{os.getpid()}"
 
 def run():
-    res = validate_transcripts(tdf, dim, ruleset=rules)
-    res.violations.write.mode("overwrite").format("noop").save()
-    res.verdicts.write.mode("overwrite").format("noop").save()
-    res.unpersist()
+    # production shape: violations land in their real (deterministic) sink,
+    # verdicts aggregate from the written files (presets.run_suite)
+    viol, verd = run_suite(tdf, dim, out, ruleset=rules)
+    verd.write.mode("overwrite").format("noop").save()
 
 def load1():
     return float(open("/proc/loadavg").read().split()[0])
@@ -86,6 +87,7 @@ for _ in range(int(sys.argv[3])):
     run()
     times.append(time.perf_counter() - t0)
 best = min(times)
+shutil.rmtree(out, ignore_errors=True)
 print(json.dumps({"cores": cores, "rows": n, "sec": round(best, 3),
                   "all_sec": [round(t, 2) for t in times],
                   "turns_per_sec": round(n / best, 1)}))

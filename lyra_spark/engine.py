@@ -97,7 +97,7 @@ def validate(
     partition_col: str | None = "part_date",
     extra_violations: list[DataFrame] | None = None,
     extra_rule_ids: list[str] | None = None,
-    persist: bool = True,
+    persist: bool = False,
 ) -> ValidationResult:
     """Run the row-rule family (+ optional dataset-check violation frames) and
     roll up per-partition verdicts.

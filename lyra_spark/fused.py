@@ -170,7 +170,7 @@ def validate_transcripts_fused(
     ruleset: RuleSet,
     partition_col: str = PARTITION_COLUMN,
     key_cols: list[str] = KEY_COLUMNS,
-    persist: bool = True,
+    persist: bool = False,
 ) -> ValidationResult:
     """Full suite in two data passes (see module docstring)."""
     from pyspark.storagelevel import StorageLevel

@@ -32,6 +32,7 @@ def validate_transcripts(
     partition_col: str | None = "part_date",
     ruleset: RuleSet | None = None,
     fused: bool = True,
+    persist: bool = False,
 ) -> ValidationResult:
     """Full suite: row rules + uniqueness + referential + monotone ordering.
 
@@ -39,12 +40,18 @@ def validate_transcripts(
     tools dim inlined, one conv_id exchange for uniqueness+monotone
     (lyra_spark.fused). fused=False: the composable operators (salted
     aggregate, broadcast anti-join, window) — same results, more passes; the
-    right choice when the dim is large or duplicate multiplicity is skewed."""
+    right choice when the dim is large or duplicate multiplicity is skewed.
+
+    persist defaults to False: caching the violation union forces the cached
+    plan to materialize WITHOUT adaptive execution (no exchange reuse, no
+    coalescing), which measured ~2x slower than simply recomputing — prefer
+    run_suite(), which writes violations to their real sink once and
+    aggregates verdicts from the written files."""
     ruleset = ruleset or transcript_ruleset()
     if fused:
         from lyra_spark.fused import validate_transcripts_fused
 
-        return validate_transcripts_fused(df, tools_dim, ruleset, partition_col=partition_col)
+        return validate_transcripts_fused(df, tools_dim, ruleset, partition_col=partition_col, persist=persist)
     extra = [
         checks.uniqueness_violations(df, partition_col=partition_col),
         checks.referential_violations(df, tools_dim, partition_col=partition_col),
@@ -56,4 +63,36 @@ def validate_transcripts(
         partition_col=partition_col,
         extra_violations=extra,
         extra_rule_ids=[checks.UNIQ_RULE, checks.REF_RULE, checks.MONO_RULE],
+        persist=persist,
     )
+
+
+def run_suite(
+    df: DataFrame,
+    tools_dim: DataFrame,
+    out_dir: str,
+    partition_col: str = "part_date",
+    ruleset: RuleSet | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Write-then-reuse execution of the full suite — the production shape.
+
+    Violations compute ONCE and land in their real parquet sink (sorted,
+    deterministic); verdict counts aggregate from the WRITTEN files instead of
+    recomputing the pipeline or caching it (a cached union materializes
+    without adaptive execution — measured ~2x slower than this). Returns
+    (violations read back, verdicts)."""
+    from lyra_spark import io as lio
+    from lyra_spark.checks import MONO_RULE, UNIQ_RULE
+    from lyra_spark.engine import compute_verdicts
+    from lyra_spark.fused import REF_RULE, validate_transcripts_fused
+
+    ruleset = ruleset or transcript_ruleset()
+    res = validate_transcripts_fused(df, tools_dim, ruleset, partition_col=partition_col, persist=False)
+    lio.write_violations(res.violations, out_dir, partition_col=partition_col)
+    viol = df.sparkSession.read.parquet(out_dir)
+    rule_ids = [r.rule_id for r in ruleset.checks]
+    for extra in (REF_RULE, UNIQ_RULE, MONO_RULE):
+        if extra not in rule_ids:
+            rule_ids.append(extra)
+    verd = compute_verdicts(df, viol, rule_ids, partition_col)
+    return viol, verd
