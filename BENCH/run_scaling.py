@@ -48,7 +48,10 @@ from lyra_spark.rules import RuleSet
 
 cores = int(sys.argv[1])
 fx = sys.argv[2]
-spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores, app_name=f"scaling_{cores}")
+# tmpfs shuffle dirs: shuffle-file IO on the virtio disk is a
+# parallelism-independent cost that flattens the N-vs-4N ratio
+spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores, app_name=f"scaling_{cores}",
+                  extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}"})
 tdf = spark.read.parquet(os.path.join(fx, "transcripts"))
 dim = spark.read.parquet(os.path.join(fx, "tools_dim.parquet"))
 n = tdf.count()
