@@ -55,11 +55,15 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         scoped = lio.partition_scope(df, pk)
         result = validate_transcripts(scoped, dim)
-        n_viol = result.violations.count()
-        n_rows = scoped.count()
         if args.out:
-            lio.write_violations(result.violations_sorted(), f"{args.out}/part={pk}", partition_col="part_date")
-        result.unpersist()
+            # write-then-reuse: violations compute once into the sink; the
+            # manifest count reads the written files (never recompute or cache)
+            out_pk = f"{args.out}/part={pk}"
+            lio.write_violations(result.violations, out_pk, partition_col="part_date")
+            n_viol = spark.read.parquet(out_pk).count()
+        else:
+            n_viol = result.violations.count()
+        n_rows = scoped.count()
         wall_ms = (time.perf_counter() - t0) * 1000
         manifest.record(pk, ruleset, rows=n_rows, violations=n_viol, wall_ms=wall_ms)
         ckpt.save_manifest(args.checkpoint, manifest)
