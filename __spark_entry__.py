@@ -558,7 +558,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    ROUND(AVG(n_tokens), 6) AS avg_tokens,
                    ROUND(AVG(LENGTH(text)), 6) AS avg_chars,
-                   SUM(n_tokens) AS total_tokens
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM t GROUP BY lang
         """,
         # minhash_neardup / simhash_neardup / lang_id / fingerprint: engine-hash

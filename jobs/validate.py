@@ -60,7 +60,9 @@ def main(argv: list[str] | None = None) -> int:
             # manifest count reads the written files (never recompute or cache)
             out_pk = f"{args.out}/part={pk}"
             lio.write_violations(result.violations, out_pk, partition_col="part_date")
-            n_viol = spark.read.parquet(out_pk).count()
+            # explicit schema: a clean partition's sink holds only _SUCCESS and
+            # schema inference would throw UNABLE_TO_INFER_SCHEMA
+            n_viol = spark.read.schema(result.violations.schema).parquet(out_pk).count()
         else:
             n_viol = result.violations.count()
         n_rows = scoped.count()
@@ -70,8 +72,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"[lyra] partition={pk} rows={n_rows} violations={n_viol} wall_ms={wall_ms:.0f}")
 
     # final drift pass over ALL partitions (cheap: sketches only)
-    if not pending or len(pending) < len(all_parts):
-        pass  # incremental drift baselines are a post-v1 option; full pass below
     from lyra_spark.drift import drift_verdicts, sketch_by_partition
 
     sk = sketch_by_partition(df, args.drift_col, "part_date")

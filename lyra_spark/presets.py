@@ -89,7 +89,9 @@ def run_suite(
     ruleset = ruleset or transcript_ruleset()
     res = validate_transcripts_fused(df, tools_dim, ruleset, partition_col=partition_col, persist=False)
     lio.write_violations(res.violations, out_dir, partition_col=partition_col)
-    viol = df.sparkSession.read.parquet(out_dir)
+    # explicit schema: a clean run writes only _SUCCESS (no parquet files) and
+    # schema inference would throw UNABLE_TO_INFER_SCHEMA on the empty sink
+    viol = df.sparkSession.read.schema(res.violations.schema).parquet(out_dir)
     rule_ids = [r.rule_id for r in ruleset.checks]
     for extra in (REF_RULE, UNIQ_RULE, MONO_RULE):
         if extra not in rule_ids:

@@ -96,3 +96,30 @@ def test_violation_sink_deterministic(tmp_path, spark, fixtures_sf0001):
         outs.append(pdf)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert len(outs[0]) > 0
+
+
+def test_run_suite_clean_dataset_empty_sink(tmp_path, spark):
+    """A dataset with ZERO violations writes an empty sink (only _SUCCESS);
+    run_suite must read it back without UNABLE_TO_INFER_SCHEMA and report
+    all-pass verdicts (the production success case)."""
+    import datetime
+
+    from lyra_spark.presets import run_suite
+    from lyra_spark.schema import TOOLS_DIM_SCHEMA, TRANSCRIPTS_SCHEMA
+
+    d = datetime.date(2024, 1, 1)
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (f"c{i}", j, "user" if j % 2 == 0 else "assistant", "hello world",
+         "search", ts + datetime.timedelta(minutes=j), d)
+        for i in range(4)
+        for j in range(3)
+    ]
+    tdf = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    dim = spark.createDataFrame([("search", "retrieval")], TOOLS_DIM_SCHEMA)
+
+    viol, verd = run_suite(tdf, dim, str(tmp_path / "sink"))
+    assert viol.count() == 0
+    vp = verd.toPandas()
+    assert vp["pass"].all()
+    assert (vp["violation_count"] == 0).all()
