@@ -275,9 +275,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16 bands) near-dup pairs verified at jaccard ≥ 0.9 on
-    3-word shingles. Hash-dependent candidates → rows-only driver check; the
-    in-repo test pins recall vs the exact path."""
+    """MinHash(64)+LSH(16 bands) near-dup pairs verified at exact jaccard ≥ 0.9
+    on 3-word shingles. Oracle-checkable despite hash-dependent candidates: at
+    j ≥ 0.9 a band (r=4) matches with p = j⁴ ≈ 0.66, so the 16-band miss rate
+    is (1-j⁴)^16 ≈ 4e-8 — the verified output equals the exhaustive
+    exact-Jaccard pair set, which is what the DuckDB oracle computes."""
     ensure_shipped(spark)
     from lyra_spark.pipeline.dedup import minhash_near_duplicates
 
@@ -561,7 +563,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM t GROUP BY lang
         """,
-        # minhash_neardup / simhash_neardup / lang_id / fingerprint: engine-hash
-        # dependent or heuristic → rows-only checks; recall is pinned by
+        "minhash_neardup": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents
+            ),
+            w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM t),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 3
+                            THEN list_distinct(list_transform(
+                                     generate_series(1, len(ws) - 2),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                            ELSE [norm] END AS sh
+                FROM w
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.9
+        """,
+        # simhash_neardup / lang_id / fingerprint: engine-hash dependent or
+        # heuristic → rows-only checks; recall is pinned by
         # tests/test_pipeline.py against the exact-SQL twins above.
     }

@@ -8,14 +8,12 @@ Shuffle budget at 100 TB (the design constraint for every operator here):
     shuffle); only (doc_id, band_hash) pairs — n_bands small ints per doc —
     ever hit an exchange;
   * candidate verification joins only within LSH buckets, never all-pairs;
-  * SimHash is the one pandas-UDF stage (bit-vote needs a 64-counter loop);
-    it ships one long per row back.
+  * SimHash bit-votes compute in per-row Catalyst higher-order array
+    functions — like MinHash, zero Python crossings.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,9 +63,15 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
     the classic one-permutation-per-seed MinHash. Zero shuffles, zero Python.
     """
     shingles = word_shingles(text_col, shingle_k)
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
-    )
+
+    # Closure factory, NOT `lambda s, i=i`: pyspark's transform() treats a
+    # two-parameter lambda as (element, array_index) and binds the INDEX to
+    # the second parameter — which silently collapsed all 64 permutations
+    # into one position-seeded hash function.
+    def perm(i: int):
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = F.array(*[perm(i) for i in range(num_hashes)])
     return df.withColumn("minhash", sig)
 
 
@@ -171,46 +175,39 @@ def ngram_jaccard_pairs(
 
 # --- SimHash --------------------------------------------------------------------
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash per doc via an Arrow-vectorized pandas UDF.
+    """64-bit SimHash per doc — pure Catalyst expressions, zero Python.
 
-    Token hashes vote per bit position; the sign of each vote becomes the bit.
-    Near-duplicates have small Hamming distance. The UDF returns one long per
-    row — minimal Python↔JVM traffic.
+    Each token's xxhash64 votes ±1 per bit position (occurrence-weighted);
+    the sign of each bit's vote total becomes that bit, so near-duplicates
+    land at small Hamming distance. Computed entirely with higher-order array
+    functions (transform/aggregate/zip_with) JVM-side: tokens are hashed ONCE
+    (lambda-variable reuse), the 64 bit extractions are unrolled literal
+    shifts, and bit-packing folds a literal powers-of-two array — no explode,
+    no shuffle, no Python crossing (the round-1 pandas-UDF body was a per-row
+    token loop, exactly the anti-pattern BASELINE.json:15 bans).
     """
-
-    @F.pandas_udf("long")
-    def _simhash(s: pd.Series) -> pd.Series:
-        arange = np.arange(64, dtype=np.uint64)
-        cache: dict[str, np.ndarray] = {}  # token → ±1 bit votes (amortizes FNV)
-        out = np.zeros(len(s), dtype=np.int64)
-        for i, txt in enumerate(s):
-            if not txt:
-                continue
-            toks = txt.lower().split()
-            if not toks:
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                bits = cache.get(t)
-                if bits is None:
-                    h = np.uint64(hash_fnv1a(t))
-                    bits = (((h >> arange) & np.uint64(1)).astype(np.int64) * 2 - 1)
-                    cache[t] = bits
-                votes += bits
-            val = int(((votes > 0).astype(np.uint64) << arange).sum(dtype=np.uint64))
-            out[i] = val - (1 << 64) if val >= (1 << 63) else val
-        return pd.Series(out)
-
-    return df.withColumn(out_col, _simhash(F.col(text_col)))
-
-
-def hash_fnv1a(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (Python's hash() is salted per process)."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1) for i in range(64)]),
+            lambda a, v: a + v,
+        ),
+    )
+    # bit 63 packs as long MIN_VALUE — two's-complement sign bit
+    powers = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)])
+    packed = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.when(
+        F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0, F.lit(0).cast("long")
+    ).otherwise(packed)
+    return df.withColumn(out_col, sim)
 
 
 def simhash_near_duplicates(

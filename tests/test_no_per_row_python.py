@@ -21,6 +21,14 @@ FORBIDDEN = [
 # small-dimension value lists inlined as enum literals in fused.py)
 COLLECT_ALLOWED = {"drift.py", "io.py", "fused.py"}
 
+# Per-row iteration inside Arrow batches is the hidden flavor of the same
+# anti-pattern (a pandas UDF whose body loops rows is per-row Python with
+# extra steps — round 1's SimHash did exactly that). Allowed only where the
+# work is inherently per-item: multimodal.py's codec stub (a real decoder is
+# one opaque library call per payload), and fixtures.py (driver-side test-data
+# construction, not the engine).
+ITERATE_ALLOWED = {"multimodal.py", "fixtures.py"}
+
 
 def _sources():
     for root, _, files in os.walk(PKG):
@@ -37,6 +45,18 @@ def test_no_per_row_python_in_engine():
             if pat.search(src):
                 offenders.append((fn, label))
     assert not offenders, offenders
+
+
+def test_no_row_loops_in_pandas_udfs():
+    pat = re.compile(r"\.iterrows\(\)|\.itertuples\(|\benumerate\((?:s|pdf|batch)\b")
+    offenders = []
+    for fn, path in _sources():
+        if fn in ITERATE_ALLOWED:
+            continue
+        src = open(path).read()
+        if pat.search(src):
+            offenders.append(fn)
+    assert not offenders, f"per-row iteration over Arrow batches: {offenders}"
 
 
 def test_collect_only_on_small_frames():

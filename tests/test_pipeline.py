@@ -62,9 +62,9 @@ def test_simhash_near_duplicates(docs):
     got = dedup.simhash_near_duplicates(docs.filter("text <> ''"), max_hamming=6, chunks=8)
     pairs = {(r.id_a, r.id_b): r.hamming for r in got.collect()}
     assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0
-    # docs 0 vs 3 differ by one word → hamming 4 (measured); 8-chunk blocking
-    # guarantees recall up to hamming 7
-    assert pairs[(0, 3)] == 4
+    # docs 0 vs 3 differ by one word → hamming 3 (measured, xxhash64 engine);
+    # 8-chunk blocking guarantees recall up to hamming 7
+    assert pairs[(0, 3)] == 3
     assert not any(4 in p for p in pairs)
 
 
