@@ -92,6 +92,25 @@ def q_verdicts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compute_verdicts(events, viol, rule_ids, partition_col="day").withColumnRenamed("pass", "passed")
 
 
+def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 row 21: custom VECTORIZED predicate (Arrow pandas UDF) end-to-end.
+
+    The predicate pulls the numeric payload out of the props JSON with
+    vectorized pandas .str ops — never per-row Python — and fails rows whose
+    k ≥ 90. Oracle-checkable: the oracle recomputes the same predicate in SQL,
+    so the driver verifies the Arrow crossing produces exact results."""
+    ensure_shipped(spark)
+    from lyra_spark.rules import RuleSet, custom
+
+    def k_below_90(s):
+        k = s.str.extract(r'"k":\s*(\d+)', expand=False).astype("float")
+        return k.isna() | (k < 90)
+
+    rs = RuleSet([custom("props", k_below_90, rule_id="props_k_lt_90")])
+    events = _read(spark, sf_dir, "events")
+    return row_violations(events, rs, key_cols=["event_id"], partition_col=None)
+
+
 def q_null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 row 23: per-group null-rate + min/max via the stats block."""
     ensure_shipped(spark)
@@ -110,6 +129,35 @@ def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 row 24 (exact flavor for the oracle; HLL tested in-repo)."""
     events = _read(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+def q_hll_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 row 24, HLL flavor with driver-checked tolerance (SURVEY.md §6).
+
+    Both HLL implementations — Catalyst approx_count_distinct (HLL++) and the
+    DataSketches hll_sketch_agg blob path (stats.hll_sketches) — must land
+    within 4·rsd of the exact distinct count per group. The estimates are
+    engine-specific, so the oracle-checked signal is the boolean: the oracle
+    emits TRUE and the hash only matches if every group is inside tolerance."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import hll_sketches
+
+    events = _read(spark, sf_dir, "events")
+    base = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("__apx"),
+    )
+    sk = hll_sketches(events, ["user_id"], partition_col="event_type", lg_k=12)
+    return (
+        base.join(sk.select("event_type", F.col("estimate").alias("__hll")), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            # 4·rsd bounds: rsd=0.05 for HLL++, rsd≈1.04/√2¹² ≈ 0.016 for lg_k=12
+            (F.abs(F.col("__apx") - F.col("n_exact")) <= 4 * 0.05 * F.col("n_exact")).alias("approx_within_rsd"),
+            (F.abs(F.col("__hll") - F.col("n_exact")) <= 4 * 0.016 * F.col("n_exact")).alias("sketch_within_rsd"),
+        )
+    )
 
 
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,8 +409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
         "verdicts_events": q_verdicts_events,
+        "custom_rule": q_custom_rule,
         "null_rate": q_null_rate,
         "distinct_exact": q_distinct_exact,
+        "hll_tolerance": q_hll_tolerance,
         "length_histogram": q_length_histogram,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
@@ -389,6 +439,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_events": EVENTS_ORACLE_VIOLATIONS,
+        "custom_rule": r"""
+            SELECT event_id, 'props_k_lt_90' AS rule_id, props AS observed_value
+            FROM events
+            WHERE props IS NOT NULL
+              AND NOT COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) < 90, TRUE)
+        """,
         "verdicts_events": f"""
             WITH viol AS ({EVENTS_ORACLE_VIOLATIONS}),
             ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
@@ -415,6 +471,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_exact": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+        """,
+        "hll_tolerance": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+                   TRUE AS approx_within_rsd, TRUE AS sketch_within_rsd
+            FROM events GROUP BY event_type
         """,
         "length_histogram": """
             SELECT CAST(FLOOR(LENGTH(text) / 50) AS BIGINT) AS bucket, COUNT(*) AS count

@@ -33,8 +33,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--out", default=None, help="violations output dir (parquet)")
+    ap.add_argument("--verdicts-out", default=None,
+                    help="per-partition verdict parquet dir (default <checkpoint>/<run-id>/verdicts)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--drift-col", default="cast(length(text) as double)")
+    ap.add_argument("--reference", default=None,
+                    help="saved drift baseline (from --save-reference); default: this run's global digest")
+    ap.add_argument("--save-reference", default=None,
+                    help="persist this run's global drift digest here (tomorrow's --reference)")
     ap.add_argument("--limit-partitions", type=int, default=None, help="validate at most N pending partitions")
     args = ap.parse_args(argv)
 
@@ -51,6 +57,7 @@ def main(argv: list[str] | None = None) -> int:
         pending = pending[: args.limit_partitions]
     print(f"[lyra] partitions total={len(all_parts)} completed={n_done} this_run={len(pending)}")
 
+    verdicts_out = args.verdicts_out or os.path.join(args.checkpoint, args.run_id, "verdicts")
     for pk in pending:
         t0 = time.perf_counter()
         scoped = lio.partition_scope(df, pk)
@@ -65,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
             n_viol = spark.read.schema(result.violations.schema).parquet(out_pk).count()
         else:
             n_viol = result.violations.count()
+        # verdict sink (SURVEY.md §2 row 5): the per-partition pass/fail frame
+        # is an OUTPUT of the run, not a transient DataFrame — tiny parquet
+        # (rules × 1 partition rows), one dir per partition key so resume
+        # overwrites only its own partition
+        result.verdicts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(verdicts_out, f"part={pk}")
+        )
         n_rows = scoped.count()
         wall_ms = (time.perf_counter() - t0) * 1000
         manifest.record(pk, ruleset, rows=n_rows, violations=n_viol, wall_ms=wall_ms)
@@ -72,12 +86,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"[lyra] partition={pk} rows={n_rows} violations={n_viol} wall_ms={wall_ms:.0f}")
 
     # final drift pass over ALL partitions (cheap: sketches only)
-    from lyra_spark.drift import drift_verdicts, sketch_by_partition
+    from lyra_spark.drift import drift_verdicts, load_reference, save_reference, sketch_by_partition
 
     sk = sketch_by_partition(df, args.drift_col, "part_date")
-    dv = drift_verdicts(sk)
+    if args.save_reference:
+        sk = sk.persist()  # tiny (one row per partition); reused by verdicts below
+    ref = load_reference(args.reference) if args.reference else None
+    dv = drift_verdicts(sk, reference=ref)
     failing = dv.loc[~dv["pass"], "part_key"].tolist()
     print(f"[lyra] drift: {len(dv)} partitions, failing={failing}")
+    if args.save_reference:
+        save_reference(sk, args.save_reference)
+        print(f"[lyra] drift reference saved to {args.save_reference}")
     return 0
 
 

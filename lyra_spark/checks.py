@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 
 KEY_COLS = ["conv_id", "turn_idx"]
 
+
+def _non_null_keys(key_cols: list[str]):
+    """Per-conversation checks exclude NULL-key rows (SEMANTICS.md §keys):
+    they are schema violations for the required rules, and NULL keys have no
+    defined place in a per-(conv_id, turn_idx) ordering or uniqueness group."""
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & F.col(c).isNotNull()
+    return cond
+
+
 UNIQ_RULE = "uniq_conv_turn"
 REF_RULE = "tool_ref"
 MONO_RULE = "ts_monotone"
@@ -47,6 +58,10 @@ def uniqueness_violations(
     with the duplicate count as observed_value.
     """
     keep = list(key_cols) + ([partition_col] if partition_col else [])
+    # NULL-key rows are schema violations (required rules catch them), not
+    # duplicates — excluded here exactly as in the fused path so
+    # fused=True/False give identical results (SEMANTICS.md §keys).
+    df = df.filter(_non_null_keys(key_cols))
     # Salt must differ across rows of the SAME hot key → derive it from a
     # per-row id, not from the key columns.
     salted = df.select(
@@ -103,6 +118,8 @@ def monotone_violations(
     precedes its predecessor's."""
     w = Window.partitionBy(group_col).orderBy(order_col, ts_col)
     keep = list(key_cols) + ([partition_col] if partition_col else [])
+    # same NULL-key exclusion as the fused path (SEMANTICS.md §keys)
+    df = df.filter(_non_null_keys([group_col, order_col]))
     lagged = df.select(
         *keep,
         ts_col,

@@ -68,6 +68,32 @@ def global_digest(digests: dict[str, TDigest]) -> TDigest:
     return merge_all([digests[k] for k in sorted(digests)])
 
 
+# --- reference persistence (run-over-run drift) ---------------------------
+def save_reference(sketches: DataFrame, path: str) -> TDigest:
+    """Persist the merged global digest of a run as the drift baseline.
+
+    The file is the production run-over-run contract: today's validation run
+    compares each partition against YESTERDAY's saved reference instead of
+    this run's own global digest. Atomic write (tmp + replace); the blob is
+    the t-digest's own serialization plus a 1-line JSON header."""
+    import json
+    import os
+
+    ref = global_digest(collect_digests(sketches))
+    tmp = path + ".tmp"
+    header = json.dumps({"format": "lyra-tdigest-ref", "version": 1, "n": ref.size}).encode()
+    with open(tmp, "wb") as f:
+        f.write(header + b"\n" + ref.to_bytes())
+    os.replace(tmp, path)
+    return ref
+
+
+def load_reference(path: str) -> TDigest:
+    with open(path, "rb") as f:
+        _header, blob = f.read().split(b"\n", 1)
+    return TDigest.from_bytes(blob)
+
+
 # --- drift metrics (numpy on digests) -------------------------------------
 def ks_statistic(a: TDigest, b: TDigest, grid_points: int = 256) -> float:
     """max |CDF_a − CDF_b| on a shared quantile-union grid."""
@@ -102,8 +128,15 @@ def drift_verdicts(
     """Per-partition KS/PSI vs a reference digest → pass/fail frame.
 
     If ``reference`` is None, each partition is compared against the merged
-    digest of ALL OTHER partitions (leave-one-out self-reference) — the
-    cold-start mode when no historical baseline exists.
+    GLOBAL digest of all partitions (self-inclusion reference) — the
+    cold-start mode when no historical baseline exists. The global digest is
+    merged ONCE, so driver work is O(P) in the partition count (the round-1
+    leave-one-out variant re-merged all other digests per partition: O(P²),
+    melting the driver at 10⁵ Iceberg partitions). Self-inclusion bias: a
+    drifted partition contributes ~n_k/N of the reference mass, diluting its
+    own KS/PSI by that factor — negligible for P ≫ 1, and conservative in the
+    safe direction only for verdicts on the partition itself. Production runs
+    should pass a persisted baseline (save_reference/load_reference) anyway.
 
     Thresholds are SAMPLE-SIZE AWARE: a fixed KS cut is statistically wrong
     for small partitions (pure sampling noise gives KS ≈ c/√n), so the KS gate
@@ -114,9 +147,9 @@ def drift_verdicts(
     """
     digests = collect_digests(sketches)
     keys = sorted(digests)
+    ref = reference if reference is not None else global_digest(digests)
     rows = []
     for k in keys:
-        ref = reference if reference is not None else merge_all([digests[j] for j in keys if j != k])
         cur = digests[k]
         ks = ks_statistic(ref, cur)
         p = psi(ref, cur)

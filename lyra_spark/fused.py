@@ -171,8 +171,16 @@ def validate_transcripts_fused(
     partition_col: str = PARTITION_COLUMN,
     key_cols: list[str] = KEY_COLUMNS,
     persist: bool = False,
+    bucket_turns: int = 4096,
+    partition_from_ts: bool = True,
 ) -> ValidationResult:
-    """Full suite in two data passes (see module docstring)."""
+    """Full suite in two data passes (see module docstring).
+
+    partition_from_ts declares the table-layout invariant part_date = date(ts)
+    (the standard Iceberg days(ts) layout), which lets the conv checks share
+    ONE sort (see conv_scoped_violations). Pass False when part_date does not
+    derive from ts — equal-turn_idx ties then order by (turn_idx, ts) exactly
+    as the composable monotone check does."""
     from pyspark.storagelevel import StorageLevel
 
     if any(r.rule_id == REF_RULE for r in ruleset.rules):
@@ -180,7 +188,9 @@ def validate_transcripts_fused(
     else:
         fused_rules = RuleSet(ruleset.rules + [inline_referential_rule(tools_dim)])
     row_v = row_violations(df, fused_rules, key_cols, partition_col)
-    conv_v = conv_scoped_violations(df, key_cols, partition_col)
+    conv_v = conv_scoped_violations(
+        df, key_cols, partition_col, bucket_turns=bucket_turns, partition_from_ts=partition_from_ts
+    )
     # column order must match for union
     cols = [*key_cols, partition_col, "rule_id", "observed_value"]
     viol = row_v.select(*cols).unionByName(conv_v.select(*cols))

@@ -33,6 +33,7 @@ def validate_transcripts(
     ruleset: RuleSet | None = None,
     fused: bool = True,
     persist: bool = False,
+    partition_from_ts: bool = True,
 ) -> ValidationResult:
     """Full suite: row rules + uniqueness + referential + monotone ordering.
 
@@ -41,6 +42,11 @@ def validate_transcripts(
     (lyra_spark.fused). fused=False: the composable operators (salted
     aggregate, broadcast anti-join, window) — same results, more passes; the
     right choice when the dim is large or duplicate multiplicity is skewed.
+
+    partition_from_ts (fused path only): set False when the table layout does
+    NOT guarantee part_date = date(ts); the fused conv checks then order
+    equal-turn_idx ties by (turn_idx, ts), identical to the composable path,
+    at the cost of one extra sort.
 
     persist defaults to False: caching the violation union forces the cached
     plan to materialize WITHOUT adaptive execution (no exchange reuse, no
@@ -51,7 +57,10 @@ def validate_transcripts(
     if fused:
         from lyra_spark.fused import validate_transcripts_fused
 
-        return validate_transcripts_fused(df, tools_dim, ruleset, partition_col=partition_col, persist=persist)
+        return validate_transcripts_fused(
+            df, tools_dim, ruleset, partition_col=partition_col, persist=persist,
+            partition_from_ts=partition_from_ts,
+        )
     extra = [
         checks.uniqueness_violations(df, partition_col=partition_col),
         checks.referential_violations(df, tools_dim, partition_col=partition_col),

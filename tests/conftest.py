@@ -29,5 +29,7 @@ def normalize_violations(df: pd.DataFrame) -> list[tuple]:
     out = []
     for r in df.itertuples(index=False):
         obs = None if r.observed_value is None or (isinstance(r.observed_value, float)) else str(r.observed_value)
-        out.append((str(r.conv_id), int(r.turn_idx), str(r.rule_id), obs))
+        # NULL keys survive as violations of the required rules — keep them sortable
+        turn = -1 if pd.isna(r.turn_idx) else int(r.turn_idx)
+        out.append((str(r.conv_id), turn, str(r.rule_id), obs))
     return sorted(out, key=lambda t: (t[0], t[1], t[2], t[3] or ""))

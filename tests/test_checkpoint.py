@@ -70,6 +70,15 @@ def test_cli_run_and_resume(tmp_path, spark, fixtures_sf0001, capsys):
     assert "this_run=3" in out1
     mf = ckpt.load_manifest(str(tmp_path), "r1")
     assert len(mf.records) == 3
+    # verdict sink: one small parquet dir per completed partition
+    import pyarrow.parquet as pq
+
+    for pk in mf.records:
+        vdir = tmp_path / "r1" / "verdicts" / f"part={pk}"
+        files = list(vdir.glob("*.parquet"))
+        assert files, f"no verdict parquet for {pk}"
+        vt = pq.read_table(files[0])
+        assert {"rule_id", "pass", "violation_count", "row_count"} <= set(vt.column_names)
 
     assert main(args) == 0
     out2 = capsys.readouterr().out
@@ -123,3 +132,44 @@ def test_run_suite_clean_dataset_empty_sink(tmp_path, spark):
     vp = verd.toPandas()
     assert vp["pass"].all()
     assert (vp["violation_count"] == 0).all()
+
+
+def test_violation_sink_parallelism_scales(tmp_path, spark):
+    """The sink must not cap at one task per date: with key-hash bucketing a
+    hot date's violations spread over multiple files (= multiple tasks at
+    scale), while two writes stay byte-identical."""
+    import datetime
+    import glob
+
+    from lyra_spark.schema import VIOLATIONS_SCHEMA
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(VIOLATIONS_SCHEMA) + [T.StructField("part_date", T.DateType(), True)])
+    d = datetime.date(2024, 6, 1)
+    rows = [(f"c{i % 997}", i, "rule_x", str(i), d) for i in range(20_000)]
+    viol = spark.createDataFrame(rows, schema)
+
+    # test data is tiny — drop AQE's coalescing floors so the partitioning
+    # behavior at scale (many sink tasks) is observable at 20k rows
+    tuned = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16kb",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1kb",
+    }
+    old = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        outs = []
+        for i in (1, 2):
+            out = str(tmp_path / f"v{i}")
+            lio.write_violations(viol, out, buckets_per_partition=8)
+            files = sorted(glob.glob(os.path.join(out, "part_date=2024-06-01", "*.parquet")))
+            assert len(files) > 1, "hot date must spread over multiple sink tasks"
+            outs.append(pd.read_parquet(out).reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

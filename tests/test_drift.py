@@ -72,7 +72,7 @@ def test_psi_detects_shift_and_passes_same():
 
 def test_drift_end_to_end_flags_drifted_partition(spark, fixtures_sf0001):
     """The fixture multiplies text length ×3 in the LAST part_date partition —
-    leave-one-out drift must fail exactly that partition region."""
+    global-digest cold-start drift must fail exactly that partition region."""
     tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
     sk = sketch_by_partition(tdf, "cast(length(text) as double)", "part_date")
     verdicts = drift_verdicts(sk, reference=None, ks_threshold=0.10)
@@ -81,3 +81,27 @@ def test_drift_end_to_end_flags_drifted_partition(spark, fixtures_sf0001):
     assert not drifted, f"last partition must fail drift:\n{verdicts.tail()}"
     # the overwhelming majority of partitions must pass
     assert verdicts["pass"].mean() > 0.9, verdicts[~verdicts["pass"]]
+
+
+def test_reference_roundtrip_and_run_over_run(tmp_path, spark, fixtures_sf0001):
+    """save_reference → load_reference preserves the digest; drift against a
+    STORED baseline (the production run-over-run mode) flags the drifted
+    partition and passes the steady ones."""
+    from lyra_spark.drift import load_reference, save_reference
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    # baseline from the steady region only (exclude the drifted last date)
+    dates = sorted(r[0] for r in tdf.select("part_date").distinct().collect())
+    steady = tdf.filter(F.col("part_date") < dates[-1])
+    sk_ref = sketch_by_partition(steady, "cast(length(text) as double)", "part_date")
+    path = str(tmp_path / "ref.tdigest")
+    saved = save_reference(sk_ref, path)
+    loaded = load_reference(path)
+    assert np.allclose(saved.means, loaded.means) and np.allclose(saved.weights, loaded.weights)
+    assert loaded.size == saved.size
+
+    sk_all = sketch_by_partition(tdf, "cast(length(text) as double)", "part_date")
+    verdicts = drift_verdicts(sk_all, reference=loaded)
+    by_key = verdicts.set_index("part_key")["pass"]
+    assert not by_key[str(dates[-1])], "drifted partition must fail vs stored baseline"
+    assert by_key.mean() > 0.9

@@ -68,3 +68,40 @@ def test_bucketed_lag_equals_global_window(spark, fixtures_sf0001):
     )
     assert got.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_fused_equals_composable_with_null_keys(spark, fixtures_sf0001):
+    """NULL conv_id / turn_idx rows are excluded from per-conversation checks
+    on BOTH paths (SEMANTICS.md §keys) — even when the NULL-key rows would
+    collide as duplicates under NULL-safe grouping."""
+    from pyspark.sql import functions as F
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    # inject NULL-key rows that would group as duplicates if NULLs compared equal
+    bad = (
+        tdf.limit(4)
+        .withColumn("conv_id", F.lit(None).cast("string"))
+        .withColumn("turn_idx", F.lit(None).cast("int"))
+    )
+    poisoned = tdf.unionByName(bad)
+    fused = validate_transcripts(poisoned, dim, fused=True)
+    comp = validate_transcripts(poisoned, dim, fused=False)
+    fv = normalize_violations(fused.violations_sorted().toPandas())
+    cv = normalize_violations(comp.violations_sorted().toPandas())
+    assert fv == cv
+    # the NULL-key rows still surface as required-rule violations, not uniq/mono
+    null_key_rules = {r for c, t, r, o in fv if c == "None"}
+    assert "uniq_conv_turn" not in null_key_rules and "ts_monotone" not in null_key_rules
+
+
+def test_fused_partition_from_ts_false_matches_composable(spark, fixtures_sf0001):
+    """partition_from_ts=False must order equal-turn_idx ties by (turn_idx, ts)
+    exactly like the composable monotone window — byte-equal violations."""
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    fused = validate_transcripts(tdf, dim, fused=True, partition_from_ts=False)
+    comp = validate_transcripts(tdf, dim, fused=False)
+    assert normalize_violations(fused.violations_sorted().toPandas()) == normalize_violations(
+        comp.violations_sorted().toPandas()
+    )
