@@ -1,0 +1,80 @@
+"""Plan-shape golden tests (SURVEY.md §4): the joins the engine relies on must
+keep their intended physical strategy — broadcast where a side is small, and
+sort-merge with AQE skew handling available where both sides are big."""
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_referential_join_is_broadcast(spark, fixtures_sf0001):
+    """The tools dimension is tiny → the anti-join must broadcast it; the fact
+    table must never shuffle for referential integrity."""
+    from lyra_spark.checks import referential_violations
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    p = plan_str(referential_violations(tdf, dim))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "BroadcastHashJoin" in p  # anti-join on equality → hash, not NLJ
+    assert "SortMergeJoin" not in p
+
+
+def test_verdict_grid_join_is_broadcast(spark, fixtures_sf0001):
+    """compute_verdicts joins pre-aggregated counts against a rules-grid frame
+    that is rows × rules small — both joins must broadcast, never SMJ."""
+    from lyra_spark.engine import compute_verdicts, row_violations
+    from lyra_spark.presets import transcript_ruleset
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    rs = transcript_ruleset()
+    viol = row_violations(tdf, rs)
+    verd = compute_verdicts(tdf, viol, [r.rule_id for r in rs.checks], "part_date")
+    p = plan_str(verd)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lsh_self_join_is_smj_when_big(spark, fixtures_sf0001):
+    """The LSH band self-join is the one genuinely big-big join in the repo: with
+    broadcast disabled (as at 100 TB, where neither side fits an executor) it
+    must plan as SortMergeJoin on the band keys, under AQE with skew-join
+    handling enabled (runtime splitting of oversized band buckets)."""
+    from lyra_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signature
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    docs = tdf.limit(200).select(F.col("conv_id").alias("doc_id"), "text")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands = lsh_candidate_pairs(minhash_signature(docs), id_col="doc_id")
+        p = plan_str(cands)
+        assert "SortMergeJoin" in p
+        assert "BroadcastHashJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # AQE skew splitting must be armed for exactly this shape
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_row_rules_single_scan_no_exchange(spark, fixtures_sf0001):
+    """The whole row-rule family is one shuffle-free scan: no Exchange may
+    appear in the violations plan (verdict roll-ups are the only aggs)."""
+    from lyra_spark.engine import row_violations
+    from lyra_spark.presets import transcript_ruleset
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    p = plan_str(row_violations(tdf, transcript_ruleset()))
+    assert "Exchange" not in p
+    assert "codegen id" in p  # rule expressions stay inside whole-stage codegen
