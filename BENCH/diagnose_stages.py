@@ -37,9 +37,13 @@ from lyra_spark import io as lio
 cores = int(sys.argv[1])
 fx = sys.argv[2]
 repeat = int(sys.argv[4])
+# heap scales with cores (2g/core): going N -> 4N executors on a real cluster
+# multiplies AGGREGATE memory by 4; a fixed heap across levels would starve
+# the 4N level into spills the real cluster would never see
 spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores,
                   app_name=f"diag_{cores}",
-                  extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}"})
+                  extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}",
+                              "spark.driver.memory": f"{2 * cores}g"})
 tdf = spark.read.parquet(os.path.join(fx, "transcripts"))
 dim = spark.read.parquet(os.path.join(fx, "tools_dim.parquet"))
 rules = RuleSet(transcript_ruleset().rules + [inline_referential_rule(dim)])

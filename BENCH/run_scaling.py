@@ -50,8 +50,12 @@ cores = int(sys.argv[1])
 fx = sys.argv[2]
 # tmpfs shuffle dirs: shuffle-file IO on the virtio disk is a
 # parallelism-independent cost that flattens the N-vs-4N ratio
+# heap scales with cores (2g/core): N -> 4N executors on a real cluster means
+# 4x AGGREGATE memory; a fixed heap across levels starves the 4N level into
+# spills a real cluster would never see
 spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores, app_name=f"scaling_{cores}",
-                  extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}"})
+                  extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}",
+                              "spark.driver.memory": f"{2 * cores}g"})
 tdf = spark.read.parquet(os.path.join(fx, "transcripts"))
 dim = spark.read.parquet(os.path.join(fx, "tools_dim.parquet"))
 n = tdf.count()

@@ -86,7 +86,7 @@ def main() -> None:
     )
 
     qs = entry_mod.queries()
-    for name in ["validate_events", "verdicts_events", "agg_lineitem", "broadcast_join", "window_topk", "uniqueness", "monotone"]:
+    for name in ["validate_events", "verdicts_events", "custom_rule", "hll_tolerance", "agg_lineitem", "broadcast_join", "window_topk", "uniqueness", "monotone"]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     import shutil
