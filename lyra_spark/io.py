@@ -39,28 +39,31 @@ def write_violations(
     out_dir: str,
     partition_col: str = PARTITION_COLUMN,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-    buckets_per_partition: int = 8,
+    buckets_per_partition: int = 1,
 ) -> None:
     """Deterministic violation sink (BASELINE.json:6 byte-match contract).
 
-    Round 1 repartitioned on the date alone, capping the sink at ONE task per
-    date — a hot day pinned a single executor while the cluster idled (and it
-    showed up as the serial tail in the N-vs-4N scaling runs). Now rows are
-    bucketed by a pure hash of the key columns, so sink parallelism is
-    n_dates × buckets_per_partition tasks (bounded by shuffle partitions;
-    AQE coalesces the small ones).
+    Parallelism: rows hash-distribute by (date[, key-hash bucket]) across the
+    shuffle partitions, so the sink runs n_dates × buckets_per_partition ways
+    (AQE coalesces small groups into shared write tasks). The default
+    buckets_per_partition=1 keeps exactly ONE file per date — measured optimal
+    when dates ≫ cores (every extra bucket multiplies file-create/commit
+    overhead for zero extra parallelism). Raise it for tables with FEW or HOT
+    partitions: a hot date then spreads over multiple tasks instead of
+    pinning one executor (file count grows proportionally).
 
     Determinism is preserved end-to-end: the bucket is a deterministic
     function of the keys, hash repartitioning and the in-partition sort are
     deterministic for a fixed shuffle-partition config, and each (date,
     bucket) group lands wholly in one task — so every file's CONTENT is
-    byte-stable across runs. The file count grows from n_dates to at most
-    n_dates × buckets_per_partition."""
-    bkt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(int(buckets_per_partition)))
+    byte-stable across runs."""
+    if buckets_per_partition > 1:
+        bkt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(int(buckets_per_partition)))
+        shaped = violations.withColumn("__bkt__", bkt).repartition(partition_col, "__bkt__")
+    else:
+        shaped = violations.repartition(partition_col)
     (
-        violations.withColumn("__bkt__", bkt)
-        .repartition(partition_col, "__bkt__")
-        .sortWithinPartitions(partition_col, *key_cols, "rule_id", "observed_value")
+        shaped.sortWithinPartitions(partition_col, *key_cols, "rule_id", "observed_value")
         .drop("__bkt__")
         .write.mode("overwrite")
         .partitionBy(partition_col)
