@@ -309,7 +309,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 1_000_000)
     dup = exact_duplicates(docs.unionByName(planted))
-    return dup.select("content_hash", "dup_count", F.element_at("doc_ids", 1).alias("min_doc_id"))
+    return dup.select("content_hash", "dup_count", "min_doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,12 +336,38 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs via chunk blocking (rows-only: hash-dependent)."""
+    """SimHash pipeline recall, oracle-checked via PLANTED identities: every
+    7th doc gets a whitespace-perturbed copy (token-list-preserving, so its
+    SimHash is bit-identical → hamming 0 → 8-chunk blocking guarantees the
+    candidate), the FULL signature → chunk-block → hamming-filter pipeline
+    runs at max_hamming=7, and candidates are verified at normalized-text
+    equality — a pair set DuckDB computes exactly. (Verifying at word-Jaccard
+    0.95 instead is NOT oracle-able: measured on this fixture, blocking at
+    hamming ≤ 7 recalls only ~3% of those pairs — short docs put 0.95-Jaccard
+    neighbors at large hamming. The hamming>0 near-dup behavior stays pinned
+    by tests/test_pipeline.py against exact twins.)"""
     ensure_shipped(spark)
     from lyra_spark.pipeline.dedup import simhash_near_duplicates
 
-    docs = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=6, chunks=8)
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "), F.lit(" ")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(perturbed)
+    cands = simhash_near_duplicates(corpus, max_hamming=7, chunks=8)
+    norm = corpus.select(
+        "doc_id",
+        F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256).alias("n"),
+    )
+    return (
+        cands.join(norm.withColumnsRenamed({"doc_id": "id_a", "n": "n_a"}), "id_a")
+        .join(norm.withColumnsRenamed({"doc_id": "id_b", "n": "n_b"}), "id_b")
+        .filter(F.col("n_a") == F.col("n_b"))
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,12 +423,32 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (rows-only: xxhash64 is Spark-side)."""
+    """Document-fingerprint INVARIANCE property, oracle-checked: normalization-
+    equal docs (case/whitespace perturbations planted on every 7th doc) must
+    get identical fingerprints. The fingerprint VALUE is engine-hash-specific
+    (xxhash64), so the oracle-checked signal is the per-group boolean — the
+    oracle computes the normalized groups exactly and asserts TRUE (the
+    hll_tolerance pattern)."""
     ensure_shipped(spark)
     from lyra_spark.pipeline.text import fingerprint
 
-    docs = _read(spark, sf_dir, "documents")
-    return fingerprint(docs).select("doc_id", "fingerprint")
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # whitespace-only perturbation: identical normalization semantics on both
+    # engines (case-folding of non-ASCII text diverges between JVM and DuckDB)
+    perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "), F.lit(" ")).alias("text"),
+    )
+    corpus = fingerprint(docs.select("doc_id", "text").unionByName(perturbed))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        corpus.groupBy(F.sha2(norm, 256).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count_distinct(F.col("fingerprint")) == 1).alias("fp_consistent"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -443,7 +489,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 'props_k_lt_90' AS rule_id, props AS observed_value
             FROM events
             WHERE props IS NOT NULL
-              AND NOT COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) < 90, TRUE)
+              AND NOT COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS DOUBLE) < 90, TRUE)
         """,
         "verdicts_events": f"""
             WITH viol AS ({EVENTS_ORACLE_VIOLATIONS}),
@@ -629,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
                 FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
             ),
             w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM t),
             sh AS (
@@ -647,7 +694,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                         / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.9
         """,
-        # simhash_neardup / lang_id / fingerprint: engine-hash dependent or
-        # heuristic → rows-only checks; recall is pinned by
-        # tests/test_pipeline.py against the exact-SQL twins above.
+        "simhash_neardup": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       '  ' || regexp_replace(text, ' ', '   ', 'g') || ' '
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 7 = 0
+            ),
+            t AS (
+                SELECT doc_id,
+                       sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n
+                FROM corpus
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+            FROM t a JOIN t b ON a.n = b.n AND a.doc_id < b.doc_id
+        """,
+        "fingerprint": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       '  ' || regexp_replace(text, ' ', '   ', 'g') || ' '
+                FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+            )
+            SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+                   COUNT(*) AS n_docs,
+                   TRUE AS fp_consistent
+            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        # lang_id: legitimately heuristic → rows-only check; its n-gram
+        # construction is pinned by tests/test_pipeline.py.
     }

@@ -56,20 +56,30 @@ def uniqueness_violations(
     ``salt_buckets`` reducers; phase 2 sums the partial counts per key. Every
     row of a duplicated key is a violation (count > 1), reported once per key
     with the duplicate count as observed_value.
+
+    ``salt_buckets=1`` is the fast path for keys the caller KNOWS are not
+    skew-prone (e.g. the full (conv_id, turn_idx) key, whose high-cardinality
+    ordinal already defeats hot keys via map-side partials): it skips the salt
+    column and the second aggregation phase entirely — one Exchange instead of
+    two. The default stays salted per BASELINE.json:6 ("salted hash-aggregate
+    to defeat hot-conversation skew").
     """
     keep = list(key_cols) + ([partition_col] if partition_col else [])
     # NULL-key rows are schema violations (required rules catch them), not
     # duplicates — excluded here exactly as in the fused path so
     # fused=True/False give identical results (SEMANTICS.md §keys).
     df = df.filter(_non_null_keys(key_cols))
-    # Salt must differ across rows of the SAME hot key → derive it from a
-    # per-row id, not from the key columns.
-    salted = df.select(
-        *keep,
-        F.pmod(F.abs(F.hash(F.monotonically_increasing_id())), F.lit(salt_buckets)).alias("__salt__"),
-    )
-    partial = salted.groupBy(*keep, "__salt__").agg(F.count(F.lit(1)).alias("c"))
-    final = partial.groupBy(*keep).agg(F.sum("c").alias("c")).filter(F.col("c") > 1)
+    if salt_buckets <= 1:
+        final = df.groupBy(*keep).agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    else:
+        # Salt must differ across rows of the SAME hot key → derive it from a
+        # per-row id, not from the key columns.
+        salted = df.select(
+            *keep,
+            F.pmod(F.abs(F.hash(F.monotonically_increasing_id())), F.lit(salt_buckets)).alias("__salt__"),
+        )
+        partial = salted.groupBy(*keep, "__salt__").agg(F.count(F.lit(1)).alias("c"))
+        final = partial.groupBy(*keep).agg(F.sum("c").alias("c")).filter(F.col("c") > 1)
     return final.select(
         *key_cols,
         *([partition_col] if partition_col else []),

@@ -124,6 +124,7 @@ def drift_verdicts(
     psi_min_n: int = 500,
     ks_alpha_c: float = 1.95,
     rule_id: str = "text_len_drift",
+    loo_max_partitions: int = 10,
 ) -> pd.DataFrame:
     """Per-partition KS/PSI vs a reference digest → pass/fail frame.
 
@@ -134,9 +135,11 @@ def drift_verdicts(
     leave-one-out variant re-merged all other digests per partition: O(P²),
     melting the driver at 10⁵ Iceberg partitions). Self-inclusion bias: a
     drifted partition contributes ~n_k/N of the reference mass, diluting its
-    own KS/PSI by that factor — negligible for P ≫ 1, and conservative in the
-    safe direction only for verdicts on the partition itself. Production runs
-    should pass a persisted baseline (save_reference/load_reference) anyway.
+    own KS/PSI by that factor — negligible for P ≫ 1, but at small P (2-3
+    partitions) the dilution can mask real drift, so for
+    P < ``loo_max_partitions`` the reference falls back to per-partition
+    LEAVE-ONE-OUT merges (O(P²) is free at that size). Production runs should
+    pass a persisted baseline (save_reference/load_reference) anyway.
 
     Thresholds are SAMPLE-SIZE AWARE: a fixed KS cut is statistically wrong
     for small partitions (pure sampling noise gives KS ≈ c/√n), so the KS gate
@@ -147,10 +150,15 @@ def drift_verdicts(
     """
     digests = collect_digests(sketches)
     keys = sorted(digests)
+    # cold-start reference: leave-one-out below loo_max_partitions (dilution
+    # would be material), single self-inclusive global merge above it
+    loo = reference is None and 1 < len(keys) < loo_max_partitions
     ref = reference if reference is not None else global_digest(digests)
     rows = []
     for k in keys:
         cur = digests[k]
+        if loo:
+            ref = merge_all([digests[j] for j in keys if j != k])
         ks = ks_statistic(ref, cur)
         p = psi(ref, cur)
         n, m = max(cur.size, 1.0), max(ref.size, 1.0)

@@ -239,13 +239,14 @@ def materialize(sf: str, outdir: str, seed: int = SEED, conv_offset: int = 0, ch
         partition_cols=["part_date"],
         basename_template=(f"{chunk}-" if chunk else "") + "part-{i}.parquet",
     )
-    # concurrent chunk processes (tools/gen_chunks.py) share one outdir: write
-    # the (identical) dim atomically via tmp+rename so a concurrent reader can
-    # never observe a torn file; only chunk 0 / the single-process path writes
-    if chunk in (None, "", "c00"):
-        dim_tmp = os.path.join(outdir, f".tools_dim.{os.getpid()}.tmp")
-        gen_tools_dim().to_parquet(dim_tmp, index=False)
-        os.replace(dim_tmp, os.path.join(outdir, "tools_dim.parquet"))
+    # concurrent chunk processes (tools/gen_chunks.py) share one outdir: EVERY
+    # chunk writes the (identical) dim atomically via tmp+rename — concurrent
+    # identical os.replace calls are safe, a reader can never observe a torn
+    # file, and regenerating a single non-zero chunk into a fresh outdir still
+    # produces a complete fixture (a chunk-0-only write left it dim-less).
+    dim_tmp = os.path.join(outdir, f".tools_dim.{os.getpid()}.tmp")
+    gen_tools_dim().to_parquet(dim_tmp, index=False)
+    os.replace(dim_tmp, os.path.join(outdir, "tools_dim.parquet"))
     manifest.to_parquet(
         os.path.join(outdir, f"injected_violations{'_' + chunk if chunk else ''}.parquet"), index=False
     )

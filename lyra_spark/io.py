@@ -39,25 +39,34 @@ def write_violations(
     out_dir: str,
     partition_col: str = PARTITION_COLUMN,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-    buckets_per_partition: int = 1,
+    buckets_per_partition: int | None = None,
 ) -> None:
     """Deterministic violation sink (BASELINE.json:6 byte-match contract).
 
-    Parallelism: rows hash-distribute by (date[, key-hash bucket]) across the
-    shuffle partitions, so the sink runs n_dates × buckets_per_partition ways
-    (AQE coalesces small groups into shared write tasks). The default
-    buckets_per_partition=1 keeps exactly ONE file per date — measured optimal
-    when dates ≫ cores (every extra bucket multiplies file-create/commit
-    overhead for zero extra parallelism). Raise it for tables with FEW or HOT
-    partitions: a hot date then spreads over multiple tasks instead of
-    pinning one executor (file count grows proportionally).
+    Parallelism — ``buckets_per_partition``:
+      * ``None`` (default, auto): AQE REBALANCE on the date. Runtime shuffle
+        sizes decide the layout — dates ≫ cores coalesce into shared write
+        tasks (file count stays one per date, the measured optimum), while a
+        HOT date beyond ``spark.sql.adaptive.advisoryPartitionSizeInBytes``
+        splits across tasks (``optimizeSkewsInRebalancePartitions``), so a
+        few hot dates can never serialize the sink and file sizes stay
+        bounded by the advisory size. Nothing to size by hand.
+      * ``1``: exactly one task (and file) per date — optimal when dates ≫
+        cores and no date is hot; a hot date pins one executor.
+      * ``> 1``: rows hash-distribute by (date, key-hash bucket) — a hot date
+        spreads over that many tasks unconditionally (file count grows
+        proportionally even for small dates).
 
-    Determinism is preserved end-to-end: the bucket is a deterministic
-    function of the keys, hash repartitioning and the in-partition sort are
-    deterministic for a fixed shuffle-partition config, and each (date,
-    bucket) group lands wholly in one task — so every file's CONTENT is
-    byte-stable across runs."""
-    if buckets_per_partition > 1:
+    Determinism is preserved end-to-end in every mode: the bucket is a
+    deterministic function of the keys, hash repartitioning / rebalance
+    splits and the in-partition sort are deterministic for a fixed
+    shuffle-partition config and input (AQE decisions derive from map-output
+    statistics, which are reproducible), and each file's row set is a
+    deterministic slice of one (date[, bucket]) group — so every file's
+    CONTENT is byte-stable across runs (pinned by the determinism test)."""
+    if buckets_per_partition is None:
+        shaped = violations.hint("rebalance", partition_col)
+    elif buckets_per_partition > 1:
         bkt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(int(buckets_per_partition)))
         shaped = violations.withColumn("__bkt__", bkt).repartition(partition_col, "__bkt__")
     else:

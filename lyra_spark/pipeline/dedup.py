@@ -36,14 +36,47 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (after whitespace/case normalization) docs.
 
-    Returns (content_hash, dup_count, doc_ids sorted) for groups with >1 doc.
-    sha2-256 collision-safe at any corpus size; one shuffle on the digest.
+    Returns (content_hash, dup_count, min_<id>, max_<id>) for groups with >1
+    doc. sha2-256 collision-safe at any corpus size; one shuffle on the digest
+    with map-side partials, and every aggregation buffer is CONSTANT-size — no
+    collect_list: a boilerplate string duplicated 10⁸ times at 100 TB would
+    otherwise put 10⁸ ids in ONE buffer and OOM the executor. For bounded id
+    samples per group use duplicate_id_samples; to keep one representative row
+    per group use distinct_by_content.
     """
     hashed = df.select(F.col(id_col), F.sha2(_norm(text_col), 256).alias("content_hash"))
     return (
         hashed.groupBy("content_hash")
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias(f"min_{id_col}"),
+            F.max(id_col).alias(f"max_{id_col}"),
+        )
         .filter(F.col("dup_count") > 1)
+    )
+
+
+def duplicate_id_samples(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Up to ``k`` smallest ids per duplicate group: (content_hash, dup_count,
+    sample_ids). Memory stays bounded at any group size — the cap happens via
+    a window row_number BEFORE any list aggregation (the window sort spills to
+    disk; the collect_list sees ≤ k rows per group), and the groupBy reuses
+    the window's hash partitioning so the whole thing is one exchange."""
+    from pyspark.sql import Window
+
+    hashed = df.select(F.col(id_col), F.sha2(_norm(text_col), 256).alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    wc = Window.partitionBy("content_hash")
+    capped = hashed.select(
+        "content_hash",
+        id_col,
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(wc).alias("__n__"),
+    )
+    return (
+        capped.filter((F.col("__n__") > 1) & (F.col("__rn__") <= k))
+        .groupBy("content_hash")
+        .agg(F.max("__n__").alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("sample_ids"))
     )
 
 
@@ -119,7 +152,14 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signature → banded candidates → exact
-    shingle-Jaccard verification ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    shingle-Jaccard verification ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    NULL/empty-text docs are excluded from pairing: xxhash64 skips NULL args,
+    so every NULL doc would get an identical signature and a [NULL] shingle
+    array whose array_intersect treats NULLs as equal — emitting a pair set
+    QUADRATIC in the NULL count, every pair at jaccard 1.0 between docs with
+    no content at all."""
+    df = df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     with_sig = minhash_signature(df, text_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(with_sig, id_col, num_hashes, bands)
     sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("sh"))

@@ -27,7 +27,22 @@ def docs(spark):
 def test_exact_duplicates_normalized(docs):
     got = dedup.exact_duplicates(docs).collect()
     assert len(got) == 1
-    assert got[0]["dup_count"] == 3 and got[0]["doc_ids"] == [0, 1, 2]
+    assert got[0]["dup_count"] == 3 and got[0]["min_doc_id"] == 0 and got[0]["max_doc_id"] == 2
+
+
+def test_duplicate_id_samples_bounded_on_mega_group(spark):
+    """One content duplicated 10k× must yield a ≤k sample list, exact count,
+    and constant-size buffers in exact_duplicates (min/max only)."""
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text here").alias("text")
+    )
+    exact = dedup.exact_duplicates(df).collect()
+    assert len(exact) == 1
+    assert exact[0]["dup_count"] == 10_000
+    assert exact[0]["min_doc_id"] == 0 and exact[0]["max_doc_id"] == 9_999
+    samp = dedup.duplicate_id_samples(df, k=5).collect()
+    assert len(samp) == 1
+    assert samp[0]["dup_count"] == 10_000 and samp[0]["sample_ids"] == [0, 1, 2, 3, 4]
 
 
 def test_distinct_by_content_keeps_min_id(docs):
