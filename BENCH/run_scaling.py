@@ -141,6 +141,14 @@ def main() -> None:
     ap.add_argument("--fx-dir", default=None, help="pre-generated fixture dir")
     ap.add_argument("--pairs", type=int, default=4, help="alternating (N,4N) timed pairs")
     ap.add_argument("--warmups", type=int, default=2, help="warm runs per level before timing")
+    ap.add_argument("--min-probe", type=float, default=0.0,
+                    help="weather gate (M-it/s aggregate at the 4N level): before each "
+                         "timed pair, probe; below this, sleep and retry instead of "
+                         "burning a pair on a starved host. The hypervisor's starvation "
+                         "windows hit mid-run (bracketing probes can straddle one), so "
+                         "gating UP FRONT is cheaper than discarding after")
+    ap.add_argument("--max-attempts", type=int, default=60, help="probe attempts before giving up waiting for weather")
+    ap.add_argument("--wait-secs", type=float, default=45.0, help="sleep between gated probe attempts")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
     assert hi == 4 * lo, "levels must be N,4N"
@@ -163,8 +171,14 @@ def main() -> None:
         print(json.dumps({"warmup": w, lo: wa, hi: wb}), flush=True)
 
     pairs = []  # per pair: parallel-probe-bracketed (sec_lo, sec_hi)
-    for i in range(args.pairs):
+    attempts = 0
+    while len(pairs) < args.pairs and attempts < args.max_attempts:
+        attempts += 1
         p0 = probe_parallel(hi)
+        if args.min_probe and p0 < args.min_probe:
+            print(json.dumps({"skipped": True, "probe_mips": p0, "attempt": attempts}), flush=True)
+            time.sleep(args.wait_secs)
+            continue
         sa = a.run_once()
         p1 = probe_parallel(hi)
         sb = b.run_once()
@@ -173,6 +187,11 @@ def main() -> None:
         pairs.append({"probe_mips": speed, "probes": [p0, p1, p2],
                       f"sec_{lo}": sa, f"sec_{hi}": sb})
         print(json.dumps(pairs[-1]), flush=True)
+    if not pairs:
+        print(json.dumps({"error": "no pair met --min-probe; host never quiet"}))
+        a.close()
+        b.close()
+        return
     a.close()
     b.close()
 
@@ -199,8 +218,10 @@ alive SIMULTANEOUSLY and timed runs alternate {lo}c,{hi}c,{lo}c,{hi}c —
 adjacent runs see the same host weather — with an AGGREGATE {hi}-process
 busy-probe (M-iter/s) bracketing every run: overcommit only bites concurrent
 demand (a 1-process probe stays ~25 M-it/s even while a {hi}-thread job is
-starved to ~{lo} effective cores). Efficiency is scored on the
-fastest-weather pair (highest min-probe); every pair is reported below.
+starved to ~{lo} effective cores). Starvation windows can strike MID-run
+(bracketing probes straddle them), so a weather gate skips timed pairs whose
+leading probe is below --min-probe. Efficiency is scored on the
+fastest-weather pair (highest min-probe); every timed pair is reported below.
 
 Why N={lo}: the 32 visible vCPUs are overcommitted; at {lo}->{hi} the host
 itself scales near-linearly (probe-verified), so the measurement is about the
@@ -228,11 +249,15 @@ broadcast of the tools dimension, skew-proof bucketed-lag monotone check
 (lyra_spark/fused.py), salted uniqueness aggregation, violation sink
 hash-distributed by date (one deterministic file per date).
 
-Per-stage attribution (BENCH/diagnose_stages.py, sf4.0, quiet window):
-compute stages (row rules / conv checks / fused union) scale at 0.91-1.02;
-the parquet sink at 0.76; verdict roll-up is a ~3s fixed cost. The sink's
-round-1 serial tail (one task per date + v1 commit's driver-side rename pass)
-was eliminated this round.
+Per-stage attribution (BENCH/diagnose_stages.py, sf4.0 fixture v2, quiet
+window): row rules 0.90, conv checks 0.80, fused union 0.87, union + real
+parquet sink 0.85, verdict roll-up ~0.8 s. Fixture v2 bounds the hot
+conversation inside the 90-day window (fixtures.py), so date-partition count
+is calendar-bounded (~91) instead of growing with sf — the round-2 shape
+(911 near-empty dates at sf4) made the sink and its read-back a
+parallelism-independent per-file fixed cost no real daily-partitioned table
+would have. The sink write itself is parallelism-floored via AQE
+minPartitionSize (io.py:write_violations).
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:

@@ -22,6 +22,9 @@ import numpy as np
 import pandas as pd
 
 SEED = 42
+# Bump when generated CONTENT changes: materialize() stamps this into the
+# _SUCCESS marker and regenerates cached fixture dirs written by older code.
+FIXTURE_VERSION = "2"
 N_CONVS = {"0.001": 100, "0.01": 1_000, "0.1": 10_000}
 ROLES_CYCLE = ["user", "assistant", "tool"]
 VOCAB = np.array(
@@ -109,6 +112,15 @@ def gen_clean_transcripts(sf: str = "0.01", seed: int = SEED, conv_offset: int =
     span_us = int(90 * 86400 * 1e6)
     starts = rng.integers(0, span_us, n_convs)
     incr = rng.exponential(30_000_000, total).astype(np.int64)  # µs
+    # The hot conversation must stay INSIDE the 90-day window: at 30 s/turn a
+    # conversation holding 10% of sf4's rows would trail ~2.4 years past the
+    # window, manufacturing thousands of near-empty date partitions — a shape
+    # no real daily-partitioned table has (at 10^12 turns dates get DENSER,
+    # not more numerous; date count is bounded by calendar time). Pin its
+    # start to the window start and scale its increment mean so it spans the
+    # whole window at every sf (same per-date density profile across scales).
+    starts[0] = 0
+    incr[:hot_turns] = rng.exponential(span_us / hot_turns, hot_turns).astype(np.int64)
     # cumulative within each conversation: offset[i] = Σ incr over turns (first..i]
     cum = np.cumsum(incr)
     conv_first = np.concatenate([[0], np.cumsum(turns)[:-1]])
@@ -226,7 +238,22 @@ def materialize(sf: str, outdir: str, seed: int = SEED, conv_offset: int = 0, ch
 
     done = os.path.join(outdir, f"_SUCCESS_{chunk}" if chunk else "_SUCCESS")
     if os.path.exists(done):
-        return outdir
+        with open(done) as f:
+            if f.read().strip() == FIXTURE_VERSION:
+                return outdir
+        # stale generator version: the dataset layout may differ (e.g. the
+        # part_date range), and write_to_dataset APPENDS — regenerating on top
+        # would mix versions. Wipe (single-process mode) or make the caller do
+        # it (chunked: concurrent chunk processes share outdir; an automatic
+        # wipe here would race a sibling chunk's in-flight write).
+        if chunk:
+            raise RuntimeError(
+                f"{outdir} was generated by an older fixture version; delete it "
+                "and re-run tools/gen_chunks.py"
+            )
+        import shutil
+
+        shutil.rmtree(outdir, ignore_errors=True)
     os.makedirs(outdir, exist_ok=True)
     clean = gen_clean_transcripts(sf, seed=seed, conv_offset=conv_offset)
     dirty, manifest = inject_violations(clean, sf, seed=seed)
@@ -251,5 +278,5 @@ def materialize(sf: str, outdir: str, seed: int = SEED, conv_offset: int = 0, ch
         os.path.join(outdir, f"injected_violations{'_' + chunk if chunk else ''}.parquet"), index=False
     )
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(FIXTURE_VERSION)
     return outdir

@@ -66,11 +66,33 @@ def write_violations(
     CONTENT is byte-stable across runs (pinned by the determinism test)."""
     if buckets_per_partition is None:
         shaped = violations.hint("rebalance", partition_col)
+        # Parallelism floor for the write stage: AQE's coalescing normally
+        # stops at minPartitionSize (1 MB), which at small violation volumes
+        # collapses the write into a handful of tasks that then SERIALLY pay
+        # the per-output-file fixed cost (writer init + footer + task commit
+        # — ~tens of ms × one file per date dir). Dropping the floor to 64 KB
+        # lets parallelismFirst spread the write over ~defaultParallelism
+        # tasks; at real scale partitions are ≫ 1 MB and this is a no-op.
+        # Scoped to this write: AQE reads the conf at execution time, and
+        # .parquet() below is eager.
+        conf = violations.sparkSession.conf
+        key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+        prev = conf.get(key, None)
+        conf.set(key, "64KB")
+        try:
+            _write_shaped(shaped, out_dir, partition_col, key_cols)
+        finally:
+            conf.set(key, prev) if prev is not None else conf.unset(key)
+        return
     elif buckets_per_partition > 1:
         bkt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(int(buckets_per_partition)))
         shaped = violations.withColumn("__bkt__", bkt).repartition(partition_col, "__bkt__")
     else:
         shaped = violations.repartition(partition_col)
+    _write_shaped(shaped, out_dir, partition_col, key_cols)
+
+
+def _write_shaped(shaped: DataFrame, out_dir: str, partition_col: str, key_cols: tuple[str, ...]) -> None:
     (
         shaped.sortWithinPartitions(partition_col, *key_cols, "rule_id", "observed_value")
         .drop("__bkt__")

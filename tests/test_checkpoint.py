@@ -281,3 +281,34 @@ def test_violation_sink_parallelism_scales(tmp_path, spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_cli_concurrent_batches_match_serial(tmp_path, spark, fixtures_sf0001, capsys):
+    """--concurrency K must produce the same manifest contents and verdict
+    files as the serial loop (scheduler pools change job interleaving, never
+    results), and every pending partition must complete exactly once."""
+    from jobs.validate import main
+
+    def run(run_id, extra):
+        args = [
+            "--table", os.path.join(fixtures_sf0001, "transcripts"),
+            "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+            "--checkpoint", str(tmp_path),
+            "--run-id", run_id,
+        ] + extra
+        assert main(args) == 0
+        capsys.readouterr()
+        return ckpt.load_manifest(str(tmp_path), run_id)
+
+    serial = run("ser", [])
+    conc = run("conc", ["--concurrency", "3"])
+    assert sorted(conc.records) == sorted(serial.records)
+    for pk in serial.records:
+        assert conc.records[pk].rows == serial.records[pk].rows
+        assert conc.records[pk].violations == serial.records[pk].violations
+        a = pd.read_parquet(str(tmp_path / "ser" / "verdicts" / f"part={pk}"))
+        b = pd.read_parquet(str(tmp_path / "conc" / "verdicts" / f"part={pk}"))
+        key = ["part_date", "rule_id"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key, ignore_index=True), b.sort_values(key, ignore_index=True)
+        )
