@@ -22,9 +22,14 @@ import numpy as np
 import pandas as pd
 
 SEED = 42
+# Last full day of the 90-day start window — the drift-injected partition
+# (dense at every sf; identical across generation chunks).
+import datetime as _dt
+
+DRIFT_DATE = _dt.date(2024, 3, 30)
 # Bump when generated CONTENT changes: materialize() stamps this into the
 # _SUCCESS marker and regenerates cached fixture dirs written by older code.
-FIXTURE_VERSION = "2"
+FIXTURE_VERSION = "3"
 N_CONVS = {"0.001": 100, "0.01": 1_000, "0.1": 10_000}
 ROLES_CYCLE = ["user", "assistant", "tool"]
 VOCAB = np.array(
@@ -212,10 +217,13 @@ def inject_violations(df: pd.DataFrame, sf: str = "0.01", seed: int = SEED) -> t
     records += [(r.conv_id, int(r.turn_idx), "uniq_conv_turn") for r in dupes.itertuples()]
     df = pd.concat([df, dupes], ignore_index=True)
 
-    # text_len_drift: last part_date partition gets 3× text length (KS/PSI must
-    # flag that partition, all others pass).
-    last = df["part_date"].max()
-    m = (df["part_date"] == last) & df["text"].notna()
+    # text_len_drift: the DRIFT_DATE partition gets 3× text length (KS/PSI must
+    # flag that partition, all others pass). Pinned to the last FULL day of the
+    # start window, not max(part_date): conversations trail past the window by
+    # up to ~turns×30 s, so the calendar-max date is a ragged tail with ~1 row
+    # — below any statistically honest KS gate — and under chunked generation
+    # each chunk would otherwise drift its own (different) max date.
+    m = (df["part_date"] == DRIFT_DATE) & df["text"].notna()
     df.loc[m, "text"] = df.loc[m, "text"] * 3
 
     manifest = pd.DataFrame(records, columns=["conv_id", "turn_idx", "rule_id"]).sort_values(

@@ -9,6 +9,8 @@ only by its error message here, by design.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,34 @@ def partition_scope(df: DataFrame, partition_key: str, partition_col: str = PART
     """Filter on the partition column — Catalyst turns this into partition
     pruning, so a per-partition validation run scans ONLY that directory."""
     return df.filter(F.col(partition_col).cast("string") == partition_key)
+
+
+def partition_row_counts(path: str, partition_col: str = PARTITION_COLUMN) -> dict[str, int] | None:
+    """Per-partition row counts from TABLE METADATA — no data scan.
+
+    On Iceberg, per-partition record counts come from manifest files; the
+    local Hive-layout parquet equivalent is summing footer row counts per
+    partition directory. Footers are a few KB each, so this is driver-cheap
+    at benchmark scale and manifest-backed (not per-file) in production.
+    Returns None when ``path`` is not a local Hive-partitioned parquet dir
+    (caller falls back to a scan aggregation).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    dirs = sorted(_glob.glob(os.path.join(path, f"{partition_col}=*")))
+    if not dirs:
+        return None
+    counts: dict[str, int] = {}
+    for d in dirs:
+        key = os.path.basename(d).split("=", 1)[1]
+        counts[key] = sum(
+            pq.read_metadata(f).num_rows for f in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+    return counts
 
 
 def write_violations(

@@ -82,6 +82,7 @@ def run_suite(
     out_dir: str,
     partition_col: str = "part_date",
     ruleset: RuleSet | None = None,
+    input_path: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Write-then-reuse execution of the full suite — the production shape.
 
@@ -89,7 +90,14 @@ def run_suite(
     deterministic); verdict counts aggregate from the WRITTEN files instead of
     recomputing the pipeline or caching it (a cached union materializes
     without adaptive execution — measured ~2x slower than this). Returns
-    (violations read back, verdicts)."""
+    (violations read back, verdicts).
+
+    ``input_path``: the Hive-partitioned parquet dir ``df`` reads, UNFILTERED.
+    When given, per-partition row counts come from table METADATA (parquet
+    footers here; Iceberg manifest record-counts in prod) and the verdict grid
+    is assembled driver-side from the two tiny count sets — no second data
+    scan and no join stages. Without it, verdicts fall back to the
+    distributed compute_verdicts roll-up."""
     from lyra_spark import io as lio
     from lyra_spark.checks import MONO_RULE, UNIQ_RULE
     from lyra_spark.engine import compute_verdicts
@@ -105,5 +113,45 @@ def run_suite(
     for extra in (REF_RULE, UNIQ_RULE, MONO_RULE):
         if extra not in rule_ids:
             rule_ids.append(extra)
-    verd = compute_verdicts(df, viol, rule_ids, partition_col)
+    counts = lio.partition_row_counts(input_path, partition_col) if input_path else None
+    if counts is None:
+        verd = compute_verdicts(df, viol, rule_ids, partition_col)
+    else:
+        verd = _verdicts_from_metadata(df, viol, rule_ids, partition_col, counts)
     return viol, verd
+
+
+def _verdicts_from_metadata(
+    df: DataFrame,
+    viol: DataFrame,
+    rule_ids: list[str],
+    partition_col: str,
+    counts: dict[str, int],
+) -> DataFrame:
+    """Verdict grid from metadata row counts + one tiny violation aggregate.
+
+    The only cluster work is the violation count roll-up (input: the written
+    sink, a few hundred KB); the (partitions × rules) grid itself is
+    driver-assembled — same columns and values as compute_verdicts, minus its
+    row-count scan and two join stages."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    vc = viol.groupBy(partition_col, "rule_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    vmap = {(str(r[partition_col]), r["rule_id"]): r["c"] for r in vc}
+    grid = [
+        (pk, rid, vmap.get((pk, rid), 0), n)
+        for pk, n in sorted(counts.items())
+        for rid in rule_ids
+    ]
+    part_type = df.schema[partition_col].dataType.simpleString()
+    return (
+        spark.createDataFrame(grid, "pk string, rule_id string, violation_count long, row_count long")
+        .select(
+            F.col("pk").cast(part_type).alias(partition_col),
+            "rule_id",
+            (F.col("violation_count") == 0).alias("pass"),
+            "violation_count",
+            "row_count",
+        )
+    )

@@ -312,3 +312,40 @@ def test_cli_concurrent_batches_match_serial(tmp_path, spark, fixtures_sf0001, c
         pd.testing.assert_frame_equal(
             a.sort_values(key, ignore_index=True), b.sort_values(key, ignore_index=True)
         )
+
+
+def test_run_suite_metadata_verdicts_match_distributed(tmp_path, spark, fixtures_sf0001):
+    """run_suite(input_path=...) builds the verdict grid from parquet-footer
+    row counts (the Iceberg-manifest analogue) + one tiny violation aggregate.
+    It must equal the distributed compute_verdicts roll-up exactly — same
+    rows, same schema, same values."""
+    from lyra_spark.presets import run_suite
+
+    table = os.path.join(fixtures_sf0001, "transcripts")
+    tdf = spark.read.parquet(table)
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+
+    _, verd_dist = run_suite(tdf, dim, str(tmp_path / "s1"))
+    _, verd_meta = run_suite(tdf, dim, str(tmp_path / "s2"), input_path=table)
+
+    key = ["part_date", "rule_id"]
+    a = verd_dist.toPandas().sort_values(key, ignore_index=True)
+    b = verd_meta.toPandas().sort_values(key, ignore_index=True)
+    b = b[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_partition_row_counts_matches_scan(tmp_path, spark, fixtures_sf0001):
+    """Footer-metadata row counts per partition == a real scan's groupBy count;
+    non-hive paths return None (fallback contract)."""
+    table = os.path.join(fixtures_sf0001, "transcripts")
+    counts = lio.partition_row_counts(table)
+    tdf = spark.read.parquet(table)
+    scanned = {
+        str(r["part_date"]): r["n"]
+        for r in tdf.groupBy("part_date").count().withColumnRenamed("count", "n").collect()
+    }
+    assert counts == scanned
+    assert lio.partition_row_counts(str(tmp_path)) is None
+    assert lio.partition_row_counts(os.path.join(fixtures_sf0001, "tools_dim.parquet")) is None

@@ -71,14 +71,15 @@ def test_psi_detects_shift_and_passes_same():
 
 
 def test_drift_end_to_end_flags_drifted_partition(spark, fixtures_sf0001):
-    """The fixture multiplies text length ×3 in the LAST part_date partition —
+    """The fixture multiplies text length ×3 in the DRIFT_DATE partition —
     global-digest cold-start drift must fail exactly that partition region."""
+    from lyra_spark.fixtures import DRIFT_DATE
+
     tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
     sk = sketch_by_partition(tdf, "cast(length(text) as double)", "part_date")
     verdicts = drift_verdicts(sk, reference=None, ks_threshold=0.10)
-    last = max(verdicts["part_key"])
-    drifted = verdicts.loc[verdicts["part_key"] == last, "pass"].iloc[0]
-    assert not drifted, f"last partition must fail drift:\n{verdicts.tail()}"
+    drifted = verdicts.loc[verdicts["part_key"] == str(DRIFT_DATE), "pass"].iloc[0]
+    assert not drifted, f"drift date must fail drift:\n{verdicts.tail()}"
     # the overwhelming majority of partitions must pass
     assert verdicts["pass"].mean() > 0.9, verdicts[~verdicts["pass"]]
 
@@ -89,10 +90,11 @@ def test_reference_roundtrip_and_run_over_run(tmp_path, spark, fixtures_sf0001):
     partition and passes the steady ones."""
     from lyra_spark.drift import load_reference, save_reference
 
+    from lyra_spark.fixtures import DRIFT_DATE
+
     tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
-    # baseline from the steady region only (exclude the drifted last date)
-    dates = sorted(r[0] for r in tdf.select("part_date").distinct().collect())
-    steady = tdf.filter(F.col("part_date") < dates[-1])
+    # baseline from the steady region only (exclude the drifted date)
+    steady = tdf.filter(F.col("part_date") != F.lit(DRIFT_DATE))
     sk_ref = sketch_by_partition(steady, "cast(length(text) as double)", "part_date")
     path = str(tmp_path / "ref.tdigest")
     saved = save_reference(sk_ref, path)
@@ -103,5 +105,5 @@ def test_reference_roundtrip_and_run_over_run(tmp_path, spark, fixtures_sf0001):
     sk_all = sketch_by_partition(tdf, "cast(length(text) as double)", "part_date")
     verdicts = drift_verdicts(sk_all, reference=loaded)
     by_key = verdicts.set_index("part_key")["pass"]
-    assert not by_key[str(dates[-1])], "drifted partition must fail vs stored baseline"
+    assert not by_key[str(DRIFT_DATE)], "drifted partition must fail vs stored baseline"
     assert by_key.mean() > 0.9
