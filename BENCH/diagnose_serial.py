@@ -40,6 +40,8 @@ spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores,
                   extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}",
                               "spark.driver.memory": f"{2 * cores}g",
                               "spark.eventLog.enabled": "true",
+                              "spark.eventLog.compress": "false",
+                              "spark.eventLog.rolling.enabled": "false",
                               "spark.eventLog.dir": evdir})
 spark.sparkContext.setLogLevel("ERROR")
 tdf = spark.read.parquet(os.path.join(fx, "transcripts"))
@@ -67,21 +69,33 @@ spark.stop()
 # parse the event log: per-job wall, per-job task-time sum, inter-job gaps
 import glob
 ev = sorted(glob.glob(os.path.join(evdir, "*")))[-1]
+if os.path.isdir(ev):  # Spark 4 rolling event-log v2: a dir of events_* files
+    parts = sorted(glob.glob(os.path.join(ev, "events_*")))
+else:
+    parts = [ev]
 jobs, stages = {}, {}
-with open(ev) as f:
-    for line in f:
+def _lines():
+    for p in parts:
+        with open(p) as f:
+            yield from f
+if True:
+    for line in _lines():
         e = json.loads(line)
         k = e.get("Event")
         if k == "SparkListenerJobStart":
+            names = " | ".join(sorted({s.get("Stage Name", "")[:38] for s in e["Stage Infos"]}))
             jobs[e["Job ID"]] = {"t0": e["Submission Time"], "stages": [s["Stage ID"] for s in e["Stage Infos"]],
-                                 "desc": (e.get("Properties") or {}).get("spark.job.description", "")[:60]}
+                                 "desc": ((e.get("Properties") or {}).get("spark.job.description", "") or names)[:80]}
         elif k == "SparkListenerJobEnd":
             jobs[e["Job ID"]]["t1"] = e["Completion Time"]
         elif k == "SparkListenerTaskEnd":
             sid = e["Stage ID"]
             ti = e.get("Task Info", {})
-            stages.setdefault(sid, {"task_ms": 0, "n": 0})
+            tm = e.get("Task Metrics") or {}
+            stages.setdefault(sid, {"task_ms": 0, "cpu_ms": 0, "gc_ms": 0, "n": 0})
             stages[sid]["task_ms"] += ti.get("Finish Time", 0) - ti.get("Launch Time", 0)
+            stages[sid]["cpu_ms"] += tm.get("Executor CPU Time", 0) // 1_000_000
+            stages[sid]["gc_ms"] += tm.get("JVM GC Time", 0)
             stages[sid]["n"] += 1
 rows = []
 prev_end = None
@@ -91,11 +105,14 @@ for jid in sorted(jobs):
         continue
     wall = (j["t1"] - j["t0"]) / 1000
     tsum = sum(stages.get(s, {}).get("task_ms", 0) for s in j["stages"]) / 1000
+    csum = sum(stages.get(s, {}).get("cpu_ms", 0) for s in j["stages"]) / 1000
+    gsum = sum(stages.get(s, {}).get("gc_ms", 0) for s in j["stages"]) / 1000
     ntask = sum(stages.get(s, {}).get("n", 0) for s in j["stages"])
     gap = (j["t0"] - prev_end) / 1000 if prev_end is not None else 0.0
     prev_end = j["t1"]
     rows.append({"job": jid, "gap_before": round(gap, 2), "wall": round(wall, 2),
-                 "task_sum": round(tsum, 2), "ntask": ntask, "desc": j["desc"]})
+                 "task_sum": round(tsum, 2), "cpu_sum": round(csum, 2),
+                 "gc_sum": round(gsum, 2), "ntask": ntask, "desc": j["desc"]})
 print(json.dumps({"jobs": rows}), flush=True)
 shutil.rmtree(out, ignore_errors=True)
 shutil.rmtree(evdir, ignore_errors=True)
@@ -116,11 +133,12 @@ def main() -> None:
             continue
         d = json.loads(line)
         if "jobs" in d:
-            print(f"\n{'job':>4} {'gap(s)':>7} {'wall(s)':>8} {'tasksum':>8} {'ntask':>6}  desc")
+            print(f"\n{'job':>4} {'gap(s)':>7} {'wall(s)':>8} {'tasksum':>8} {'cpusum':>8} {'gcsum':>7} {'ntask':>6}  desc")
             tot_gap = tot_wall = 0.0
             for r in d["jobs"]:
                 print(f"{r['job']:>4} {r['gap_before']:>7.2f} {r['wall']:>8.2f} "
-                      f"{r['task_sum']:>8.2f} {r['ntask']:>6}  {r['desc']}")
+                      f"{r['task_sum']:>8.2f} {r.get('cpu_sum', 0):>8.2f} "
+                      f"{r.get('gc_sum', 0):>7.2f} {r['ntask']:>6}  {r['desc']}")
                 tot_gap += r["gap_before"]
                 tot_wall += r["wall"]
             print(f"total job wall {tot_wall:.1f}s, total inter-job gap {tot_gap:.1f}s")

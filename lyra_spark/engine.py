@@ -58,9 +58,21 @@ def row_violations(
             for c in checks
         ]
     )
+    # Violation pre-filter: rows pass a rule unless ok is literally False
+    # (NULL ok is dropped by the array filter below), so `ok == False` for ANY
+    # rule is exactly the emit condition. Evaluating this cheap boolean OR
+    # first means the clean ~99% of rows never build the struct array — whose
+    # observed_value string-casts and per-row allocations dominate the
+    # scan's CPU at 10^12 rows — and the filter prunes them in the same
+    # codegen stage (no extra pass).
+    any_fail = None
+    for c in checks:
+        cond = c.passes.eqNullSafe(F.lit(False))
+        any_fail = cond if any_fail is None else (any_fail | cond)
     keep = list(key_cols) + ([partition_col] if partition_col else [])
     return (
-        coerced.select(*keep, F.explode(F.filter(arr, lambda x: ~x["ok"])).alias("v"))
+        coerced.where(any_fail)
+        .select(*keep, F.explode(F.filter(arr, lambda x: ~x["ok"])).alias("v"))
         .select(*keep, F.col("v.rule_id").alias("rule_id"), F.col("v.observed_value").alias("observed_value"))
     )
 

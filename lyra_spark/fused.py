@@ -159,7 +159,11 @@ def conv_scoped_violations(
             F.col("__dup_cnt__").cast("string").alias("observed_value"),
         ),
     )
-    return annotated.select(
+    # Same emit pre-filter as engine.row_violations: only rows where a check
+    # is literally failing build the struct array (string casts, per-row
+    # allocation); the clean bulk exits on two cheap booleans.
+    any_fail = F.coalesce(mono_fail, F.lit(False)) | dup_fail
+    return annotated.where(any_fail).select(
         *keep, F.explode(F.filter(checks_arr, lambda x: ~x["ok"])).alias("v")
     ).select(*keep, F.col("v.rule_id").alias("rule_id"), F.col("v.observed_value").alias("observed_value"))
 

@@ -134,6 +134,7 @@ def _verdicts_from_metadata(
     sink, a few hundred KB); the (partitions × rules) grid itself is
     driver-assembled — same columns and values as compute_verdicts, minus its
     row-count scan and two join stages."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -145,8 +146,13 @@ def _verdicts_from_metadata(
         for rid in rule_ids
     ]
     part_type = df.schema[partition_col].dataType.simpleString()
+    # pandas in, Arrow across: a plain Python list becomes a pickled RDD whose
+    # every task launches a Python worker just to unpickle a few grid rows
+    # (measured: ~2 s of zero-CPU wall); the pandas path is a driver-side
+    # Arrow conversion into a pure-JVM LocalRelation.
+    gpdf = pd.DataFrame(grid, columns=["pk", "rule_id", "violation_count", "row_count"])
     return (
-        spark.createDataFrame(grid, "pk string, rule_id string, violation_count long, row_count long")
+        spark.createDataFrame(gpdf)
         .select(
             F.col("pk").cast(part_type).alias(partition_col),
             "rule_id",
