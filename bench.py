@@ -73,8 +73,9 @@ def main() -> None:
 
     def suite():
         # write-then-reuse: violations land in their real sink; verdicts
-        # aggregate from the written files (presets.run_suite)
-        _, verd = run_suite(tdf, dim, viol_out)
+        # aggregate from the written files + table-metadata row counts
+        # (presets.run_suite)
+        _, verd = run_suite(tdf, dim, viol_out, input_path=os.path.join(fx, "transcripts"))
         force(verd)
 
     timed("transcript_validate_suite", suite)
