@@ -78,3 +78,30 @@ def test_row_rules_single_scan_no_exchange(spark, fixtures_sf0001):
     p = plan_str(row_violations(tdf, transcript_ruleset()))
     assert "Exchange" not in p
     assert "codegen id" in p  # rule expressions stay inside whole-stage codegen
+
+
+def test_violation_emit_prefilter_below_generate(spark, fixtures_sf0001):
+    """The emit pre-filter (any rule's ok == False) must sit BELOW the
+    struct-array Generate in the physical plan, so the ~99% clean rows never
+    build rule_id/observed_value structs (measured 5.8x suite CPU; the 16-way
+    memory-bandwidth saturation came entirely from this allocation traffic).
+    Guards both the row-rule emitter and the fused conv-check emitter."""
+    from lyra_spark.engine import row_violations
+    from lyra_spark.fused import conv_scoped_violations
+    from lyra_spark.presets import transcript_ruleset
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    for df in (
+        row_violations(tdf, transcript_ruleset()),
+        conv_scoped_violations(tdf),
+    ):
+        p = plan_str(df, "simple")
+        gen = p.index("Generate explode")
+        # a Filter must appear below (after, in explain output) the Generate
+        below = p[gen:]
+        assert "Filter" in below, p
+        # and it must be the multi-rule fail disjunction (Catalyst rewrites
+        # eqNullSafe(False) into CASE WHEN/NOT coalesce form), not a lone
+        # null guard
+        fline = below[below.index("Filter"):].splitlines()[0]
+        assert " OR " in fline, p
