@@ -119,7 +119,15 @@ def main(argv: list[str] | None = None) -> int:
         vrows = verd.collect()
         n_rows = max((r["row_count"] for r in vrows), default=0)
         n_viol = sum(r["violation_count"] for r in vrows)
-        spark.createDataFrame(vrows, verd.schema).coalesce(1).write.mode("overwrite").parquet(
+        # pandas in, Arrow across: createDataFrame(list-of-Rows) would become a
+        # pickled RDD whose single task launches a Python worker just to
+        # unpickle ~|rules| rows — ~1 s of zero-CPU wall per partition, a real
+        # tail at 10^5 partitions. The pandas path is a driver-side Arrow
+        # conversion into a pure-JVM LocalRelation.
+        import pandas as pd
+
+        vp = pd.DataFrame([r.asDict() for r in vrows], columns=verd.columns)
+        spark.createDataFrame(vp, schema=verd.schema).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(verdicts_out, f"part={pk}")
         )
         if hll_cols:
