@@ -89,9 +89,15 @@ def compute_verdicts(
     broadcastable rule-id frame so the whole roll-up is two small hash
     aggregations over pre-aggregated counts, never a shuffle of raw rows.
     """
+    import pandas as pd
+
     spark = df.sparkSession
     rows = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("row_count"))
-    rules = spark.createDataFrame([(r,) for r in rule_ids], f"rule_id string")
+    # pandas in, Arrow across: a Python list becomes a pickled RDD whose task
+    # launches a Python worker just to unpickle a dozen rule ids (~1 s of
+    # zero-CPU wall per call — per PARTITION on the CLI path); the pandas path
+    # is a driver-side Arrow conversion into a pure-JVM LocalRelation.
+    rules = spark.createDataFrame(pd.DataFrame({"rule_id": rule_ids}))
     grid = rows.crossJoin(F.broadcast(rules))
     vc = violations.groupBy(partition_col, "rule_id").agg(F.count(F.lit(1)).alias("violation_count"))
     return (
