@@ -56,11 +56,17 @@ def partition_row_counts(path: str, partition_col: str = PARTITION_COLUMN) -> di
     if not dirs:
         return None
     counts: dict[str, int] = {}
-    for d in dirs:
-        key = os.path.basename(d).split("=", 1)[1]
-        counts[key] = sum(
-            pq.read_metadata(f).num_rows for f in _glob.glob(os.path.join(d, "*.parquet"))
-        )
+    try:
+        for d in dirs:
+            key = os.path.basename(d).split("=", 1)[1]
+            counts[key] = sum(
+                pq.read_metadata(f).num_rows for f in _glob.glob(os.path.join(d, "*.parquet"))
+            )
+    except Exception:
+        # a corrupt footer / in-flight write / non-parquet stray: metadata is
+        # an optimization, never a correctness dependency — fall back to the
+        # distributed scan roll-up rather than fail the run
+        return None
     return counts
 
 

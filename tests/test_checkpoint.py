@@ -349,3 +349,13 @@ def test_partition_row_counts_matches_scan(tmp_path, spark, fixtures_sf0001):
     assert counts == scanned
     assert lio.partition_row_counts(str(tmp_path)) is None
     assert lio.partition_row_counts(os.path.join(fixtures_sf0001, "tools_dim.parquet")) is None
+
+
+def test_partition_row_counts_corrupt_footer_falls_back(tmp_path):
+    """A corrupt parquet file in the table dir must degrade to None (caller
+    falls back to the distributed roll-up), never raise: footer metadata is an
+    optimization, not a correctness dependency."""
+    d = tmp_path / "part_date=2024-01-01"
+    d.mkdir(parents=True)
+    (d / "junk.parquet").write_bytes(b"this is not parquet")
+    assert lio.partition_row_counts(str(tmp_path)) is None
