@@ -67,9 +67,26 @@ def main(argv: list[str] | None = None) -> int:
                          "merges STORED blobs (completed partitions are never rescanned)")
     args = ap.parse_args(argv)
 
+    # Shuffle partitions sized by DATA, not core count: each per-partition run
+    # shuffles one date's rows on conv_id, so the right granularity is
+    # ~100 MB of that date's input per shuffle partition (at 10^12 turns a
+    # date is ~100s of GB → thousands of partitions regardless of cores;
+    # cores-sized shuffling would hand every sort task the whole date and
+    # spill). AQE coalesces any excess at runtime; Iceberg URIs fall back to
+    # the session default (manifests carry the sizes in prod).
+    shuf = None
+    if os.path.isdir(args.table):
+        import glob as _glob
+
+        files = _glob.glob(os.path.join(args.table, "*", "*.parquet"))
+        dates = {os.path.dirname(f) for f in files}
+        if files and dates:
+            per_date = sum(os.path.getsize(f) for f in files) // len(dates)
+            shuf = max(os.cpu_count() or 8, per_date // (100 << 20) + 1)
     spark = get_spark(
         master=args.master,
         app_name=f"lyra_validate_{args.run_id}",
+        shuffle_partitions=shuf,
         # FAIR scheduling only matters with concurrent partition batches; it is
         # a context-construction conf, so a pre-existing session keeps FIFO.
         extra_conf={"spark.scheduler.mode": "FAIR"} if args.concurrency > 1 else None,
