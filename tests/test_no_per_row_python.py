@@ -68,3 +68,28 @@ def test_collect_only_on_small_frames():
         if ".collect()" in src and fn not in COLLECT_ALLOWED:
             offenders.append(fn)
     assert not offenders, f"collect() outside allowlist: {offenders}"
+
+
+def test_no_pickled_rdd_createdataframe():
+    """createDataFrame on a Python list becomes a pickled RDD whose every task
+    launches a Python worker (~1-2 s of zero-CPU wall — per PARTITION when it
+    sits in the CLI loop). Tiny driver-side frames must route through
+    pandas/Arrow into a pure-JVM LocalRelation. Allowed only in
+    multimodal.synth_media (a one-shot test-fixture builder whose struct
+    column is unfriendly to the Arrow path)."""
+    import re
+
+    pat = re.compile(r"createDataFrame\(\s*[\[\(]")
+    allowed = {"multimodal.py"}
+    offenders = []
+    roots = [PKG, os.path.join(os.path.dirname(PKG), "jobs")]
+    for root_dir in roots:
+        for root, _, files in os.walk(root_dir):
+            for fn in files:
+                if fn.endswith(".py") and fn not in allowed:
+                    src = open(os.path.join(root, fn)).read()
+                    # strip line comments so prose mentioning the pattern is fine
+                    code = "\n".join(l.split("#", 1)[0] for l in src.splitlines())
+                    if pat.search(code):
+                        offenders.append(fn)
+    assert not offenders, f"pickled-RDD createDataFrame (route via pandas/Arrow): {offenders}"
