@@ -338,10 +338,11 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pipeline recall, oracle-checked via PLANTED identities: every
     7th doc gets a whitespace-perturbed copy (token-list-preserving, so its
-    SimHash is bit-identical → hamming 0 → 8-chunk blocking guarantees the
-    candidate), the FULL signature → chunk-block → hamming-filter pipeline
-    runs at max_hamming=7, and candidates are verified at normalized-text
-    equality — a pair set DuckDB computes exactly. (Verifying at word-Jaccard
+    SimHash is bit-identical → hamming 0 → the 16-bit-block multi-probe
+    blocking guarantees the candidate), the FULL signature → block → probe →
+    hamming-filter pipeline runs at max_hamming=7 (4 blocks, radius-1 probes),
+    and candidates are verified at normalized-text equality — a pair set
+    DuckDB computes exactly. (Verifying at word-Jaccard
     0.95 instead is NOT oracle-able: measured on this fixture, blocking at
     hamming ≤ 7 recalls only ~3% of those pairs — short docs put 0.95-Jaccard
     neighbors at large hamming. The hamming>0 near-dup behavior stays pinned
@@ -357,7 +358,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "), F.lit(" ")).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(perturbed)
-    cands = simhash_near_duplicates(corpus, max_hamming=7, chunks=8)
+    cands = simhash_near_duplicates(corpus, max_hamming=7)
     norm = corpus.select(
         "doc_id",
         F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256).alias("n"),

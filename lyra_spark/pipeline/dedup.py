@@ -250,34 +250,85 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     return df.withColumn(out_col, sim)
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
+def _probe_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks over ``width`` bits with popcount ≤ radius (incl. 0)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(width), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def simhash_candidate_pairs(
+    with_hash: DataFrame,
     id_col: str = "doc_id",
+    hash_col: str = "simhash",
     max_hamming: int = 3,
-    chunks: int = 8,
+    chunks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup via chunk blocking: by pigeonhole, two hashes within
-    ``max_hamming`` (< chunks) differing bits share at least one identical
-    64/chunks-bit chunk, so candidates come from equi-joins on chunks — never
-    all-pairs. max_hamming ≥ chunks loses the recall guarantee (documented
-    trade: more chunks → guaranteed recall at higher hamming but bigger
-    candidate buckets)."""
+    """Blocked candidate pairs (id_a, id_b, hamming) — UNfiltered by hamming,
+    so callers (and the candidate-bound test) see exactly what the blocking
+    emits. Guaranteed to contain every pair within ``max_hamming`` bits.
+
+    Blocking, following the public Manku–Jain–Das Sarma construction
+    ("Detecting Near-Duplicates for Web Crawling", WWW'07) adapted to a
+    shuffle-join engine: split the 64-bit hash into ``chunks`` blocks and
+    equi-join per block position. Pigeonhole: h differing bits spread over B
+    blocks leave some block with ≤ floor(h/B) differences, so
+
+      * ``max_hamming < chunks`` → some block matches EXACTLY: plain
+        per-position equi-join (radius 0);
+      * ``max_hamming ≥ chunks`` → some block differs in ≤ floor(h/B) bits:
+        the probe side additionally emits every value within that radius of
+        its block (multi-probe — C(width, ≤r) XOR-mask variants), keeping the
+        recall guarantee WITHOUT shrinking the key.
+
+    ``chunks=None`` (default) picks 4 blocks = **16-bit join keys** (65,536
+    values per position). The former default of 8 blocks made 8-bit keys —
+    256 values per position ≈ n²/512 candidate pairs per position at corpus
+    size n: an all-pairs join in blocking costume at web scale. 16-bit keys
+    cut expected candidates ~256×; a hamming-7 budget costs 17 probe variants
+    per block (radius 1) instead of 8-bit keys, and candidates stay
+    ~17·4·n²/2¹⁷ ≈ n²/2000 · (n/2¹⁶ per bucket) — linear in n for bounded
+    bucket sizes. (Joining on block COMBINATIONS instead would widen keys to
+    36+ bits but needs C(16,9)=11,440 tables at h=7 — multi-probe is the
+    cheaper guarantee.) Bucket sizes are bounded for real corpora because a
+    full 16-bit block match at random is 2⁻¹⁶; pathological boilerplate that
+    collapses a block is exactly a near-dup cluster the downstream filter
+    keeps anyway."""
+    if chunks is None:
+        chunks = 4
     if 64 % chunks:
         raise ValueError("chunks must divide 64")
+    if not (0 <= max_hamming < 64):
+        raise ValueError("max_hamming must be in [0, 64)")
     width = 64 // chunks
     mask = (1 << width) - 1
-    with_h = simhash(df, text_col).select(id_col, "simhash")
-    chunk_cols = [
-        (F.shiftrightunsigned(F.col("simhash"), width * i).bitwiseAND(F.lit(mask))).alias(f"c{i}")
-        for i in range(chunks)
-    ]
-    e = with_h.select(id_col, "simhash", *chunk_cols)
-    exploded = e.select(
-        id_col, "simhash", F.posexplode(F.array(*[F.col(f"c{i}") for i in range(chunks)])).alias("ci", "cv")
+    radius = 0 if max_hamming < chunks else max_hamming // chunks
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), width * i).bitwiseAND(F.lit(mask))
+            for i in range(chunks)
+        ]
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    exact = with_hash.select(id_col, hash_col, F.posexplode(chunk_arr).alias("ci", "cv"))
+    if radius == 0:
+        probes = exact
+    else:
+        masks = _probe_masks(width, radius)
+        probes = exact.select(
+            id_col,
+            hash_col,
+            "ci",
+            F.explode(F.array(*[F.col("cv").bitwiseXOR(F.lit(m)) for m in masks])).alias("cv"),
+        )
+    a, b = probes.alias("a"), exact.alias("b")
+    xor = F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
     return (
         a.join(
             b,
@@ -287,7 +338,20 @@ def simhash_near_duplicates(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), xor.alias("x"))
         .distinct()
-        .withColumn("hamming", F.bit_count("x"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", F.bit_count("x").alias("hamming"))
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits: hash (pure
+    Catalyst) → blocked candidates (see simhash_candidate_pairs for the
+    scale analysis and recall guarantee) → exact hamming filter."""
+    with_h = simhash(df, text_col).select(id_col, "simhash")
+    cands = simhash_candidate_pairs(with_h, id_col, "simhash", max_hamming, chunks)
+    return cands.filter(F.col("hamming") <= max_hamming)

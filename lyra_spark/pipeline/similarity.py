@@ -100,17 +100,44 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+    """Approximate top-k: score only corpus vectors in the query's LSH bucket
+    — plus, with ``probe_radius ≥ 1``, every bucket within that many bit
+    flips (multi-probe LSH, the public Lv et al. VLDB'07 construction).
 
-    Trades recall for a ~2^n_planes candidate reduction; the bucketed corpus
-    can be written partitioned by bucket so queries prune at the scan.
+    Exact-bucket-only recall collapses as n_planes grows (a true neighbor
+    disagreeing on ONE plane is lost); probing the hamming-1 neighborhood
+    costs n_planes extra broadcast keys per query — candidates stay
+    ~(1+n_planes)·n/2^n_planes, bounded, never all-pairs — and restores
+    recall at large n_planes. The corpus side is untouched (one bucket per
+    vector), so a corpus written partitioned by bucket still prunes at the
+    scan; only the tiny broadcast query side fans out.
     """
+    from itertools import combinations
+
     from pyspark.sql import Window
 
+    if probe_radius < 0:
+        raise ValueError("probe_radius must be >= 0")
+    n_planes = len(planes)
+    flips = [0]
+    for r in range(1, probe_radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flips.append(m)
     corpus = assign_lsh_buckets(df, planes, vec_col)
-    q = assign_lsh_buckets(queries, planes, vec_col).select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv__"), F.col("bucket")
+    q = (
+        assign_lsh_buckets(queries, planes, vec_col)
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qv__"),
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])
+            ).alias("bucket"),
+        )
     )
     scored = corpus.join(F.broadcast(q), "bucket").select(
         query_id_col,

@@ -83,6 +83,61 @@ def test_simhash_near_duplicates(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_simhash_default_blocking_same_pairs(docs):
+    """The scale-safe default (16-bit blocks) must find the same near-dup set
+    as the legacy 8-bit-chunk explicit setting on the small corpus."""
+    legacy = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_duplicates(docs.filter("text <> ''"), max_hamming=6, chunks=8).collect()
+    }
+    default = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_duplicates(docs.filter("text <> ''"), max_hamming=6).collect()
+    }
+    assert legacy == default
+
+
+def test_simhash_candidate_count_bounded(spark):
+    """The web-scale contract (VERDICT r3 #1): blocking must emit ≪ n²
+    candidates on a RANDOM-hash corpus. 16-bit keys give ~4·n²/2/2¹⁶ ≈ 0.3n
+    exact candidates and ~17× that with hamming-7 probing; the old 8-bit
+    chunk keys would emit ~8·n²/2/2⁸ ≈ 156n and fail this bound."""
+    n = 10_000
+    hashes = spark.range(n).select(F.col("id").alias("doc_id"), F.xxhash64("id").alias("simhash"))
+    assert dedup.simhash_candidate_pairs(hashes, max_hamming=3).count() < 50 * n
+    assert dedup.simhash_candidate_pairs(hashes, max_hamming=7).count() < 50 * n
+
+
+def test_simhash_probe_recall_at_high_hamming(spark):
+    """max_hamming ≥ chunks engages multi-probe: every planted pair at
+    hamming EXACTLY 7 must surface even though no 16-bit block need match
+    exactly (pigeonhole: 7 flips over 4 blocks leave some block within 1)."""
+    import random
+
+    rnd = random.Random(11)
+
+    def to_i64(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows, expected = [], set()
+    for i in range(200):
+        h = rnd.getrandbits(64)
+        h2 = h
+        for b in rnd.sample(range(64), 7):
+            h2 ^= 1 << b
+        rows.append((2 * i, to_i64(h)))
+        rows.append((2 * i + 1, to_i64(h2)))
+        expected.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_candidate_pairs(df, max_hamming=7)
+        .filter("hamming <= 7")
+        .collect()
+    }
+    assert expected <= got
+
+
 # --- similarity search -----------------------------------------------------------
 @pytest.fixture(scope="module")
 def vecs(spark):
@@ -119,6 +174,44 @@ def test_lsh_topk_high_recall_on_near_dup(vecs):
     # near-identical vectors land in the same bucket: 0 and its planted dup 1
     ids = [r.vec_id for r in got]
     assert ids[0] == 0 and 1 in ids
+
+
+def test_lsh_topk_multiprobe_recall_at_many_planes(spark):
+    """VERDICT r3 #4: at n_planes=16 the exact-bucket join loses neighbors
+    that disagree on a single plane; hamming-1 probing must recover ≥ 0.9
+    recall of planted 0.99-cosine neighbors while each query still scores
+    ≪ n candidates (17 buckets of ~n/2¹⁶ expected occupancy)."""
+    rng = np.random.default_rng(3)
+    n, dim, nq = 2000, 32, 25
+    base = rng.standard_normal((n, dim))
+    for qi in range(nq):  # planted near-dup of query qi at corpus slot n-nq+qi
+        v = base[qi] / np.linalg.norm(base[qi])
+        base[n - nq + qi] = v + 0.01 * rng.standard_normal(dim)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    vecs16 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = similarity.random_hyperplanes(dim, n_planes=16, seed=5)
+    queries = vecs16.filter(f"vec_id < {nq}").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def recall(radius: int) -> float:
+        got = similarity.lsh_topk(vecs16, queries, planes, k=3, probe_radius=radius).collect()
+        hit = {r.query_id for r in got if r.vec_id == n - nq + r.query_id}
+        return len(hit) / nq
+
+    r_probe = recall(1)
+    assert r_probe >= 0.9
+    assert r_probe > recall(0)
+    # candidate bound: corpus occupancy of the 17 probed buckets per query ≪ n
+    from pyspark.sql import functions as SF
+
+    corpus_b = similarity.assign_lsh_buckets(vecs16, planes)
+    q_b = similarity.assign_lsh_buckets(queries, planes).select(
+        "query_id",
+        SF.explode(
+            SF.array(*([SF.col("bucket")] + [SF.col("bucket").bitwiseXOR(SF.lit(1 << i)) for i in range(16)]))
+        ).alias("bucket"),
+    )
+    n_cands = corpus_b.join(q_b, "bucket").count()
+    assert n_cands < 0.05 * n * nq
 
 
 # --- text analysis ----------------------------------------------------------------
