@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns: persist per-partition DataSketches HLL "
                          "blobs next to the verdicts; the global distinct estimate then "
                          "merges STORED blobs (completed partitions are never rescanned)")
+    ap.add_argument("--snapshot-id", default=None,
+                    help="table snapshot / read-version this run validates (Iceberg "
+                         "snapshot id in prod); recorded per partition in the manifest "
+                         "for lineage")
     args = ap.parse_args(argv)
 
     # Shuffle partitions sized by DATA, not core count: each per-partition run
@@ -91,10 +95,19 @@ def main(argv: list[str] | None = None) -> int:
         # a context-construction conf, so a pre-existing session keeps FIFO.
         extra_conf={"spark.scheduler.mode": "FAIR"} if args.concurrency > 1 else None,
     )
+    # Pre-set the sink's AQE coalesce floor ONCE: write_violations' auto mode
+    # then never mutates the session-global conf per write, so concurrent
+    # partition writes (--concurrency>1) neither race on it nor serialize
+    # behind its lock (lyra_spark.io._AQE_FLOOR_LOCK).
+    spark.conf.set(lio._AQE_FLOOR_KEY, lio._AQE_FLOOR_VALUE)
     df = lio.read_transcripts(spark, args.table)
     dim = spark.read.parquet(args.tools_dim)
     ruleset = transcript_ruleset()
     hll_cols = [c.strip() for c in args.hll_cols.split(",") if c.strip()] if args.hll_cols else []
+    # Per-partition row counts from table metadata (parquet footers locally,
+    # Iceberg manifests in prod): computed once, reused by every --out verdict
+    # roll-up below so the loop never rescans a partition just to count it.
+    meta_counts = lio.partition_row_counts(args.table)
 
     manifest = ckpt.load_manifest(args.checkpoint, args.run_id)
     all_parts = lio.list_partitions(spark, df)
@@ -128,9 +141,18 @@ def main(argv: list[str] | None = None) -> int:
             # explicit schema: a clean partition's sink holds only _SUCCESS and
             # schema inference would throw UNABLE_TO_INFER_SCHEMA
             viol = spark.read.schema(result.violations.schema).parquet(out_pk)
-            from lyra_spark.engine import compute_verdicts
+            if meta_counts is not None and pk in meta_counts:
+                # row count from table metadata + violation counts from the
+                # tiny written sink — no rescan of the partition for counting
+                from lyra_spark.presets import verdicts_from_metadata
 
-            verd = compute_verdicts(scoped, viol, rule_ids(ruleset), "part_date")
+                verd = verdicts_from_metadata(
+                    scoped, viol, rule_ids(ruleset), "part_date", {pk: meta_counts[pk]}
+                )
+            else:
+                from lyra_spark.engine import compute_verdicts
+
+                verd = compute_verdicts(scoped, viol, rule_ids(ruleset), "part_date")
         else:
             verd = result.verdicts
         vrows = verd.collect()
@@ -156,7 +178,8 @@ def main(argv: list[str] | None = None) -> int:
         return pk, n_rows, n_viol, (time.perf_counter() - t0) * 1000
 
     def record(pk: str, n_rows: int, n_viol: int, wall_ms: float) -> None:
-        manifest.record(pk, ruleset, rows=n_rows, violations=n_viol, wall_ms=wall_ms)
+        manifest.record(pk, ruleset, rows=n_rows, violations=n_viol, wall_ms=wall_ms,
+                        snapshot_id=args.snapshot_id)
         ckpt.save_manifest(args.checkpoint, manifest)
         print(f"[lyra] partition={pk} rows={n_rows} violations={n_viol} wall_ms={wall_ms:.0f}")
 
@@ -192,12 +215,31 @@ def main(argv: list[str] | None = None) -> int:
     if hll_cols:
         # Global distinct estimates from the STORED blobs — covers completed
         # partitions from earlier runs with ZERO partition rescans (the
-        # incremental-distinct path at 10^12-turn scale).
-        from lyra_spark.stats import merge_hll
+        # incremental-distinct path at 10^12-turn scale). Blobs exist only for
+        # partitions whose run had --hll-cols set: verify coverage against the
+        # manifest so a resume over a flag-less earlier run WARNS instead of
+        # silently undercounting, and degrade when no blob dir exists at all.
+        import glob as _glob
 
-        est = merge_hll(spark.read.parquet(hll_out).select("column", "sketch")).collect()
-        for r in sorted(est, key=lambda r: r["column"]):
-            print(f"[lyra] hll_distinct column={r['column']} estimate={int(r['estimate'])}")
+        have = {
+            os.path.basename(d).split("=", 1)[1]
+            for d in _glob.glob(os.path.join(hll_out, "part=*"))
+        }
+        missing = sorted(set(manifest.completed(ruleset)) - have)
+        if missing:
+            print(
+                f"[lyra] WARNING: hll blobs missing for {len(missing)} completed "
+                f"partition(s) (completed in a run without --hll-cols): {missing[:5]}"
+                f"{'...' if len(missing) > 5 else ''} — global estimate covers stored blobs only"
+            )
+        if not have:
+            print("[lyra] hll: no stored blobs to merge; skipping global estimate")
+        else:
+            from lyra_spark.stats import merge_hll
+
+            est = merge_hll(spark.read.parquet(hll_out).select("column", "sketch")).collect()
+            for r in sorted(est, key=lambda r: r["column"]):
+                print(f"[lyra] hll_distinct column={r['column']} estimate={int(r['estimate'])}")
 
     # final drift pass over ALL partitions (cheap: sketches only)
     from lyra_spark.drift import drift_verdicts, load_reference, save_reference, sketch_by_partition

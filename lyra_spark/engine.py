@@ -43,7 +43,15 @@ def row_violations(
     key_cols: list[str] = KEY_COLS,
     partition_col: str | None = "part_date",
 ) -> DataFrame:
-    """Evaluate all row-level rules; one violation row per (row, failed rule)."""
+    """Evaluate all row-level rules; one violation row per (row, failed rule).
+
+    Rule predicates MUST be deterministic (pandas-UDF rules included — Spark
+    assumes it too): the emit pre-filter below evaluates each rule's
+    ``passes`` in the WHERE and again inside the struct-array projection.
+    Catalyst dedupes plain column expressions in codegen, but a UDF rule runs
+    twice per SURVIVING row (the pre-filter keeps that a win: ~99% of rows
+    never reach the second evaluation), and a non-deterministic predicate
+    could pass the filter yet emit nothing — silently dropping violations."""
     coerced = apply_coercions(df, ruleset)
     checks = compile_checks(coerced, ruleset)
     if not checks:

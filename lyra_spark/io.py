@@ -10,11 +10,22 @@ only by its error message here, by design.
 from __future__ import annotations
 
 import os
+import threading
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lyra_spark.schema import PARTITION_COLUMN
+
+# Serializes the session-global AQE-conf set/restore in write_violations'
+# auto mode: concurrent writers (jobs/validate --concurrency>1) could
+# otherwise read a sibling's temporary value as "previous" and restore it
+# permanently, or flip the conf under a sibling's in-flight write.
+_AQE_FLOOR_LOCK = threading.Lock()
+_AQE_FLOOR_KEY = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+_AQE_FLOOR_VALUE = "64KB"
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 def read_transcripts(spark: SparkSession, uri: str) -> DataFrame:
@@ -58,7 +69,16 @@ def partition_row_counts(path: str, partition_col: str = PARTITION_COLUMN) -> di
     counts: dict[str, int] = {}
     try:
         for d in dirs:
-            key = os.path.basename(d).split("=", 1)[1]
+            raw = os.path.basename(d).split("=", 1)[1]
+            if raw == HIVE_DEFAULT_PARTITION:
+                # NULL partition value: the string key can never match
+                # str(partition value) downstream, so a metadata-backed
+                # verdict would silently report violation_count=0 for it —
+                # fall back to the distributed roll-up instead
+                return None
+            # Hive URL-encodes special characters in directory names; the
+            # downstream match is against str(partition VALUE), so unescape
+            key = urllib.parse.unquote(raw)
             counts[key] = sum(
                 pq.read_metadata(f).num_rows for f in _glob.glob(os.path.join(d, "*.parquet"))
             )
@@ -110,15 +130,24 @@ def write_violations(
         # lets parallelismFirst spread the write over ~defaultParallelism
         # tasks; at real scale partitions are ≫ 1 MB and this is a no-op.
         # Scoped to this write: AQE reads the conf at execution time, and
-        # .parquet() below is eager.
+        # .parquet() below is eager. The conf is SESSION-GLOBAL, so:
+        #   * if it already holds the floor value (a concurrent caller set it
+        #     once up front, as jobs/validate does), write without touching it
+        #     — zero mutation, zero race;
+        #   * otherwise set/restore under a module lock. Concurrent writers
+        #     that skip the pre-set therefore serialize — pre-set the conf
+        #     before a concurrent loop to keep writes parallel.
         conf = violations.sparkSession.conf
-        key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-        prev = conf.get(key, None)
-        conf.set(key, "64KB")
-        try:
+        if conf.get(_AQE_FLOOR_KEY, None) == _AQE_FLOOR_VALUE:
             _write_shaped(shaped, out_dir, partition_col, key_cols)
-        finally:
-            conf.set(key, prev) if prev is not None else conf.unset(key)
+            return
+        with _AQE_FLOOR_LOCK:
+            prev = conf.get(_AQE_FLOOR_KEY, None)
+            conf.set(_AQE_FLOOR_KEY, _AQE_FLOOR_VALUE)
+            try:
+                _write_shaped(shaped, out_dir, partition_col, key_cols)
+            finally:
+                conf.set(_AQE_FLOOR_KEY, prev) if prev is not None else conf.unset(_AQE_FLOOR_KEY)
         return
     elif buckets_per_partition > 1:
         bkt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(int(buckets_per_partition)))

@@ -117,11 +117,11 @@ def run_suite(
     if counts is None:
         verd = compute_verdicts(df, viol, rule_ids, partition_col)
     else:
-        verd = _verdicts_from_metadata(df, viol, rule_ids, partition_col, counts)
+        verd = verdicts_from_metadata(df, viol, rule_ids, partition_col, counts)
     return viol, verd
 
 
-def _verdicts_from_metadata(
+def verdicts_from_metadata(
     df: DataFrame,
     viol: DataFrame,
     rule_ids: list[str],

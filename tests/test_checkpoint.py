@@ -206,12 +206,14 @@ def test_cli_marginal_jobs_per_partition(tmp_path, spark, fixtures_sf0001):
     one = jobs_for("j1", 1)
     two = jobs_for("j2", 2)
     marginal = two - one
-    # Actions per partition: sink write + verdict collect + LOCAL verdict
-    # write (dim broadcast collects ride along). AQE materializes each query
-    # stage as a tracked job, so the action count is amplified ~3x: measured
-    # 13 on this fixed fixture (deterministic). The old loop's sink re-read +
-    # partition rescan for counts added 4+ more — this bound pins the fix.
-    assert marginal <= 13, f"marginal jobs per partition = {marginal}"
+    # Actions per partition: sink write + tiny sink-file verdict aggregate +
+    # LOCAL verdict write (dim broadcast collects ride along). AQE
+    # materializes each query stage as a tracked job, so the action count is
+    # amplified ~3x: measured 10 on this fixed fixture (deterministic) since
+    # the --out verdict roll-up switched to metadata row counts; the former
+    # compute_verdicts partition rescan put it at 13, and the r2 sink re-read
+    # 4+ above that — this bound pins both fixes.
+    assert marginal <= 10, f"marginal jobs per partition = {marginal}"
 
 
 def test_cli_hll_blobs_persist_and_merge(tmp_path, spark, fixtures_sf0001, capsys):
@@ -359,3 +361,62 @@ def test_partition_row_counts_corrupt_footer_falls_back(tmp_path):
     d.mkdir(parents=True)
     (d / "junk.parquet").write_bytes(b"this is not parquet")
     assert lio.partition_row_counts(str(tmp_path)) is None
+
+
+def test_partition_row_counts_unescapes_hive_names(tmp_path, spark):
+    """Hive URL-encodes special chars in partition dir names; metadata counts
+    must key by the partition VALUE (unescaped) so they match
+    str(partition value) downstream. A NULL partition (__HIVE_DEFAULT_
+    PARTITION__) must force the None fallback — a silent violation_count=0
+    verdict for it would be a false pass."""
+    df = spark.createDataFrame(
+        [("a b:c", 1), ("a b:c", 2), ("plain", 3)], "pkey string, v int"
+    )
+    out = str(tmp_path / "esc")
+    df.write.partitionBy("pkey").parquet(out)
+    counts = lio.partition_row_counts(out, partition_col="pkey")
+    assert counts == {"a b:c": 2, "plain": 1}
+
+    dfn = spark.createDataFrame([(None, 1), ("x", 2)], "pkey string, v int")
+    outn = str(tmp_path / "withnull")
+    dfn.write.partitionBy("pkey").parquet(outn)
+    assert lio.partition_row_counts(outn, partition_col="pkey") is None
+
+
+def test_cli_snapshot_id_lineage_roundtrip(tmp_path, spark, fixtures_sf0001):
+    """--snapshot-id is recorded per partition in the manifest and survives a
+    save/load round-trip (Iceberg read-version lineage)."""
+    from jobs.validate import main
+
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path),
+        "--run-id", "snap1",
+        "--limit-partitions", "2",
+        "--snapshot-id", "8172637261",
+    ]
+    assert main(args) == 0
+    mf = ckpt.load_manifest(str(tmp_path), "snap1")
+    assert len(mf.records) == 2
+    assert all(r.snapshot_id == "8172637261" for r in mf.records.values())
+
+
+def test_cli_hll_missing_blobs_warns_not_undercounts(tmp_path, spark, fixtures_sf0001, capsys):
+    """Resuming with --hll-cols over a checkpoint whose earlier partitions
+    completed WITHOUT the flag must warn about the uncovered partitions
+    instead of silently undercounting (and never crash on a missing blob dir)."""
+    from jobs.validate import main
+
+    base = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path),
+        "--run-id", "hmix",
+    ]
+    assert main(base + ["--limit-partitions", "2"]) == 0  # no blobs written
+    capsys.readouterr()
+    assert main(base + ["--limit-partitions", "1", "--hll-cols", "conv_id"]) == 0
+    out = capsys.readouterr().out
+    assert "WARNING: hll blobs missing for 2 completed" in out
+    assert "hll_distinct column=conv_id" in out  # stored-blob estimate still reported
