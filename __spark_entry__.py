@@ -415,12 +415,37 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID distribution per source (rows-only: heuristic)."""
+    """Language-ID distribution per source — FULLY oracle-checked: the oracle
+    re-implements the public heuristic (CJK script range, else argmax stopword
+    overlap with ties to the lexicographically largest language, else 'und')
+    in DuckDB over the same documents, so the driver verifies the operator's
+    exact per-document decisions, not just row counts. Stopword profiles are
+    pure-ASCII so JVM/DuckDB lower() agree on every token that can match."""
     ensure_shipped(spark)
     from lyra_spark.pipeline.text import lang_id
 
     docs = _read(spark, sf_dir, "documents")
     return lang_id(docs).groupBy("source", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + BPE-ish token estimate per language: the web-corpus
+    filter feature block (punct/digit/stopword ratios, mean word length,
+    composite score) aggregated per lang, all pure Catalyst."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import bpe_ish_token_count, quality_score
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feat = quality_score(docs).withColumn("bpe_tokens", bpe_ish_token_count("text"))
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
+        "quality_stats": q_quality_stats,
         "fingerprint": q_fingerprint,
     }
 
@@ -726,6 +752,67 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS fp_consistent
             FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
         """,
-        # lang_id: legitimately heuristic → rows-only check; its n-gram
-        # construction is pinned by tests/test_pipeline.py.
+        # lang_id: the heuristic re-implemented in DuckDB — CJK script range
+        # wins, else argmax stopword overlap over distinct lowered tokens
+        # (ties to the lexicographically LARGEST language, matching Spark's
+        # array_max over struct(score, lang)), else 'und'.
+        "lang_id": """
+            WITH t AS (
+                SELECT source, text,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE list_distinct(string_split_regex(lower(trim(text)), '\\s+')) END AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT source, text,
+                       COALESCE(len(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for'])), 0) AS s_en,
+                       COALESCE(len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu','mit','von'])), 0) AS s_de,
+                       COALESCE(len(list_intersect(toks, ['el','la','de','que','y','en','un','es','por','con'])), 0) AS s_es,
+                       COALESCE(len(list_intersect(toks, ['le','la','de','et','un','est','que','pour','dans','ce'])), 0) AS s_fr
+                FROM t
+            ),
+            p AS (
+                SELECT source,
+                       CASE WHEN text IS NOT NULL AND regexp_matches(text, '[一-鿿]') THEN 'zh'
+                            WHEN GREATEST(s_en, s_de, s_es, s_fr) > 0 THEN
+                                 CASE GREATEST(s_en, s_de, s_es, s_fr)
+                                      WHEN s_fr THEN 'fr' WHEN s_es THEN 'es'
+                                      WHEN s_en THEN 'en' ELSE 'de' END
+                            ELSE 'und' END AS lang_pred
+                FROM s
+            )
+            SELECT source, lang_pred, COUNT(*) AS n FROM p GROUP BY source, lang_pred
+        """,
+        "quality_stats": """
+            WITH t AS (
+                SELECT lang, LENGTH(text) AS n_chars,
+                       CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                       ROUND(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                             / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+                       ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                             / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+                       len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]+|[^\\sa-zA-Z0-9]')) AS bpe_tokens,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(x)))) AS n_stop
+                FROM documents WHERE text IS NOT NULL
+            ),
+            f AS (
+                SELECT lang, punct_ratio, digit_ratio, bpe_tokens,
+                       ROUND(n_stop::DOUBLE / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
+                       ROUND((n_chars - n_tokens + 1)::DOUBLE / GREATEST(n_tokens, 1), 6) AS mean_word_len,
+                       ROUND((LEAST(n_tokens / 20.0, 1.0)
+                              + (1.0 - LEAST(punct_ratio * 5, 1.0))
+                              + (1.0 - LEAST(digit_ratio * 5, 1.0))) / 3.0, 6) AS quality_score
+                FROM t
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
+                   ROUND(AVG(digit_ratio), 6) AS avg_digit_ratio,
+                   ROUND(AVG(stopword_ratio), 6) AS avg_stopword_ratio,
+                   ROUND(AVG(mean_word_len), 6) AS avg_word_len,
+                   ROUND(AVG(quality_score), 6) AS avg_quality,
+                   CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens
+            FROM f GROUP BY lang
+        """,
     }

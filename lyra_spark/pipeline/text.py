@@ -48,7 +48,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     return df.withColumns(
         {
-            "n_chars_m": n_chars,
+            "n_chars": n_chars,
             "n_tokens": n_tokens,
             "punct_ratio": F.round(
                 F.length(F.regexp_replace(c, r"[^\p{Punct}]", "")) / F.greatest(n_chars, F.lit(1)), 6
