@@ -371,6 +371,20 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact-Jaccard pairs (the oracle-proven ngram_jaccard
+    pair set) → alternating-star connected components → (node, component =
+    min doc_id reachable). The oracle computes the same transitive closure
+    with a recursive CTE, so the driver verifies multi-hop merging exactly —
+    the step that turns pair detection into an actual dedup decision."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.9, shingle_k=1)
+    return connected_components(pairs).select("node", "component")
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (computed in double on
     both engines)."""
@@ -382,6 +396,24 @@ def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return brute_force_topk(emb, queries_df, k=10)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN plumbing, oracle-checked EXACTLY: with nprobe = k_centroids
+    the inverted-file path (k-means quantizer → bucketed corpus → probe join →
+    per-query window) must equal brute-force top-k — the buckets partition the
+    corpus, so full probing loses and duplicates nothing. The approximate
+    regime (nprobe ≪ k, recall/candidate bounds) is pinned in
+    tests/test_pipeline.py on a clustered corpus."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = train_ivf_centroids(emb, k=8, iters=5, seed=7)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries_df, cents, k=10, nprobe=8)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,15 +530,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_diff": q_regression_diff,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "simsearch_topk": q_simsearch_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
         "fingerprint": q_fingerprint,
     }
+
+
+_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -665,19 +714,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
                   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
         """,
-        "simsearch_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-            scored AS (
-                SELECT q.query_id, e.vec_id,
-                       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
-                FROM embeddings e CROSS JOIN q
+        "dedup_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang,
+                       list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS ws
+                FROM documents
             ),
-            ranked AS (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
-                FROM scored
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+                      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            reach(node, m) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.node, e.v FROM reach r JOIN edges e ON r.m = e.u
             )
-            SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+            SELECT node, LEAST(node, MIN(m)) AS component FROM reach GROUP BY node
         """,
+        "simsearch_topk": _TOPK_ORACLE,
+        # full-probe IVF ≡ brute force (buckets partition the corpus), so the
+        # exhaustive top-k oracle applies verbatim
+        "ivf_topk": _TOPK_ORACLE,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim

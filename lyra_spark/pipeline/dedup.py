@@ -213,6 +213,106 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- duplicate clusters (connected components) -----------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in the pair graph; component = the
+    smallest node id reachable. This turns near-dup PAIRS into dup GROUPS —
+    the step a real dedup pipeline needs before keeping one representative.
+
+    Alternating large-star / small-star (the public Kiveris et al.
+    "Connected Components in MapReduce and Beyond", SoCC'14 construction):
+    converges in O(log² n) rounds, and each round is a min-aggregate plus an
+    equi-join — NO collect_set, so a 10⁸-node boilerplate hub never
+    materializes a neighbor list in one buffer. Each round localCheckpoints
+    to truncate lineage (an iterative plan would otherwise grow
+    exponentially), and convergence is detected by a (count, hash-sum)
+    signature of the oriented edge set — two tiny aggregates per round.
+    """
+
+    def min_nbr(sym: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u})
+        return sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("u"), F.col("mv")).alias("m")
+        )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        m = min_nbr(sym)
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+        m = min_nbr(oriented)
+        return (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(edges: DataFrame) -> tuple:
+        # bit_xor: order-insensitive and overflow-free under ANSI (the edge
+        # set is distinct, so xor-of-hashes is a sound set signature)
+        row = edges.select(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    nodes = (
+        pairs.select(F.col(id_a).cast("long").alias("node"))
+        .union(pairs.select(F.col(id_b).cast("long").alias("node")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        sig = signature(edges)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    # converged: edges are star edges child(greater) → component-min parent
+    comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS via MinHash-LSH pairs → connected components:
+    (doc_id, cluster_id) for every doc in some near-dup group, cluster_id =
+    the smallest doc id in the group. Keep `min(id) per cluster` (or join
+    back and filter doc_id == cluster_id) to dedup the corpus."""
+    pairs = minhash_near_duplicates(df, text_col, id_col, threshold, num_hashes, bands, shingle_k)
+    return connected_components(pairs).withColumnsRenamed({"node": id_col, "component": "cluster_id"})
+
+
 # --- SimHash --------------------------------------------------------------------
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash per doc — pure Catalyst expressions, zero Python.

@@ -13,6 +13,7 @@ sandbox has no MLlib model persistence needs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +75,136 @@ def all_pairs_above(
 
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------------
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_train: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means (cosine) trained DRIVER-side
+    on a bounded sample — the standard IVF construction (FAISS trains its
+    quantizer on a sample the same way): the centroid table is k×dim floats,
+    tiny by design, while the corpus never leaves the cluster. Returns
+    L2-normalized centroids (k, dim)."""
+    n = df.count()
+    frac = min(1.0, max_train / max(n, 1))
+    sample = df.select(vec_col).sample(False, frac, seed).limit(max_train).collect()
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _centroid_dots(vec_col: str, centroids: np.ndarray) -> Column:
+    return F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c]))
+            for c in centroids
+        ]
+    )
+
+
+def assign_ivf_buckets(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Nearest-centroid bucket id (argmax cosine against normalized
+    centroids). Two map-only paths, same results:
+
+      * k ≤ 64: the dot products unroll as literal Catalyst expressions —
+        whole-stage codegen, zero Python;
+      * k > 64: a vectorized pandas UDF (one Arrow batch matmul + argmax) —
+        at quantizer sizes like k=4096, 4096 unrolled expressions per row
+        stop being codegen-friendly while one BLAS matmul per batch is.
+    """
+    k = len(centroids)
+    if k <= 64:
+        dots = _centroid_dots(vec_col, centroids)
+        # argmax via max-of-(dot, -idx) struct: first occurrence wins ties,
+        # matching numpy argmax
+        best = F.array_max(
+            F.zip_with(
+                dots,
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda d, i: F.struct(d.alias("d"), (-i).alias("ni")),
+            )
+        )
+        return df.withColumn(out_col, (-best["ni"]).cast("int"))
+    cent = centroids.astype(np.float64)
+
+    @F.pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        x = np.asarray(v.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(x @ cent.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors live in their nearest-
+    centroid bucket; each query scores only its ``nprobe`` nearest buckets.
+
+    Candidates per query ≈ nprobe/k_centroids of the corpus — bounded and
+    tunable, never all-pairs; the bucketed corpus can be WRITTEN partitioned
+    by bucket so probes prune at the scan (the inverted-file layout). The
+    query side is tiny and broadcast; probe selection is the same centroid
+    dot array sorted descending, sliced to nprobe — all Catalyst."""
+    from pyspark.sql import Window
+
+    kc = len(centroids)
+    nprobe = min(nprobe, kc)
+    corpus = assign_ivf_buckets(df, centroids, vec_col)
+    dots = _centroid_dots(vec_col, centroids)
+    probe_arr = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dots,
+                    F.sequence(F.lit(0), F.lit(kc - 1)),
+                    lambda d, i: F.struct((-d).alias("nd"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv__"),
+        F.explode(probe_arr).alias("bucket"),
+    )
+    scored = corpus.join(F.broadcast(q), "bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv__")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def assign_lsh_buckets(

@@ -280,3 +280,110 @@ def test_multimodal_frame_sampling(spark):
     counts = pdf.groupby("media_id").size().to_dict()
     for mid, nf in meta.items():
         assert counts.get(mid, 0) == (nf + 9) // 10
+
+
+# --- duplicate clusters (connected components) -------------------------------------
+def _uf_components(n_edges):
+    """Driver-side union-find ground truth: {node: min-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 200, 150), (3, 500, 520)])
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
+    import random
+
+    rnd = random.Random(seed)
+    edges = {(rnd.randrange(n_nodes), rnd.randrange(n_nodes)) for _ in range(n_edges)}
+    edges = {(a, b) for a, b in edges if a != b}
+    df = spark.createDataFrame([(a, b) for a, b in sorted(edges)], "id_a long, id_b long")
+    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_long_chain_and_star(spark):
+    """Worst cases: a 64-node path (max diameter — needs the O(log² n)
+    star contraction, not 1-hop min propagation) and a hub star whose center
+    is the LARGEST id (min must flow against the orientation)."""
+    chain = [(i, i + 1) for i in range(63)]
+    hub = [(1000, 900 + i) for i in range(50)]
+    edges = chain + hub
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    assert got == _uf_components(set(edges))
+    assert all(got[i] == 0 for i in range(64))
+    assert all(got[900 + i] == 900 for i in range(50)) and got[1000] == 900
+
+
+def test_dedup_clusters_multi_hop(spark):
+    """A~B and B~C above threshold but A~C below must still cluster together
+    (pairs alone under-merge; components close the chain)."""
+    base = "red blue green yellow purple orange black white pink brown"
+    mid = base.replace("red", "cyan")              # 9/11 ≈ 0.82 jaccard vs base
+    far = mid.replace("blue", "lime")              # 9/11 vs mid, 8/12 ≈ 0.67 vs base
+    df = spark.createDataFrame(
+        [(10, base), (11, mid), (12, far), (13, "totally unrelated content here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(df, threshold=0.75, shingle_k=1).collect()}
+    assert got == {10: 10, 11: 10, 12: 10}
+
+
+# --- IVF ANN -----------------------------------------------------------------------
+def test_assign_ivf_buckets_both_paths_match_numpy(spark):
+    """The codegen expression path (k<=64) and the Arrow pandas-UDF path
+    (k>64) must both reproduce numpy's argmax bucket exactly."""
+    rng = np.random.default_rng(9)
+    vecs_np = rng.standard_normal((300, 8))
+    cent70 = rng.standard_normal((70, 8))
+    cent70 /= np.linalg.norm(cent70, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs_np)],
+        "vec_id long, embedding array<double>",
+    )
+    for cent in (cent70[:16], cent70):  # expression path, then pandas path
+        got = {
+            r.vec_id: r.bucket
+            for r in similarity.assign_ivf_buckets(df, cent).collect()
+        }
+        want = np.argmax(vecs_np @ cent.T, axis=1)
+        assert got == {i: int(want[i]) for i in range(len(vecs_np))}
+
+
+def test_ivf_topk_recall_on_clustered_corpus(spark):
+    """IVF with nprobe=2 over a clustered corpus: ≥ 0.9 of brute-force top-3
+    neighbors recovered, scoring only ~nprobe/k of the corpus per query."""
+    rng = np.random.default_rng(21)
+    kc, per, dim = 8, 250, 16
+    # orthonormal center directions: angularly separated, so the spherical
+    # k-means quantizer can recover one bucket per planted cluster
+    centers = np.linalg.qr(rng.standard_normal((dim, dim)))[0][:kc] * 4
+    base = np.concatenate([centers[c] + 0.5 * rng.standard_normal((per, dim)) for c in range(kc)])
+    n = len(base)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.train_ivf_centroids(df, k=kc, iters=10, seed=4)
+    queries = df.filter("vec_id % 100 = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(df, queries, k=3).collect()
+    approx = similarity.ivf_topk(df, queries, cents, k=3, nprobe=2).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.9
+    # candidate bound: each query's probed buckets hold ≪ n corpus vectors
+    bucketed = similarity.assign_ivf_buckets(df, cents)
+    sizes = {r.bucket: r.cnt for r in bucketed.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert max(sizes.values()) * 2 < 0.6 * n  # 2 probes of the biggest bucket ≪ corpus
