@@ -105,3 +105,42 @@ def test_violation_emit_prefilter_below_generate(spark, fixtures_sf0001):
         # null guard
         fline = below[below.index("Filter"):].splitlines()[0]
         assert " OR " in fline, p
+
+
+def test_simhash_probe_join_is_smj_when_big(spark, fixtures_sf0001):
+    """The SimHash candidate join (probe side × exact side on (ci, cv)) is a
+    big-big self-join at corpus scale: with broadcast off it must plan as
+    SortMergeJoin on the block keys — the id inequality rides along as a join
+    condition, never degrading to a nested-loop or cartesian plan — in both
+    the radius-0 (exact) and radius-1 (multi-probe) regimes."""
+    from lyra_spark.pipeline.dedup import simhash_candidate_pairs
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    hashes = tdf.limit(500).select(F.xxhash64("conv_id", "turn_idx").alias("doc_id")).select(
+        "doc_id", F.xxhash64("doc_id").alias("simhash")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for mh in (3, 7):  # exact blocking, then multi-probe blocking
+            p = plan_str(simhash_candidate_pairs(hashes, max_hamming=mh))
+            assert "SortMergeJoin" in p, f"max_hamming={mh}"
+            assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_connected_components_rounds_stay_bounded(spark):
+    """Each CC round localCheckpoints: the logical plan of round i must not
+    grow with i (an uncheckpointed iterative plan doubles per round and
+    eventually overwhelms the optimizer at web scale)."""
+    from lyra_spark.pipeline.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df)
+    # the returned frame's plan derives from a checkpointed RDD scan, not the
+    # full iteration history
+    p = plan_str(out, "extended")
+    assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan ExistingRDD" in p
+    assert p.count("Join") < 10
