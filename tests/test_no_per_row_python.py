@@ -20,8 +20,10 @@ FORBIDDEN = [
 # collect() is legitimate only on tiny frames (sketch blobs, partition lists,
 # small-dimension value lists inlined as enum literals in fused.py, the
 # (partitions × rules) violation-count aggregate behind presets.py's
-# metadata-backed verdict grid)
-COLLECT_ALLOWED = {"drift.py", "io.py", "fused.py", "presets.py"}
+# metadata-backed verdict grid, dedup.py's 1-row connected-components
+# convergence signature, and similarity.py's IVF quantizer training sample —
+# bounded by max_train by construction)
+COLLECT_ALLOWED = {"drift.py", "io.py", "fused.py", "presets.py", "dedup.py", "similarity.py"}
 
 # Per-row iteration inside Arrow batches is the hidden flavor of the same
 # anti-pattern (a pandas UDF whose body loops rows is per-row Python with
