@@ -480,6 +480,51 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing, oracle-checked: documents' text UTF-8-
+    encodes into an opaque binary content column (the media stand-in), flows
+    through the REAL mapInPandas featurize path (Arrow binary batches →
+    Python bytes → features), and the engine-agnostic outputs — byte counts
+    per kind — must match DuckDB's octet_length(encode(text)) exactly. This
+    pins the binary column schema, the Arrow crossing, and batch integrity;
+    the codec itself stays the documented deterministic stub."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.multimodal import extract_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+    )
+
+
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (pure Catalyst sequence+explode),
+    oracle-checked against DuckDB generate_series: every 10th frame index of
+    synthetic per-video frame counts derived from doc_id."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.multimodal import sample_frames
+
+    docs = _read(spark, sf_dir, "documents")
+    vids = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct((F.col("doc_id") % 97 + 1).cast("int").alias("n_frames")).alias("meta"),
+    )
+    out = sample_frames(vids, every_n=10)
+    return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-fingerprint INVARIANCE property, oracle-checked: normalization-
     equal docs (case/whitespace perturbations planted on every 7th doc) must
@@ -539,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
+        "multimodal_features": q_multimodal_features,
+        "frame_sampling": q_frame_sampling,
         "fingerprint": q_fingerprint,
     }
 
@@ -802,6 +849,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
             FROM t a JOIN t b ON a.n = b.n AND a.doc_id < b.doc_id
+        """,
+        "multimodal_features": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   COUNT(*) AS n_media,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   ROUND(AVG(octet_length(encode(text))), 6) AS avg_bytes
+            FROM documents WHERE text IS NOT NULL GROUP BY 1
+        """,
+        "frame_sampling": """
+            SELECT doc_id AS media_id,
+                   UNNEST(generate_series(0, (doc_id % 97 + 1) - 1, 10)) AS frame_idx
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "fingerprint": """
             WITH corpus AS (
