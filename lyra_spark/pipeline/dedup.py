@@ -95,17 +95,28 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
     Permutation i is xxhash64(seed=i, shingle); min over the shingle set is
     the classic one-permutation-per-seed MinHash. Zero shuffles, zero Python.
     """
-    shingles = word_shingles(text_col, shingle_k)
+    # Materialize the shingle array's base hashes ONCE per row in their own
+    # projection. Referencing the raw word_shingles expression from all 64
+    # permutation arms re-evaluates the regexp/split/slice/array_distinct
+    # pipeline 64x per row (higher-order lambdas run interpreted, outside
+    # codegen CSE) — measured ~100x slower than this two-step form.
+    # CollapseProject will NOT inline `_mh_hs` back into the arms: the
+    # producing expression is non-cheap and referenced 64 times.
+    base = df.withColumn(
+        "_mh_hs", F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+    )
 
     # Closure factory, NOT `lambda s, i=i`: pyspark's transform() treats a
     # two-parameter lambda as (element, array_index) and binds the INDEX to
     # the second parameter — which silently collapsed all 64 permutations
-    # into one position-seeded hash function.
+    # into one position-seeded hash function. Permutation i re-mixes the
+    # per-shingle base hash with seed i (a hash of a hash is still a uniform
+    # MinHash family; the string is hashed once instead of 64 times).
     def perm(i: int):
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+        return F.array_min(F.transform(F.col("_mh_hs"), lambda h: F.xxhash64(F.lit(i), h)))
 
     sig = F.array(*[perm(i) for i in range(num_hashes)])
-    return df.withColumn("minhash", sig)
+    return base.withColumn("minhash", sig).drop("_mh_hs")
 
 
 def lsh_candidate_pairs(
