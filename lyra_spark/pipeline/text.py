@@ -105,10 +105,16 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5, out_c
     xxhash64, keeps the minimum — a 1-perm MinHash, stable under reordering of
     surrounding corpus and cheap enough for a 100 TB pass (pure codegen)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    shingles = F.when(n >= shingle_k, F.transform(
-        F.sequence(F.lit(0), n - shingle_k),
-        lambda i: F.array_join(F.slice(toks, i + 1, shingle_k), " "),
-    )).otherwise(F.array(norm))
-    return df.withColumn(out_col, F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))))
+
+    # Token array bound once as a lambda variable (one-element transform =
+    # Catalyst `let`); slicing a named split expression inside the
+    # per-position lambda re-runs regexp+split per shingle (~8x slower).
+    def min_hash(tk: Column) -> Column:
+        n = F.size(tk)
+        shingles = F.when(n >= shingle_k, F.transform(
+            F.sequence(F.lit(0), n - shingle_k),
+            lambda i: F.array_join(F.slice(tk, i + 1, shingle_k), " "),
+        )).otherwise(F.array(F.array_join(tk, " ")))
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+
+    return df.withColumn(out_col, F.transform(F.array(F.split(norm, " ")), min_hash)[0])
