@@ -392,10 +392,13 @@ def simhash_candidate_pairs(
     hash_col: str = "simhash",
     max_hamming: int = 3,
     chunks: int | None = None,
+    filter_within: int | None = None,
 ) -> DataFrame:
-    """Blocked candidate pairs (id_a, id_b, hamming) — UNfiltered by hamming,
-    so callers (and the candidate-bound test) see exactly what the blocking
-    emits. Guaranteed to contain every pair within ``max_hamming`` bits.
+    """Blocked candidate pairs (id_a, id_b, hamming) — UNfiltered by hamming
+    by default, so callers (and the candidate-bound test) see exactly what
+    the blocking emits. Guaranteed to contain every pair within
+    ``max_hamming`` bits. ``filter_within`` applies the hamming cutoff
+    map-side before the dedup exchange (the near-duplicates fast path).
 
     Blocking, following the public Manku–Jain–Das Sarma construction
     ("Detecting Near-Duplicates for Web Crawling", WWW'07) adapted to a
@@ -451,17 +454,25 @@ def simhash_candidate_pairs(
         )
     a, b = probes.alias("a"), exact.alias("b")
     xor = F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
-    return (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), xor.alias("x"))
-        .distinct()
-        .select("id_a", "id_b", F.bit_count("x").alias("hamming"))
+    joined = a.join(
+        b,
+        (F.col("a.ci") == F.col("b.ci"))
+        & (F.col("a.cv") == F.col("b.cv"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.bit_count(xor).alias("hamming"),
     )
+    if filter_within is not None:
+        # Map-side, BEFORE the distinct exchange: on dup-heavy corpora the
+        # blocking can emit tens of duplicate candidates per true pair
+        # (chunks x probe variants), and shuffling them all just to dedup
+        # rows the hamming filter discards anyway dominates the stage.
+        joined = joined.filter(F.col("hamming") <= filter_within)
+    # hamming is a function of the pair, so distinct on all three columns
+    # deduplicates exactly by (id_a, id_b)
+    return joined.distinct()
 
 
 def simhash_near_duplicates(
@@ -474,6 +485,12 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs within ``max_hamming`` bits: hash (pure
     Catalyst) → blocked candidates (see simhash_candidate_pairs for the
     scale analysis and recall guarantee) → exact hamming filter."""
-    with_h = simhash(df, text_col).select(id_col, "simhash")
-    cands = simhash_candidate_pairs(with_h, id_col, "simhash", max_hamming, chunks)
-    return cands.filter(F.col("hamming") <= max_hamming)
+    # Lazy localCheckpoint: the probe and exact sides of the candidate join
+    # are DIFFERENT subtrees over the signatures (multi-probe adds an
+    # explode), so without materialization each side re-runs the text scan
+    # and the 64-wide vote aggregate — measured 4x slower. Signatures are
+    # (id, int64): tiny to pin in the block manager even at corpus scale.
+    with_h = simhash(df, text_col).select(id_col, "simhash").localCheckpoint(eager=False)
+    return simhash_candidate_pairs(
+        with_h, id_col, "simhash", max_hamming, chunks, filter_within=max_hamming
+    )
