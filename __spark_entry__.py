@@ -554,6 +554,38 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-2/3-gram fractions, top-
+    2-gram fraction, repetitive flag) per document — explode + two-level
+    hash aggregation, fully SQL-expressible for the oracle."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import repetition_features
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    return repetition_features(docs)
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (GPT-3 appendix-C n-gram overlap rule):
+    corpus docs sharing any word 8-gram with a 'benchmark' split (sources
+    src0-src3 stand in for an eval set). Benchmark side broadcast; the corpus
+    side never shuffles before the overlap count."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import ngram_overlap_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    bench = docs.filter(F.col("source").isin(*BENCH_SOURCES))
+    corpus = docs.filter(~F.col("source").isin(*BENCH_SOURCES))
+    return ngram_overlap_pairs(corpus, bench, n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -587,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sampling": q_frame_sampling,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "decontamination": q_decontamination,
     }
 
 
@@ -937,5 +971,61 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(quality_score), 6) AS avg_quality,
                    CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens
             FROM f GROUP BY lang
+        """,
+        # repetition_stats: Gopher repetition fractions re-derived with
+        # unnest + two-level grouping (docs with < n words carry no n-grams)
+        "repetition_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+                FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)), i ->
+                              ws[i] || ' ' || ws[i+1])) AS g
+                FROM d WHERE len(ws) >= 2
+            ),
+            g3 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 1), i ->
+                              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+                FROM d WHERE len(ws) >= 3
+            ),
+            c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+            c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+            a2 AS (
+                SELECT doc_id,
+                       ROUND((SUM(c) - COUNT(*)) / SUM(c), 6) AS dup_2gram_frac,
+                       ROUND(MAX(c) / SUM(c), 6) AS top_2gram_frac
+                FROM c2 GROUP BY 1
+            ),
+            a3 AS (
+                SELECT doc_id, ROUND((SUM(c) - COUNT(*)) / SUM(c), 6) AS dup_3gram_frac
+                FROM c3 GROUP BY 1
+            )
+            SELECT a2.doc_id, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
+                   (top_2gram_frac > 0.18 OR dup_3gram_frac > 0.30) AS flag_repetitive
+            FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+        """,
+        # decontamination: distinct word 8-grams per doc on both splits,
+        # joined on the gram, counted per (corpus doc, benchmark doc)
+        "decontamination": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+                FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            g AS (
+                SELECT doc_id, source,
+                       unnest(list_distinct(list_transform(range(1, len(ws) - 6), i ->
+                              list_aggregate(ws[i:i+7], 'string_agg', ' ')))) AS gram
+                FROM d WHERE len(ws) >= 8
+            )
+            SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS shared_ngrams
+            FROM g c JOIN g b ON c.gram = b.gram
+            WHERE c.source NOT IN ('src0', 'src1', 'src2', 'src3')
+              AND b.source IN ('src0', 'src1', 'src2', 'src3')
+            GROUP BY 1, 2
         """,
     }

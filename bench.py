@@ -102,6 +102,8 @@ def main() -> None:
         "quality_stats",
         "lang_id",
         "fingerprint",
+        "repetition_stats",
+        "decontamination",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

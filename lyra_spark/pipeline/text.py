@@ -118,3 +118,97 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5, out_c
         return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
 
     return df.withColumn(out_col, F.transform(F.array(F.split(norm, " ")), min_hash)[0])
+
+
+# --- repetition & decontamination -------------------------------------------------
+def _word_ngrams(text_col: str, n: int, distinct: bool = True) -> Column:
+    """Word n-grams of the normalized text; EMPTY array for docs shorter than
+    n words (a short doc cannot contain an n-gram — unlike word_shingles'
+    whole-text fallback, which exists for MinHash signatures). Token array is
+    bound once as a lambda variable (see dedup.word_shingles)."""
+    def from_toks(tk: Column) -> Column:
+        cnt = F.size(tk) - n + 1
+        grams = F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        )
+        if distinct:
+            grams = F.array_distinct(grams)
+        return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.transform(F.array(F.split(norm, " ")), from_toks)[0]
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 "repetition removal", public): the fraction of
+    n-gram occurrences that are repeats and the fraction taken by the single
+    most frequent 2-gram. Boilerplate/looping generations score high.
+
+    One explode + two-level hash aggregation (partial map-side combine does
+    the heavy lifting; the shuffle key (doc, gram) is naturally well-spread —
+    a hot DOCUMENT does not make a hot KEY). dup_3gram_frac rides the same
+    shape. Rows with < n words carry no n-grams and are excluded, matching
+    the usual filter semantics."""
+    g2 = df.select(F.col(id_col), F.explode(_word_ngrams(text_col, 2, distinct=False)).alias("g"))
+    g3 = df.select(F.col(id_col), F.explode(_word_ngrams(text_col, 3, distinct=False)).alias("g"))
+
+    def frac(gr: DataFrame, prefix: str, with_top: bool) -> DataFrame:
+        per_gram = gr.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        aggs = [
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("distinct_"),
+        ]
+        if with_top:
+            aggs.append(F.max("c").alias("top"))
+        out = per_gram.groupBy(id_col).agg(*aggs)
+        cols = [
+            F.col(id_col),
+            F.round((F.col("total") - F.col("distinct_")) / F.col("total"), 6).alias(
+                f"dup_{prefix}_frac"
+            ),
+        ]
+        if with_top:
+            cols.append(F.round(F.col("top") / F.col("total"), 6).alias(f"top_{prefix}_frac"))
+        return out.select(*cols)
+
+    two = frac(g2, "2gram", with_top=True)
+    three = frac(g3, "3gram", with_top=False)
+    return (
+        two.join(three, id_col, "inner")
+        .withColumn(
+            "flag_repetitive",
+            (F.col("top_2gram_frac") > 0.18) | (F.col("dup_3gram_frac") > 0.30),
+        )
+    )
+
+
+def ngram_overlap_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test DECONTAMINATION: (corpus doc, benchmark doc, shared n-gram
+    count) for every corpus doc sharing at least one word n-gram with a
+    benchmark doc — the public GPT-3 appendix-C / PaLM 13-gram overlap rule.
+
+    Plan shape for 100 TB corpora: both sides explode their DISTINCT n-grams;
+    the benchmark side (eval sets — thousands of docs) is broadcast, so the
+    corpus side never shuffles — one map-side join pass over the corpus, then
+    a (corpus_id, bench_id) count. Joining on the gram STRING keeps the op
+    oracle-exact; at PB scale swap the key for xxhash64(gram) (collisions
+    2^-64 — decontamination over-removal, never under-removal, if verified)."""
+    cg = corpus.select(F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram"))
+    bg = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.explode(_word_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )

@@ -387,3 +387,42 @@ def test_ivf_topk_recall_on_clustered_corpus(spark):
     bucketed = similarity.assign_ivf_buckets(df, cents)
     sizes = {r.bucket: r.cnt for r in bucketed.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
     assert max(sizes.values()) * 2 < 0.6 * n  # 2 probes of the biggest bucket ≪ corpus
+
+
+# --- repetition & decontamination -------------------------------------------------
+def test_repetition_features_flags_looping_text(spark):
+    rows = [
+        (0, "buy now " * 30),                      # one 2-gram dominates
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "one"),                                # < 2 words: no 2-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.repetition_features(df).collect()}
+    assert 2 not in got                            # too short to carry n-grams
+    assert got[0].flag_repetitive and got[0].top_2gram_frac > 0.4
+    assert not got[1].flag_repetitive and got[1].dup_3gram_frac == 0.0
+    # "buy now buy now ..." : 59 bigrams, 2 distinct
+    assert abs(got[0].dup_2gram_frac - 57 / 59) < 1e-6
+
+
+def test_ngram_overlap_decontaminates_planted_copy(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows_bench = [(100, bench_text)]
+    rows_corpus = [
+        (0, "prefix words " + bench_text + " suffix words"),  # contains bench 8-grams
+        (1, "totally unrelated words about spark shuffles and broadcast joins here"),
+        (2, "alpha beta gamma"),                              # < 8 words: never matches
+    ]
+    bench = spark.createDataFrame(rows_bench, "doc_id long, text string")
+    corpus = spark.createDataFrame(rows_corpus, "doc_id long, text string")
+    got = {(r.doc_id, r.bench_id): r.shared_ngrams for r in
+           text.ngram_overlap_pairs(corpus, bench, n=8).collect()}
+    # bench has 3 distinct 8-grams; doc 0 contains all of them
+    assert got == {(0, 100): 3}
+
+
+def test_ngram_overlap_benchmark_side_broadcast(spark):
+    bench = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "a b c d e f g h i j")], "doc_id long, text string")
+    plan = text.ngram_overlap_pairs(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
