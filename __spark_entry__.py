@@ -586,6 +586,46 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_pairs(corpus, bench, n=8)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing oracle-checked on PLANTED identifiers: every 5th doc
+    gets an email and every 7th an IPv4 appended; the scrub's counts and the
+    sha256 of the redacted text are compared exactly (patterns are valid in
+    both Java regex and RE2, see pipeline/text.py PII_PATTERNS)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.1."),
+                    (F.col("doc_id") % 250 + 1).cast("string"),
+                    F.lit(".9"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = pii_scrub(planted)
+    return scrubbed.filter((F.col("n_email") > 0) | (F.col("n_ipv4") > 0)).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        F.sha2("text_redacted", 256).alias("redacted_hash"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -621,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1027,5 +1068,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.source NOT IN ('src0', 'src1', 'src2', 'src3')
               AND b.source IN ('src0', 'src1', 'src2', 'src3')
             GROUP BY 1, 2
+        """,
+        # pii_scrub: identical planting + RE2-compatible patterns, redaction
+        # applied in the same order (email, then ipv4)
+        "pii_scrub": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' host 10.1.' || (doc_id % 250 + 1)::VARCHAR || '.9'
+                               ELSE '' END AS text
+                FROM documents WHERE text IS NOT NULL
+            ),
+            s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                       len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                       regexp_replace(
+                           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[REDACTED]', 'g') AS red
+                FROM planted
+            )
+            SELECT doc_id, n_email, n_ipv4, sha256(red) AS redacted_hash
+            FROM s WHERE n_email > 0 OR n_ipv4 > 0
         """,
     }

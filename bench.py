@@ -104,6 +104,7 @@ def main() -> None:
         "fingerprint",
         "repetition_stats",
         "decontamination",
+        "pii_scrub",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

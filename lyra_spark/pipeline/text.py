@@ -212,3 +212,39 @@ def ngram_overlap_pairs(
         .groupBy(id_col, "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+# --- PII scrubbing -----------------------------------------------------------------
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB
+# oracle): no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[REDACTED]",
+) -> DataFrame:
+    """Per-document PII detection counts + redacted text (the standard
+    pre-training scrub pass: emails, IPv4s; extend via ``patterns``).
+
+    Pure Catalyst regexp chains — map-only, codegen, no shuffle; at 100 TB
+    this runs at scan speed alongside any other per-row pass."""
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    out = df
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.when(c.isNull(), F.lit(0)).otherwise(
+                F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+            ),
+        )
+    red = c
+    for pat in pats.values():
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn(f"{text_col}_redacted", red)

@@ -426,3 +426,17 @@ def test_ngram_overlap_benchmark_side_broadcast(spark):
     corpus = spark.createDataFrame([(2, "a b c d e f g h i j")], "doc_id long, text string")
     plan = text.ngram_overlap_pairs(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = [
+        (0, "mail a.b+c@ex-ample.org and 192.168.1.254 twice: x@y.io"),
+        (1, "clean text"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert got[0].n_email == 2 and got[0].n_ipv4 == 1
+    assert "@" not in got[0].text_redacted and "192" not in got[0].text_redacted
+    assert got[1].n_email == 0 and got[1].text_redacted == "clean text"
+    assert got[2].n_email == 0 and got[2].text_redacted is None
