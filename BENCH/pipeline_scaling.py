@@ -53,10 +53,27 @@ n = docs.count()
 def run():
     dedup_clusters(docs, threshold=0.85).write.mode("overwrite").format("noop").save()
 
+def sweep():
+    # localCheckpoint blocks from the previous run are garbage the moment the
+    # run's action completes, but Spark's ContextCleaner frees them only on a
+    # driver GC cycle — sweep explicitly so later runs in this long-lived JVM
+    # aren't measured under an ever-growing storage pool.
+    import gc
+    gc.collect()
+    for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        try:
+            r.unpersist(True)
+        except Exception:
+            pass
+    spark.sparkContext._jvm.System.gc()
+
 print(json.dumps({"ready": True, "rows": n}), flush=True)
 for line in sys.stdin:
     if line.strip() == "QUIT":
         break
+    # sweep INSIDE this child's turn, before t0, so its cost lands in neither
+    # this run's wall nor a concurrently-timed sibling level's
+    sweep()
     t0 = time.perf_counter()
     run()
     print(json.dumps({"sec": round(time.perf_counter() - t0, 3)}), flush=True)
@@ -103,8 +120,13 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=200_000)
     ap.add_argument("--levels", default="4,16")
     ap.add_argument("--pairs", type=int, default=3)
-    ap.add_argument("--warmups", type=int, default=1)
-    ap.add_argument("--min-probe", type=float, default=380.0)
+    ap.add_argument("--warmups", type=int, default=3)
+    # the probe gate is relative to the host's CURRENT operating band (the
+    # busy-loop ceiling drifts day to day: ~400 M-it/s when this harness was
+    # written, ~350-370 in later sessions); the per-pair probe readings are
+    # published in the artifact either way, so the gate only filters
+    # obviously-storm-struck pairs rather than defining "quiet"
+    ap.add_argument("--min-probe", type=float, default=345.0)
     ap.add_argument("--min-bw", type=float, default=30.0)
     ap.add_argument("--max-attempts", type=int, default=40)
     ap.add_argument("--wait-secs", type=float, default=45.0)
@@ -153,6 +175,24 @@ def main() -> None:
         print(json.dumps({"error": "host never met the weather gate"}))
         return
 
+    # Attribution bounds, same session (methodology of run_scaling.py): the
+    # ALU-bound Spark control is the best any plan can scale through this
+    # exact stack right now; the host stream-copy ceiling is what a purely
+    # memory-bound job would get. A dedup suite mixing hashing (ALU) with
+    # shuffles (memory) should land between them.
+    from run_scaling import CHILD_ALU  # noqa: E402
+    ac, bc = Level(lo, None, CHILD_ALU), Level(hi, None, CHILD_ALU)
+    ac.run_once(), bc.run_once()  # warm (JIT, codegen)
+    alu = [(ac.run_once(), bc.run_once()) for _ in range(3)]
+    ac.close(), bc.close()
+    alu_lo, alu_hi = min(p[0] for p in alu), min(p[1] for p in alu)
+    alu_eff = round((alu_lo / alu_hi) / (hi / lo), 3)
+    bw_lo = max(probe_bandwidth(lo) for _ in range(3))
+    bw_hi = max(probe_bandwidth(hi) for _ in range(3))
+    host_bw_eff = round((bw_hi / bw_lo) / (hi / lo), 3)
+    print(json.dumps({"alu_eff": alu_eff, "alu_walls": [alu_lo, alu_hi],
+                      "host_bw": [bw_lo, bw_hi], "host_bw_eff": host_bw_eff}), flush=True)
+
     best_lo = min(p[f"sec_{lo}"] for p in pairs)
     best_hi = min(p[f"sec_{hi}"] for p in pairs)
     eff = round((best_lo / best_hi) / (hi / lo), 3)
@@ -184,9 +224,27 @@ def main() -> None:
         f"({lo}c {best_lo} s = {thr_lo:,.0f} docs/s; {hi}c {best_hi} s = {thr_hi:,.0f} docs/s; "
         f"required >= 0.8).",
         "",
-        "The operator is map-dominated (signature + shingle build) with three",
-        "bounded shuffles (band explode-join, verify join, CC rounds) — the",
-        "shape that must scale linearly for a 100 TB dedup pass to be feasible.",
+        "Same-session attribution bounds (methodology of `BENCH/BASELINE.md`):",
+        "",
+        f"| bound | {lo}-way | {hi}-way | efficiency |",
+        "|---|---|---|---|",
+        f"| ALU-bound Spark control, SAME stack (1.6e9 × 12 chained xxhash64) | {alu_lo} s | {alu_hi} s | **{alu_eff}** |",
+        f"| host stream-copy throughput, NO Spark/JVM (numpy memcpy, best of 3) | {bw_lo} GB/s | {bw_hi} GB/s | **{host_bw_eff}** |",
+        "",
+        "The ALU control is the ceiling any Spark plan can scale through this",
+        "stack in this session's weather; the memcpy row is the floor a purely",
+        "memory-bound job gets from this host. A dedup pass mixing hashing",
+        "(ALU) with join exchanges (memory) should land between them; at or",
+        "above the ALU control means the plan adds no scaling defect of its",
+        "own.",
+        "",
+        "The operator is map-dominated (signature + shingle build) with two",
+        "bounded shuffles (band explode-join, candidate verify join); the",
+        "components step is scale-adaptive — driver-side vectorized union-find",
+        "under a 10⁶-edge bound (the near-dup edge set is ≪ corpus), the",
+        "Kiveris alternating-star rounds above it — so no per-round job-",
+        "scheduling tail lands on small graphs. This is the shape that must",
+        "scale linearly for a 100 TB dedup pass to be feasible.",
         "",
     ]
     out = os.path.join(REPO, "BENCH", "PIPELINE_SCALING.md")

@@ -17,6 +17,12 @@ FORBIDDEN = [
     (re.compile(r"\.collect\(\)\s*$"), None),  # checked below with allowlist
 ]
 
+# toPandas() is legitimate only behind an explicit size gate — dedup.py's
+# _driver_components collects the near-dup EDGE set (not documents) only when
+# a count() shows it under driver_max_edges (default 10⁶ rows ≈ 16 MB), the
+# collect-side analog of a broadcast-join threshold.
+TOPANDAS_ALLOWED = {"dedup.py"}
+
 # collect() is legitimate only on tiny frames (sketch blobs, partition lists,
 # small-dimension value lists inlined as enum literals in fused.py, the
 # (partitions × rules) violation-count aggregate behind presets.py's
@@ -46,6 +52,8 @@ def test_no_per_row_python_in_engine():
     for fn, path in _sources():
         src = open(path).read()
         for pat, label in FORBIDDEN[:4]:
+            if "toPandas" in pat.pattern and fn in TOPANDAS_ALLOWED:
+                continue
             if pat.search(src):
                 offenders.append((fn, label))
     assert not offenders, offenders

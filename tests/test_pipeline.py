@@ -301,27 +301,38 @@ def _uf_components(n_edges):
     return {x: find(x) for x in parent}
 
 
+@pytest.mark.parametrize("driver_max_edges", [0, 1_000_000])  # distributed / driver path
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 200, 150), (3, 500, 520)])
-def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges, driver_max_edges):
+    """Both paths of the scale-adaptive hybrid must match a reference
+    union-find (and therefore each other) on random graphs."""
     import random
 
     rnd = random.Random(seed)
     edges = {(rnd.randrange(n_nodes), rnd.randrange(n_nodes)) for _ in range(n_edges)}
     edges = {(a, b) for a, b in edges if a != b}
     df = spark.createDataFrame([(a, b) for a, b in sorted(edges)], "id_a long, id_b long")
-    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(df, driver_max_edges=driver_max_edges).collect()
+    }
     assert got == _uf_components(edges)
 
 
-def test_connected_components_long_chain_and_star(spark):
+@pytest.mark.parametrize("driver_max_edges", [0, 1_000_000])
+def test_connected_components_long_chain_and_star(spark, driver_max_edges):
     """Worst cases: a 64-node path (max diameter — needs the O(log² n)
-    star contraction, not 1-hop min propagation) and a hub star whose center
-    is the LARGEST id (min must flow against the orientation)."""
+    star contraction / pointer halving, not 1-hop min propagation) and a hub
+    star whose center is the LARGEST id (min must flow against the
+    orientation). Run on both hybrid paths."""
     chain = [(i, i + 1) for i in range(63)]
     hub = [(1000, 900 + i) for i in range(50)]
     edges = chain + hub
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(df, driver_max_edges=driver_max_edges).collect()
+    }
     assert got == _uf_components(set(edges))
     assert all(got[i] == 0 for i in range(64))
     assert all(got[900 + i] == 900 for i in range(50)) and got[1000] == 900

@@ -138,7 +138,7 @@ def test_connected_components_rounds_stay_bounded(spark):
 
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(df)
+    out = connected_components(df, driver_max_edges=0)  # pin the distributed path
     # the returned frame's plan derives from a checkpointed RDD scan, not the
     # full iteration history
     p = plan_str(out, "extended")
