@@ -626,6 +626,76 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup, oracle-checked on PLANTED boilerplate:
+    every 3rd doc gets a license banner line, every 4th a navigation line
+    (both appear corpus-wide → removed), every 11th a doc-unique footer
+    (appears once → survives). Exact-duplicate full docs (planted by the
+    fixture) also dedup as whole lines — faithful C4 behavior. Compares
+    n_lines_removed and the sha256 of the scrubbed text exactly."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import scrub_duplicate_lines
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nall rights reserved example corp"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nnavigation home about contact"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit("\nunique footer "), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_duplicate_lines(planted, min_docs=2)
+    return out.filter(F.col("n_lines_removed") > 0).select(
+        "doc_id",
+        "n_lines_removed",
+        F.sha2("text_scrubbed", 256).alias("scrubbed_hash"),
+    )
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats on PLANTED urls (every 4th doc links one of 20
+    sites, every 6th a CDN asset): (domain, n_docs, n_urls) — the aggregation
+    behind domain-level filtering (blocklists, per-domain caps)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import domain_stats
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.org/p"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" ref http://cdn.example.net/assets?q="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_stats(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -662,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
+        "url_stats": q_url_stats,
     }
 
 
@@ -1094,5 +1166,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_email, n_ipv4, sha256(red) AS redacted_hash
             FROM s WHERE n_email > 0 OR n_ipv4 > 0
+        """,
+        # line_dedup: identical planting; dup membership decided by the line
+        # STRING here vs xxhash64(line) in Spark — equivalent modulo 64-bit
+        # collisions; final texts compared by sha256
+        "line_dedup": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || 'all rights reserved example corp'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN chr(10) || 'navigation home about contact'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN chr(10) || 'unique footer ' || doc_id::VARCHAR
+                               ELSE '' END AS text
+                FROM documents WHERE text IS NOT NULL
+            ),
+            norm AS (
+                SELECT doc_id, trim(x) AS l
+                FROM planted, UNNEST(string_split(text, chr(10))) AS t(x)
+                WHERE trim(x) <> ''
+            ),
+            dup AS (
+                SELECT list(l) AS dl FROM (
+                    SELECT l FROM norm GROUP BY l HAVING count(DISTINCT doc_id) >= 2
+                )
+            ),
+            s AS (
+                SELECT p.doc_id,
+                       list_filter(string_split(p.text, chr(10)),
+                                   x -> trim(x) = '' OR NOT list_contains(d.dl, trim(x))) AS kept,
+                       len(string_split(p.text, chr(10))) AS n_all
+                FROM planted p CROSS JOIN dup d
+            )
+            SELECT doc_id,
+                   n_all - len(kept) AS n_lines_removed,
+                   sha256(coalesce(list_aggregate(kept, 'string_agg', chr(10)), '')) AS scrubbed_hash
+            FROM s WHERE n_all - len(kept) > 0
+        """,
+        # url_stats: identical planting + RE2-compatible URL pattern; domain =
+        # lowercased authority component
+        "url_stats": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' see https://site' || (doc_id % 20)::VARCHAR
+                                    || '.example.org/p' || doc_id::VARCHAR
+                               ELSE '' END
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' ref http://cdn.example.net/assets?q=' || doc_id::VARCHAR
+                               ELSE '' END AS text
+                FROM documents WHERE text IS NOT NULL
+            ),
+            m AS (
+                SELECT doc_id,
+                       lower(regexp_extract(u, '^https?://([^/]+)', 1)) AS domain
+                FROM planted,
+                     UNNEST(regexp_extract_all(text,
+                         'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./?=&%_~#+-]*)?')) AS t(u)
+            )
+            SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+            FROM m GROUP BY domain
         """,
     }

@@ -105,6 +105,8 @@ def main() -> None:
         "repetition_stats",
         "decontamination",
         "pii_scrub",
+        "line_dedup",
+        "url_stats",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

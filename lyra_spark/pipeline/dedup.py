@@ -96,6 +96,94 @@ def distinct_by_content(df: DataFrame, text_col: str = "text", id_col: str = "do
     return df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
 
 
+# --- line-level exact dedup (C4-style) ---------------------------------------------
+def duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide frequency of repeated non-empty lines: (line_hash, n_docs,
+    n_occurrences) for lines appearing in ≥ min_docs DISTINCT documents —
+    the detection half of the C4-style line-dedup pass (boilerplate lines,
+    navigation chrome, license banners repeat across pages verbatim).
+
+    Only (id, xxhash64(line)) pairs cross the exchange — never line text —
+    so the shuffle is ~16 bytes per line at any corpus size. countDistinct
+    doc ids is exact; a doc repeating its own line counts once."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)).alias("__line"),
+    ).select(
+        F.col(id_col),
+        F.xxhash64(F.trim(F.col("__line"))).alias("line_hash"),
+        F.length(F.trim(F.col("__line"))).alias("__len"),
+    ).filter(F.col("__len") > 0)
+    return (
+        lines.groupBy("line_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def scrub_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style line dedup: remove every non-empty line that appears in
+    ≥ min_docs distinct documents; empty lines and unique lines survive.
+    Returns the input plus (text_scrubbed, n_lines_removed).
+
+    Scale shape: duplicate_lines() gives the offending hash set; a left-semi
+    join + per-doc collect_set turns it into ONE small array column per
+    AFFECTED doc (bounded by that doc's own line count), and the rewrite is
+    then a map-only Catalyst array filter — clean docs join to NULL and pass
+    through untouched. Text never shuffles; only (id, hash) pairs and the
+    per-doc bad-hash arrays do."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    per_line = (
+        df.select(F.col(id_col), F.explode(F.split(c, line_sep)).alias("__l"))
+        .select(F.col(id_col), F.trim(F.col("__l")).alias("__t"))
+        .filter(F.length("__t") > 0)
+        .select(F.col(id_col), F.xxhash64("__t").alias("line_hash"))
+    )
+    dup = duplicate_lines(df, text_col, id_col, line_sep, min_docs).select("line_hash")
+    bad_per_doc = (
+        per_line.join(dup, "line_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("line_hash").alias("__bad"))
+    )
+    out = df.join(bad_per_doc, id_col, "left")
+    all_lines = F.split(c, line_sep)
+    kept = F.filter(
+        all_lines,
+        lambda l: (F.length(F.trim(l)) == 0)
+        | ~F.array_contains(F.col("__bad"), F.xxhash64(F.trim(l))),
+    )
+    return (
+        out.withColumn(
+            "text_scrubbed",
+            F.when(F.col("__bad").isNull(), F.col(text_col)).otherwise(
+                F.array_join(kept, line_sep)
+            ),
+        )
+        .withColumn(
+            "n_lines_removed",
+            F.when(F.col("__bad").isNull(), F.lit(0)).otherwise(
+                F.size(all_lines) - F.size(kept)
+            ),
+        )
+        .drop("__bad")
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------------
 def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_k: int = 3) -> DataFrame:
     """64-permutation MinHash signature as array<bigint> — pure expressions.

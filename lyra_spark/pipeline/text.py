@@ -248,3 +248,42 @@ def pii_scrub(
     for pat in pats.values():
         red = F.regexp_replace(red, pat, token)
     return out.withColumn(f"{text_col}_redacted", red)
+
+
+# --- URL / domain analysis ----------------------------------------------------------
+# Conservative pattern valid in BOTH Java regex (Spark) and RE2 (DuckDB
+# oracle): no backreferences, no lookaround. Hyphen last inside classes.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./?=&%_~#+-]*)?"
+
+
+def extract_urls(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL extraction: (id, urls:array<string>, domains:
+    array<string>, n_urls). Map-only Catalyst regexp — scan-speed at 100 TB.
+
+    The domain is the authority component (host[:port]) lowercased; dedup
+    within a doc is NOT applied here (n_urls counts occurrences), so
+    domain_stats below can count both docs and mentions."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    urls = F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        urls.alias("urls"),
+        F.transform(
+            urls, lambda u: F.lower(F.regexp_extract(u, r"^https?://([^/]+)", 1))
+        ).alias("domains"),
+        F.size(urls).alias("n_urls"),
+    )
+
+
+def domain_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-domain corpus stats: (domain, n_docs, n_urls) — the aggregation a
+    web pipeline runs before domain-level filtering (blocklists, per-domain
+    caps a la C4/RefinedWeb). One exchange keyed on domain; only (id, domain)
+    pairs shuffle, never text."""
+    per_mention = extract_urls(df, text_col, id_col).select(
+        F.col(id_col), F.explode("domains").alias("domain")
+    )
+    return per_mention.groupBy("domain").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )

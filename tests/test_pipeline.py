@@ -451,3 +451,54 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert "@" not in got[0].text_redacted and "192" not in got[0].text_redacted
     assert got[1].n_email == 0 and got[1].text_redacted == "clean text"
     assert got[2].n_email == 0 and got[2].text_redacted is None
+
+
+def test_line_dedup_scrubs_corpus_wide_boilerplate(spark):
+    rows = [
+        (0, "unique opening zero\nCopyright Example Corp\nbody zero"),
+        (1, "unique opening one\nCopyright Example Corp\n\nbody one"),
+        (2, "standalone doc\nCopyright Example Corp\nCopyright Example Corp"),
+        (3, "no boilerplate at all"),
+        (4, None),
+        (5, "only  Copyright Example Corp  "),  # trim-normalized match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dup = {r.line_hash: (r.n_docs, r.n_occurrences) for r in dedup.duplicate_lines(df).collect()}
+    # trim-equal banner appears in docs 0,1,2 (doc 2 twice) — doc 5's line
+    # differs (interior double space) and stays unique
+    assert len(dup) == 1
+    (nd, no), = dup.values()
+    assert (nd, no) == (3, 4)
+    got = {r.doc_id: r for r in dedup.scrub_duplicate_lines(df).collect()}
+    assert got[0].text_scrubbed == "unique opening zero\nbody zero"
+    assert got[0].n_lines_removed == 1
+    # empty line survives; both banner copies in doc 2 go
+    assert got[1].text_scrubbed == "unique opening one\n\nbody one"
+    assert got[2].text_scrubbed == "standalone doc" and got[2].n_lines_removed == 2
+    assert got[3].text_scrubbed == "no boilerplate at all" and got[3].n_lines_removed == 0
+    assert got[4].text_scrubbed is None and got[4].n_lines_removed == 0
+    assert got[5].n_lines_removed == 0
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    rows = [(i, "shared line\nown line %d" % i) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.duplicate_lines(df, min_docs=4).count() == 0
+    got = dedup.scrub_duplicate_lines(df, min_docs=4).collect()
+    assert all(r.n_lines_removed == 0 for r in got)
+
+
+def test_extract_urls_and_domain_stats(spark):
+    rows = [
+        (0, "see https://A.Example.org/Page?q=1 and http://b.net plus https://a.example.org/other"),
+        (1, "ref http://b.net/x"),
+        (2, "no links"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.extract_urls(df).collect()}
+    assert got[0].n_urls == 3 and got[0].domains == ["a.example.org", "b.net", "a.example.org"]
+    assert got[2].n_urls == 0 and got[3].n_urls == 0
+    stats = {r.domain: (r.n_docs, r.n_urls) for r in text.domain_stats(df).collect()}
+    # a.example.org: 1 doc, 2 mentions; b.net: 2 docs, 2 mentions
+    assert stats == {"a.example.org": (1, 2), "b.net": (2, 2)}
