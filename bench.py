@@ -119,6 +119,13 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     timed("dedup_clusters_lsh", lambda: force(_dc(docs, threshold=0.9)))
 
+    # End-to-end corpus cleaning (quality -> exact dedup -> line scrub ->
+    # near-dup representative): the composed pass a pre-training pipeline
+    # actually runs.
+    from lyra_spark.pipeline.clean import clean_corpus as _cc
+
+    timed("clean_corpus", lambda: force(_cc(docs.filter("text is not null"))))
+
     import shutil
 
     shutil.rmtree(viol_out, ignore_errors=True)

@@ -1,0 +1,78 @@
+"""End-to-end corpus cleaning: the composition a real pre-training pipeline
+runs (C4 / Gopher / RefinedWeb order), built from this package's operators.
+
+Stage order is the cheap-first funnel that matters at 100 TB:
+  1. quality filter        — map-only scoring; drops garbage BEFORE anything
+                             shuffles, so every later exchange sees less data;
+  2. exact dedup           — keep min-id per normalized content: one digest
+                             exchange. MUST precede the line scrub: a line
+                             shared only by byte-identical copies of one doc
+                             is that doc's content, not corpus boilerplate —
+                             counting lines before collapsing exact dups
+                             would scrub such docs down to nothing;
+  3. line-level scrub      — corpus-wide boilerplate removal (C4): one
+                             (id, line-hash) exchange, text never shuffles;
+  4. near-dup clustering   — MinHash-LSH pairs → connected components; keep
+                             the cluster representative (min doc id). Also
+                             mops up docs made newly identical by the scrub
+                             (jaccard 1.0 clusters).
+Each stage only ever sees the previous stage's survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters, distinct_by_content, scrub_duplicate_lines
+from .text import quality_score
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    line_min_docs: int = 2,
+    near_dup_threshold: float = 0.9,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Return the cleaned corpus: one representative document per near-dup
+    cluster, boilerplate lines scrubbed, garbage filtered. Output columns:
+    the input's, with `text` replaced by the scrubbed text, plus provenance
+    (quality_score, n_lines_removed) so downstream audits don't recompute.
+
+    Representative choice is deterministic (min id at both dedup stages), so
+    the whole pass is re-runnable to byte-identical output on fixed input.
+    """
+    in_cols = df.columns
+
+    scored = quality_score(df, text_col).filter(
+        F.col("quality_score") >= min_quality
+    )
+    scored = scored.select(*in_cols, "quality_score")
+
+    exact = distinct_by_content(scored, text_col, id_col)
+
+    scrubbed = scrub_duplicate_lines(exact, text_col, id_col, min_docs=line_min_docs)
+    uniq = scrubbed.select(
+        *[c for c in in_cols if c != text_col],
+        F.col("text_scrubbed").alias(text_col),
+        "quality_score",
+        "n_lines_removed",
+    ).filter(F.length(F.trim(F.col(text_col))) > 0)
+
+    clusters = dedup_clusters(
+        uniq, text_col, id_col, threshold=near_dup_threshold, shingle_k=shingle_k
+    )
+    # keep docs in no cluster, and the min-id representative of each cluster
+    reps = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    clustered = clusters.select(F.col(id_col).alias("__cid"))
+    return (
+        uniq.join(clustered, uniq[id_col] == F.col("__cid"), "left")
+        .filter(F.col("__cid").isNull())
+        .drop("__cid")
+        .unionByName(
+            uniq.join(reps, id_col, "left_semi"), allowMissingColumns=False
+        )
+    )

@@ -502,3 +502,34 @@ def test_extract_urls_and_domain_stats(spark):
     stats = {r.domain: (r.n_docs, r.n_urls) for r in text.domain_stats(df).collect()}
     # a.example.org: 1 doc, 2 mentions; b.net: 2 docs, 2 mentions
     assert stats == {"a.example.org": (1, 2), "b.net": (2, 2)}
+
+
+def test_clean_corpus_end_to_end(spark):
+    from lyra_spark.pipeline.clean import clean_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog while many people "
+            "watch it run through the green field near the old stone bridge")
+    near = base.replace("quick", "swift")  # near dup of base
+    rows = [
+        (0, base + "\nall rights reserved example corp"),
+        (1, base + "\nall rights reserved example corp"),       # exact dup of 0 post-scrub
+        (2, near + "\nall rights reserved example corp"),       # near dup of 0
+        (3, "this is a completely different document about spark shuffle "
+            "exchanges and the adaptive query execution planner in detail "
+            "with plenty of ordinary english words to pass the filter"),
+        (4, "!!! ??? !!! ??? 123 456 789 000 111 222"),          # garbage: filtered
+        (5, "all rights reserved example corp"),                 # only boilerplate: empty after scrub
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = clean_corpus(df, min_quality=0.5, near_dup_threshold=0.8, shingle_k=1)
+    kept = {r.doc_id: r for r in got.collect()}
+    # 0 survives as representative (min id beats exact-dup 1 and near-dup 2);
+    # 3 survives (unique, good quality); 4 garbage; 5 empty post-scrub
+    assert set(kept) == {0, 3}
+    assert "all rights reserved" not in kept[0].text
+    assert kept[0].n_lines_removed == 1 and kept[3].n_lines_removed == 0
+    assert kept[3].quality_score >= 0.5
+    # deterministic: second run byte-identical
+    again = {r.doc_id: r.text for r in clean_corpus(
+        df, min_quality=0.5, near_dup_threshold=0.8, shingle_k=1).collect()}
+    assert again == {k: v.text for k, v in kept.items()}
