@@ -153,8 +153,19 @@ def scrub_duplicate_lines(
         .select(F.col(id_col), F.trim(F.col("__l")).alias("__t"))
         .filter(F.length("__t") > 0)
         .select(F.col(id_col), F.xxhash64("__t").alias("line_hash"))
+        # (id, hash) is ~16 bytes/line — lazily materialize it once so the
+        # dup aggregation and the semi-join below both read cached blocks
+        # instead of each re-scanning and re-exploding the text
+        .localCheckpoint(eager=False)
     )
-    dup = duplicate_lines(df, text_col, id_col, line_sep, min_docs).select("line_hash")
+    # derive the dup set from THIS per_line frame (not duplicate_lines(df),
+    # which would scan + explode the text a second time)
+    dup = (
+        per_line.groupBy("line_hash")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("line_hash")
+    )
     bad_per_doc = (
         per_line.join(dup, "line_hash", "left_semi")
         .groupBy(id_col)
