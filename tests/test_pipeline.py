@@ -533,3 +533,48 @@ def test_clean_corpus_end_to_end(spark):
     again = {r.doc_id: r.text for r in clean_corpus(
         df, min_quality=0.5, near_dup_threshold=0.8, shingle_k=1).collect()}
     assert again == {k: v.text for k, v in kept.items()}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_line_dedup_matches_python_reference(spark, seed):
+    """Randomized corpora vs a pure-Python reference of the pinned semantics
+    (SEMANTICS.md #23): trim-exact membership, empty lines immune, within-doc
+    repeats count once."""
+    import random
+
+    rnd = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = {}
+    for i in range(40):
+        n = rnd.randint(0, 6)
+        lines = []
+        for _ in range(n):
+            kind = rnd.random()
+            if kind < 0.15:
+                lines.append("")  # empty line
+            elif kind < 0.3:
+                lines.append("  ")  # whitespace-only
+            else:
+                words = rnd.sample(vocab, rnd.randint(1, 3))
+                pad = " " * rnd.randint(0, 2)
+                lines.append(pad + " ".join(words) + pad)
+        docs[i] = "\n".join(lines)
+
+    # reference: count distinct docs per trimmed non-empty line
+    from collections import defaultdict
+
+    per = defaultdict(set)
+    for i, t in docs.items():
+        for l in t.split("\n"):
+            if l.strip():
+                per[l.strip()].add(i)
+    dup = {l for l, ds in per.items() if len(ds) >= 2}
+
+    def ref_scrub(t):
+        kept = [l for l in t.split("\n") if not l.strip() or l.strip() not in dup]
+        return "\n".join(kept), len(t.split("\n")) - len(kept)
+
+    df = spark.createDataFrame(sorted(docs.items()), "doc_id long, text string")
+    got = {r.doc_id: (r.text_scrubbed, r.n_lines_removed)
+           for r in dedup.scrub_duplicate_lines(df).collect()}
+    assert got == {i: ref_scrub(t) for i, t in docs.items()}
