@@ -1,0 +1,112 @@
+"""CLI corpus-cleaning run: the composed training-data pipeline as a job.
+
+    spark-submit --py-files dist/lyra_spark.zip jobs/clean.py \
+        --corpus <parquet dir> --out <cleaned dir> \
+        [--min-quality 0.5] [--near-dup-threshold 0.9] [--line-min-docs 2] \
+        [--report <json path>]
+
+Runs clean_corpus (quality filter → exact dedup → C4 line scrub → MinHash-LSH
+near-dup representative) over a documents table (doc_id, text, …), writes the
+cleaned corpus as parquet, and prints a one-line JSON funnel report (docs in,
+docs out, per-stage attrition) — the numbers a data curator actually reviews
+before committing a multi-day 100 TB pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lyra_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True, help="input documents parquet dir/file")
+    ap.add_argument("--out", required=True, help="cleaned-corpus parquet dir")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--line-min-docs", type=int, default=2)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.9)
+    ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--report", default=None, help="also write the JSON report here")
+    args = ap.parse_args(argv)
+
+    # data-sized shuffle partitions (same policy as jobs/validate.py): the
+    # dedup exchanges run ~8x the input bytes through explode/join stages
+    files = glob.glob(os.path.join(args.corpus, "**", "*.parquet"), recursive=True) or (
+        [args.corpus] if os.path.isfile(args.corpus) else []
+    )
+    in_bytes = sum(os.path.getsize(f) for f in files)
+    shuf = max(8, in_bytes * 8 // (100 << 20) + 1)
+    spark = get_spark(master=args.master, shuffle_partitions=int(shuf), app_name="lyra_clean")
+
+    from pyspark.sql import functions as F
+
+    from lyra_spark.pipeline.clean import clean_corpus
+    from lyra_spark.pipeline.dedup import distinct_by_content
+    from lyra_spark.pipeline.text import quality_score
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.corpus).filter(F.col(args.text_col).isNotNull())
+    n_in = docs.count()
+
+    cleaned = clean_corpus(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_quality=args.min_quality,
+        line_min_docs=args.line_min_docs,
+        near_dup_threshold=args.near_dup_threshold,
+        shingle_k=args.shingle_k,
+    )
+    cleaned.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    n_out = out.count()
+
+    # funnel attrition for the report: stage counts re-derived from cheap
+    # aggregates over the written output plus two light probes (the quality
+    # and exact-dedup stages are one agg each; the expensive near-dup work is
+    # NOT re-run)
+    n_quality = quality_score(docs, args.text_col).filter(
+        F.col("quality_score") >= args.min_quality
+    ).count()
+    n_exact = distinct_by_content(
+        quality_score(docs, args.text_col)
+        .filter(F.col("quality_score") >= args.min_quality)
+        .select(docs.columns),
+        args.text_col,
+        args.id_col,
+    ).count()
+    n_scrub_affected = out.filter(F.col("n_lines_removed") > 0).count()
+
+    report = {
+        "docs_in": n_in,
+        "after_quality": n_quality,
+        "after_exact_dedup": n_exact,
+        # scrub-emptied docs + near-dup cluster members dropped for their
+        # representative (the two post-exact stages, combined)
+        "removed_after_exact": n_exact - n_out,
+        "docs_with_lines_scrubbed": n_scrub_affected,
+        "docs_out": n_out,
+        "sec": round(time.time() - t0, 3),
+        "out": args.out,
+    }
+    line = json.dumps(report)
+    print(line)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -14,6 +14,8 @@ Shuffle budget at 100 TB (the design constraint for every operator here):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,7 +116,7 @@ def duplicate_lines(
     doc ids is exact; a doc repeating its own line counts once."""
     lines = df.select(
         F.col(id_col),
-        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)).alias("__line"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(line_sep))).alias("__line"),
     ).select(
         F.col(id_col),
         F.xxhash64(F.trim(F.col("__line"))).alias("line_hash"),
@@ -149,7 +151,7 @@ def scrub_duplicate_lines(
     per-doc bad-hash arrays do."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     per_line = (
-        df.select(F.col(id_col), F.explode(F.split(c, line_sep)).alias("__l"))
+        df.select(F.col(id_col), F.explode(F.split(c, re.escape(line_sep))).alias("__l"))
         .select(F.col(id_col), F.trim(F.col("__l")).alias("__t"))
         .filter(F.length("__t") > 0)
         .select(F.col(id_col), F.xxhash64("__t").alias("line_hash"))
@@ -172,7 +174,9 @@ def scrub_duplicate_lines(
         .agg(F.collect_set("line_hash").alias("__bad"))
     )
     out = df.join(bad_per_doc, id_col, "left")
-    all_lines = F.split(c, line_sep)
+    # split treats its pattern as a Java regex while array_join below is
+    # literal — escape so the two agree for any separator
+    all_lines = F.split(c, re.escape(line_sep))
     kept = F.filter(
         all_lines,
         lambda l: (F.length(F.trim(l)) == 0)

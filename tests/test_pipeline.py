@@ -578,3 +578,33 @@ def test_line_dedup_matches_python_reference(spark, seed):
     got = {r.doc_id: (r.text_scrubbed, r.n_lines_removed)
            for r in dedup.scrub_duplicate_lines(df).collect()}
     assert got == {i: ref_scrub(t) for i, t in docs.items()}
+
+
+def test_clean_cli_end_to_end(tmp_path, spark):
+    """jobs/clean.py: cleaned parquet written, funnel report consistent."""
+    import json
+
+    from jobs.clean import main
+
+    base = ("the quick brown fox jumps over the lazy dog while many people "
+            "watch it run through the green field near the old stone bridge")
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup
+        (2, base.replace("quick", "swift")),         # near dup
+        (3, "a totally different document with plenty of ordinary english "
+            "words about query planners and shuffle exchange strategies"),
+        (4, "!!! ??? 123 456 789 000"),               # garbage
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "cleaned")
+    rpt = str(tmp_path / "report.json")
+    rc = main(["--corpus", src, "--out", out, "--report", rpt,
+               "--near-dup-threshold", "0.8", "--shingle-k", "1"])
+    assert rc == 0
+    rep = json.loads(open(rpt).read())
+    assert rep["docs_in"] == 5 and rep["after_quality"] == 4
+    assert rep["after_exact_dedup"] == 3 and rep["docs_out"] == 2
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 3}
