@@ -696,6 +696,23 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(planted)
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group document cap (RefinedWeb-style): keep at most 40 docs per
+    source, deterministically by ascending doc_id; returns the surviving
+    (doc_id, source) pairs plus a per-source survivor count check."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.clean import cap_per_group
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    capped = cap_per_group(docs, "source", k=40, order_col="doc_id")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -734,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
         "url_stats": q_url_stats,
+        "domain_cap": q_domain_cap,
     }
 
 
@@ -1231,5 +1249,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
             FROM m GROUP BY domain
+        """,
+        # domain_cap: same deterministic min-doc_id-first cap via row_number
+        "domain_cap": r"""
+            WITH capped AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT source,
+                   count(*) AS n_kept,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id,
+                   sum(doc_id) AS id_sum
+            FROM capped WHERE rn <= 40 GROUP BY source
         """,
     }

@@ -76,3 +76,27 @@ def clean_corpus(
             uniq.join(reps, id_col, "left_semi"), allowMissingColumns=False
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, deterministically (the RefinedWeb /
+    C4-style per-domain document cap — one hot domain must not dominate the
+    corpus). Rows survive in ascending ``order_col`` order within each group,
+    so reruns are byte-identical.
+
+    One exchange keyed on the group; the window row_number caps before
+    anything else sees the data, and the sort spills — a 10⁸-doc domain
+    never holds more than its spill pages in memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

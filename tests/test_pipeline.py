@@ -608,3 +608,14 @@ def test_clean_cli_end_to_end(tmp_path, spark):
     assert rep["after_exact_dedup"] == 3 and rep["docs_out"] == 2
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {0, 3}
+
+
+def test_cap_per_group_deterministic(spark):
+    from lyra_spark.pipeline.clean import cap_per_group
+
+    rows = [(i, "g%d" % (i % 3), "t") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    got = sorted(r.doc_id for r in cap_per_group(df, "grp", k=2).collect())
+    # per group, the two SMALLEST ids survive
+    assert got == [0, 1, 2, 3, 4, 5]
+    assert cap_per_group(df, "grp", k=100).count() == 20
