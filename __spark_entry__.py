@@ -713,6 +713,29 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 sequence-structure validation (checks.transition_violations): per
+    user ordered by event_id, two consecutive 'error' events are a violation
+    — the transcript role-alternation check (assistant may not answer itself)
+    applied to the driver's events schema. The allowed set enumerates every
+    other (prev, cur) pair incl. the <NULL> token, so BOTH sides implement
+    identical positive-list semantics."""
+    ensure_shipped(spark)
+    toks = ["click", "error", "purchase", "signup", "view", "<NULL>"]
+    allowed = {(p, c) for p in toks for c in toks if not (p == c == "error")}
+    events = _read(spark, sf_dir, "events")
+    return checks.transition_violations(
+        events,
+        allowed,
+        group_col="user_id",
+        order_col="event_id",
+        state_col="event_type",
+        key_cols=["user_id", "event_id"],
+        partition_col=None,
+        rule_id="etype_transition",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -752,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "url_stats": q_url_stats,
         "domain_cap": q_domain_cap,
+        "transition": q_transition,
     }
 
 
@@ -822,6 +846,18 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "transition": """
+            WITH lagged AS (
+                SELECT user_id, event_id,
+                       COALESCE(event_type, '<NULL>') AS cur,
+                       LAG(COALESCE(event_type, '<NULL>'))
+                           OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+                FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            )
+            SELECT user_id, event_id, 'etype_transition' AS rule_id,
+                   prev || '->' || cur AS observed_value
+            FROM lagged WHERE prev = 'error' AND cur = 'error'
         """,
         "monotone": """
             WITH ordered AS (

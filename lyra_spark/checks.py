@@ -36,6 +36,7 @@ def _non_null_keys(key_cols: list[str]):
 UNIQ_RULE = "uniq_conv_turn"
 REF_RULE = "tool_ref"
 MONO_RULE = "ts_monotone"
+TRANSITION_RULE = "role_transition"
 
 
 def with_salt(df: DataFrame, buckets: int = 32, col: str = "__salt__") -> DataFrame:
@@ -110,6 +111,58 @@ def referential_violations(
             F.lit(rule_id).alias("rule_id"),
             F.col(fk_col).cast("string").alias("observed_value"),
         )
+    )
+
+
+def transition_violations(
+    df: DataFrame,
+    allowed: set[tuple[str, str]],
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+    allowed_first: set[str] | None = None,
+    key_cols: list[str] = KEY_COLS,
+    partition_col: str | None = "part_date",
+    rule_id: str = TRANSITION_RULE,
+) -> DataFrame:
+    """Sequence-structure validation: within each conversation ordered by
+    turn_idx, each (previous_state → state) pair must be in ``allowed``
+    (e.g. user→assistant, assistant→tool, tool→assistant — a transcript
+    where the assistant answers itself is malformed even when every row
+    passes its per-row rules). ``allowed_first`` constrains the state of
+    each conversation's FIRST turn (None = any).
+
+    The violating row is the LATER turn; observed_value = "prev->cur".
+
+    Plan shape: identical to monotone_violations — one window lag over the
+    (group) exchange, pure Catalyst (the transition set folds into a literal
+    IN list on a concat key; NULL states print as the literal <NULL> so a
+    NULL can be allowed or denied explicitly). On a real run this check
+    shares the conversation exchange with uniqueness + monotone.
+    """
+    sep = "\x1f"  # cannot appear in enum-constrained role values
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    keep = list(key_cols) + ([partition_col] if partition_col else [])
+    df = df.filter(_non_null_keys([group_col, order_col]))
+    null_tok = "<NULL>"
+    cur = F.coalesce(F.col(state_col).cast("string"), F.lit(null_tok))
+    lagged = df.select(*keep, cur.alias("__cur__")).select(
+        *keep, "__cur__", F.lag("__cur__").over(w).alias("__prev__")
+    )
+    allowed_keys = [f"{p}{sep}{c}" for p, c in sorted(allowed)]
+    bad_pair = ~F.concat_ws(sep, F.col("__prev__"), F.col("__cur__")).isin(allowed_keys)
+    if allowed_first is None:
+        bad = F.col("__prev__").isNotNull() & bad_pair
+    else:
+        bad_first = F.col("__prev__").isNull() & ~F.col("__cur__").isin(sorted(allowed_first))
+        bad = (F.col("__prev__").isNotNull() & bad_pair) | bad_first
+    return lagged.filter(bad).select(
+        *key_cols,
+        *([partition_col] if partition_col else []),
+        F.lit(rule_id).alias("rule_id"),
+        F.concat_ws("->", F.coalesce("__prev__", F.lit("<FIRST>")), F.col("__cur__")).alias(
+            "observed_value"
+        ),
     )
 
 

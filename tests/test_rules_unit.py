@@ -138,3 +138,51 @@ def test_rule_order_preserved_in_output(spark):
     df = spark.createDataFrame([(1, "ab")], "id int, s string")
     v = row_violations(df, rs, key_cols=["id"], partition_col=None).collect()
     assert [r.rule_id for r in v] == ["z_len", "a_pat"]
+
+
+def test_transition_violations(spark):
+    """Role-alternation: disallowed (prev -> cur) pairs and a bad first role
+    fire; allowed sequences are silent; NULL keys are excluded."""
+    from lyra_spark import checks
+
+    rows = [
+        # c1: system, user, assistant — clean
+        ("c1", 0, "system"), ("c1", 1, "user"), ("c1", 2, "assistant"),
+        # c2: starts with assistant (bad first), then assistant->assistant (bad pair)
+        ("c2", 0, "assistant"), ("c2", 1, "assistant"),
+        # c3: user -> tool is not allowed below
+        ("c3", 0, "system"), ("c3", 1, "user"), ("c3", 2, "tool"),
+        # NULL-key row: excluded entirely
+        (None, 0, "assistant"),
+        # NULL role: surfaces as <NULL> in the pair
+        ("c4", 0, "system"), ("c4", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    allowed = {
+        ("system", "user"), ("user", "assistant"),
+        ("assistant", "user"), ("assistant", "tool"), ("tool", "assistant"),
+    }
+    got = {
+        (r.conv_id, r.turn_idx, r.observed_value)
+        for r in checks.transition_violations(
+            df, allowed, allowed_first={"system"}, partition_col=None
+        ).collect()
+    }
+    assert got == {
+        ("c2", 0, "<FIRST>->assistant"),
+        ("c2", 1, "assistant->assistant"),
+        ("c3", 2, "user->tool"),
+        ("c4", 1, "system-><NULL>"),
+    }
+
+
+def test_transition_violations_any_first(spark):
+    from lyra_spark import checks
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user"), ("c1", 1, "user")], "conv_id string, turn_idx int, role string"
+    )
+    got = checks.transition_violations(
+        df, {("user", "assistant")}, allowed_first=None, partition_col=None
+    ).collect()
+    assert [(r.turn_idx, r.observed_value) for r in got] == [(1, "user->user")]
