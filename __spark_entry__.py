@@ -736,6 +736,35 @@ def q_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (pipeline.sample.split_by_hash):
+    md5-keyed Bernoulli assignment, repartition- and rerun-stable, reproduced
+    bit-for-bit by the DuckDB oracle. Weights 0.75/0.125/0.125 sum exactly in
+    binary so both engines compare against identical boundaries."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.sample import split_by_hash
+
+    docs = _read(spark, sf_dir, "documents")
+    out = split_by_hash(docs, {"train": 0.75, "val": 0.125, "test": 0.125})
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pipeline.pack.pack_sequences): global exclusive
+    prefix sum over n_chars in doc_id order, cut every 4096 — computed as the
+    distributed two-phase scan (range partition → O(P) driver offsets →
+    map-only Arrow cumsum), oracled by the equivalent single-window SQL."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.pack import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, budget=4096, token_col="n_chars").select(
+        "doc_id", "pack_id", "pack_offset"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -776,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "domain_cap": q_domain_cap,
         "transition": q_transition,
+        "hash_split": q_hash_split,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -846,6 +877,32 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "hash_split": """
+            WITH f AS (
+                SELECT doc_id, lang,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           / 4294967296.0 AS frac
+                FROM documents
+            )
+            SELECT CASE WHEN frac < 0.75 THEN 'train'
+                        WHEN frac < 0.875 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+            FROM f GROUP BY 1, 2
+        """,
+        "pack_chunks": """
+            WITH c AS (
+                SELECT doc_id,
+                       COALESCE(SUM(COALESCE(n_chars, 0)) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+            SELECT doc_id, CAST(cum // 4096 AS BIGINT) AS pack_id,
+                   CAST(cum % 4096 AS BIGINT) AS pack_offset
+            FROM c
         """,
         "transition": """
             WITH lagged AS (

@@ -1,0 +1,100 @@
+"""Deterministic hash-based splits and samples (train/val/test assignment,
+corpus down-sampling, per-stratum rates).
+
+Why hash, not rand(): a training-data split must be (a) reproducible across
+reruns and engines, (b) stable under repartitioning and row order, and (c)
+consistent for the same id across incremental ingests — `rand(seed)` gives
+none of those (it is seeded PER PARTITION, so adding one input file reshuffles
+every assignment). Keying the split on a cryptographic hash of the id is the
+standard construction (e.g. TensorFlow Extended's `hash_buckets` ExampleGen
+splits); md5 is used here NOT for security but because every engine renders it
+identically, so the DuckDB oracle can reproduce the assignment bit-for-bit.
+
+Scale shape: every operator below is a map-only Catalyst projection/filter —
+zero shuffles, zero Python, whole-stage codegen; filters sit directly on the
+scan so Parquet row groups still prune on other predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars of md5 → uniform 32-bit uint → [0, 1)
+_DENOM = float(1 << 32)
+
+
+def hash_fraction(id_col: str, salt: str = "") -> Column:
+    """Deterministic uniform draw in [0, 1) keyed on (id, salt).
+
+    DuckDB-equivalent (the oracle):::
+
+        ('0x' || substring(md5(CAST(id AS VARCHAR) || salt), 1, 8))::BIGINT
+            / 4294967296.0
+
+    Changing ``salt`` re-draws every id independently — use one salt per
+    decision (split vs sample vs shard) so the same doc is not systematically
+    co-selected by unrelated passes.
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(_DENOM)
+
+
+def split_by_hash(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with the given weights (normalized),
+    deterministically by id. The LAST split absorbs the floating-point
+    remainder, so every row gets exactly one split.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    frac = hash_fraction(id_col, salt)
+    names = list(weights)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    # build the CASE from the last-but-one boundary down so the first
+    # matching WHEN wins, exactly like the cumulative-boundary walk
+    arms = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        arms.append((cum, name))
+    for bound, name in reversed(arms):
+        expr = F.when(frac < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by id (Bernoulli on the
+    id hash — repartition-stable, rerun-stable, engine-reproducible)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_fraction(id_col, salt) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive (e.g.
+    'keep 100% of books, 8% of common-crawl'). Strata not listed keep
+    ``default`` of their rows. NULL strata use ``default`` too."""
+    rate = F.lit(float(default))
+    for value, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        rate = F.when(F.col(strata_col) == F.lit(value), F.lit(float(frac))).otherwise(rate)
+    return df.filter(hash_fraction(id_col, salt) < rate)

@@ -27,9 +27,13 @@ TOPANDAS_ALLOWED = {"dedup.py"}
 # small-dimension value lists inlined as enum literals in fused.py, the
 # (partitions × rules) violation-count aggregate behind presets.py's
 # metadata-backed verdict grid, dedup.py's 1-row connected-components
-# convergence signature, and similarity.py's IVF quantizer training sample —
-# bounded by max_train by construction)
-COLLECT_ALLOWED = {"drift.py", "io.py", "fused.py", "presets.py", "dedup.py", "similarity.py"}
+# convergence signature, similarity.py's IVF quantizer training sample —
+# bounded by max_train by construction — and pack.py's per-partition token
+# totals: O(num_partitions) rows, the driver half of the two-phase prefix
+# sum)
+COLLECT_ALLOWED = {
+    "drift.py", "io.py", "fused.py", "presets.py", "dedup.py", "similarity.py", "pack.py",
+}
 
 # Per-row iteration inside Arrow batches is the hidden flavor of the same
 # anti-pattern (a pandas UDF whose body loops rows is per-row Python with

@@ -1,0 +1,115 @@
+"""Deterministic splits/samples (pipeline.sample) and sequence packing
+(pipeline.pack): repartition-stability, oracle-parity of the md5 draw, and
+bit-equality of the distributed prefix sum with a single-partition reference.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyra_spark.pipeline.pack import pack_sequences
+from lyra_spark.pipeline.sample import (
+    deterministic_sample,
+    hash_fraction,
+    split_by_hash,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_fraction_matches_duckdb(spark, ids_df):
+    got = {
+        r.doc_id: r.f
+        for r in ids_df.select("doc_id", F.round(hash_fraction("doc_id"), 9).alias("f"))
+        .limit(50)
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT i, ROUND(('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT"
+            " / 4294967296.0, 9) FROM range(50) t(i)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_split_weights_and_determinism(spark, ids_df):
+    out = split_by_hash(ids_df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] == pytest.approx(1600, abs=80)
+    # exactly one split per row; repartitioning does not move anyone
+    again = split_by_hash(ids_df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+    assert out.count() == 2000
+
+
+def test_split_disjoint_from_sample_salt(spark, ids_df):
+    """Different salts draw independently — the sampled set is not a prefix
+    of the train split."""
+    a = set(r.doc_id for r in deterministic_sample(ids_df, 0.1, salt="a").collect())
+    b = set(r.doc_id for r in deterministic_sample(ids_df, 0.1, salt="b").collect())
+    assert a != b
+    assert len(a) == pytest.approx(200, abs=50)
+    overlap = len(a & b)
+    assert overlap < 60  # ~20 expected if independent; identical would be ~200
+
+
+def test_stratified_rates(spark):
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("src", F.when(F.col("doc_id") % 3 == 0, "books").otherwise("web"))
+    )
+    out = stratified_sample(df, {"books": 1.0, "web": 0.1}, "src")
+    counts = {r.src: r.c for r in out.groupBy("src").agg(F.count("*").alias("c")).collect()}
+    assert counts["books"] == 1000  # fraction 1.0 keeps every row
+    assert counts["web"] == pytest.approx(200, abs=60)
+    # default drops unlisted strata
+    out2 = stratified_sample(df, {"books": 1.0}, "src")
+    assert out2.filter(F.col("src") == "web").count() == 0
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 16])
+def test_pack_sequences_matches_window_reference(spark, num_partitions):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype="int64"),
+            "n_tokens": rng.integers(0, 900, 500, dtype="int64"),
+        }
+    )
+    # shuffle input order: packing must depend on doc_id, not arrival order
+    df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=1))
+    got = (
+        pack_sequences(df, budget=2048, num_partitions=num_partitions)
+        .select("doc_id", "pack_id", "pack_offset")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cum = np.cumsum(pdf["n_tokens"].to_numpy()) - pdf["n_tokens"].to_numpy()
+    want = pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "pack_id": cum // 2048, "pack_offset": cum % 2048}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pack_sequences_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 10), (None, 99)], "doc_id int, n_tokens int"
+    )
+    got = {r.doc_id: (r.pack_id, r.pack_offset) for r in pack_sequences(df, budget=15).collect()}
+    # NULL id excluded; NULL tokens count 0
+    assert got == {1: (0, 0), 2: (0, 10), 3: (0, 10)}
+
+
+def test_pack_sequences_rejects_bad_budget(spark, ids_df):
+    with pytest.raises(ValueError):
+        pack_sequences(ids_df, budget=0)
