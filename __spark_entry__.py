@@ -736,6 +736,17 @@ def q_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine complement (engine.clean_rows): rows failing NO rule —
+    the validated table a pipeline writes downstream. One map-only codegen
+    filter on the scan, not an anti-join against the violations."""
+    ensure_shipped(spark)
+    from lyra_spark.engine import clean_rows
+
+    events = _read(spark, sf_dir, "events")
+    return clean_rows(events, events_ruleset()).select("event_id", "event_type", "value")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (pipeline.sample.split_by_hash):
     md5-keyed Bernoulli assignment, repartition- and rerun-stable, reproduced
@@ -805,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "domain_cap": q_domain_cap,
         "transition": q_transition,
+        "clean_rows": q_clean_rows,
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
     }
@@ -877,6 +889,14 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "clean_rows": r"""
+            SELECT event_id, event_type, value
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND event_type IN ('click','view','purchase','signup')
+              AND (value IS NULL OR (value >= 0.0 AND value <= 100.0))
+              AND (props IS NULL OR regexp_matches(props, '^(?:\{"k": [0-9]{2}\})$'))
         """,
         "hash_split": """
             WITH f AS (

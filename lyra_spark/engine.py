@@ -85,6 +85,39 @@ def row_violations(
     )
 
 
+def clean_rows(
+    df: DataFrame,
+    ruleset: RuleSet,
+    extra_fail: list | None = None,
+) -> DataFrame:
+    """The quarantine complement of row_violations: rows where NO rule fails
+    — the validated table a pipeline writes downstream. Values are the
+    COERCED ones (casts, trims, defaults applied), which is the point of a
+    validating ingest; columns are the input's.
+
+    Plan shape: one map-only codegen filter on the scan — NOT an anti-join
+    against the violations frame (joining 10^12 rows to their own violation
+    set shuffles the whole table to subtract <1% of it; re-evaluating the
+    compiled predicates costs one scan and zero exchanges, and Catalyst
+    shares the scan when both outputs are written in one job).
+
+    Same semantics as row_violations' emit filter: a rule only dis-qualifies
+    a row when its ``passes`` is literally False (NULL = rule not applicable
+    to this row, e.g. a range rule on a NULL value). ``extra_fail`` lets
+    callers AND in extra boolean Columns that also disqualify (e.g. keys
+    flagged by dataset-level checks, pre-joined as a boolean)."""
+    coerced = apply_coercions(df, ruleset)
+    checks = compile_checks(coerced, ruleset)
+    if not checks:
+        raise ValueError("ruleset has no checking rules")
+    cond = F.lit(True)
+    for c in checks:
+        cond = cond & ~c.passes.eqNullSafe(F.lit(False))
+    for extra in extra_fail or []:
+        cond = cond & ~F.coalesce(extra, F.lit(False))
+    return coerced.where(cond).select(*df.columns)
+
+
 def compute_verdicts(
     df: DataFrame,
     violations: DataFrame,

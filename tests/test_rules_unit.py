@@ -186,3 +186,41 @@ def test_transition_violations_any_first(spark):
         df, {("user", "assistant")}, allowed_first=None, partition_col=None
     ).collect()
     assert [(r.turn_idx, r.observed_value) for r in got] == [(1, "user->user")]
+
+
+def test_clean_rows_partitions_table_and_applies_coercions(spark):
+    """Every row is either clean or carries >=1 violation — never both, never
+    neither; clean output returns COERCED values with the input's columns."""
+    from lyra_spark.engine import clean_rows
+
+    rs = RuleSet(
+        [
+            R.transform("s", "trim"),
+            R.required("s", rule_id="s_req"),
+            R.length("s", min=2, rule_id="s_len"),
+            R.range_rule("v", min=0, rule_id="v_range"),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "  ok ", 5), (2, "x", 5), (3, None, 5), (4, "fine", -1), (5, "a b", None)],
+        "id int, s string, v int",
+    )
+    clean = clean_rows(df, rs)
+    got = {(r.id, r.s, r.v) for r in clean.collect()}
+    # id=1 survives WITH the trim applied; NULL v (id=5) passes range (not applicable)
+    assert got == {(1, "ok", 5), (5, "a b", None)}
+    assert clean.columns == df.columns
+    dirty_ids = {r.id for r in row_violations(df, rs, key_cols=["id"], partition_col=None).collect()}
+    assert dirty_ids == {2, 3, 4}
+    assert dirty_ids | {r[0] for r in got} == {1, 2, 3, 4, 5}
+
+
+def test_clean_rows_extra_fail(spark):
+    from pyspark.sql import functions as F
+
+    from lyra_spark.engine import clean_rows
+
+    rs = RuleSet([R.required("s", rule_id="s_req")])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    out = clean_rows(df, rs, extra_fail=[F.col("id") == 2])
+    assert [r.id for r in out.collect()] == [1]
