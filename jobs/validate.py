@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns: persist per-partition DataSketches HLL "
                          "blobs next to the verdicts; the global distinct estimate then "
                          "merges STORED blobs (completed partitions are never rescanned)")
+    ap.add_argument("--clean-out", default=None,
+                    help="also write the VALIDATED table (rows failing no rule) per "
+                         "partition — the quarantine complement. Row rules (incl. the "
+                         "inlined referential check) filter map-only on the scan; rows "
+                         "keyed by uniqueness/monotone violations are subtracted via a "
+                         "broadcast anti-join against the (tiny) violation set, so the "
+                         "clean side never shuffles")
     ap.add_argument("--snapshot-id", default=None,
                     help="table snapshot / read-version this run validates (Iceberg "
                          "snapshot id in prod); recorded per partition in the manifest "
@@ -155,6 +162,28 @@ def main(argv: list[str] | None = None) -> int:
                 verd = compute_verdicts(scoped, viol, rule_ids(ruleset), "part_date")
         else:
             verd = result.verdicts
+        if args.clean_out:
+            from pyspark.sql import functions as F
+
+            from lyra_spark.checks import MONO_RULE, UNIQ_RULE
+            from lyra_spark.engine import clean_rows
+            from lyra_spark.fused import inline_referential_rule
+            from lyra_spark.rules import RuleSet
+
+            full_rules = RuleSet(ruleset.rules + [inline_referential_rule(dim)])
+            # dataset-check keys come from the written sink when available
+            # (tiny read), else from the result frame (recompute of the
+            # windowed branch — still ≪ a second full suite)
+            src = viol if args.out else result.violations
+            ds_keys = (
+                src.filter(F.col("rule_id").isin(UNIQ_RULE, MONO_RULE))
+                .select("conv_id", "turn_idx")
+                .distinct()
+            )
+            clean = clean_rows(scoped, full_rules).join(
+                F.broadcast(ds_keys), ["conv_id", "turn_idx"], "left_anti"
+            )
+            clean.write.mode("overwrite").parquet(os.path.join(args.clean_out, f"part={pk}"))
         vrows = verd.collect()
         n_rows = max((r["row_count"] for r in vrows), default=0)
         n_viol = sum(r["violation_count"] for r in vrows)

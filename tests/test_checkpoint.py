@@ -420,3 +420,47 @@ def test_cli_hll_missing_blobs_warns_not_undercounts(tmp_path, spark, fixtures_s
     out = capsys.readouterr().out
     assert "WARNING: hll blobs missing for 2 completed" in out
     assert "hll_distinct column=conv_id" in out  # stored-blob estimate still reported
+
+
+def test_cli_clean_out_is_exact_complement(tmp_path, spark, fixtures_sf0001):
+    """--clean-out writes, per partition, exactly the rows that carry no
+    violation: clean ∪ violating-keys = partition, clean ∩ violating-keys = ∅
+    (NULL-key rows are row-rule violations, so they are excluded from clean by
+    the rules themselves, not the key join)."""
+    from pyspark.sql import functions as F
+
+    from jobs.validate import main
+
+    clean_dir = tmp_path / "clean"
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--run-id", "rc",
+        "--out", str(tmp_path / "viol"),
+        "--clean-out", str(clean_dir),
+        "--limit-partitions", "2",
+    ]
+    assert main(args) == 0
+
+    import pyarrow.parquet as pq
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+
+    done = sorted(d.name.split("=", 1)[1] for d in clean_dir.glob("part=*"))
+    assert len(done) == 2
+    for pk in done:
+        part = tdf.filter(F.col("part_date") == pk)
+        clean = spark.read.parquet(str(clean_dir / f"part={pk}"))
+        viol = validate_transcripts(part, dim).violations
+        viol_keys = {
+            (r.conv_id, r.turn_idx) for r in viol.select("conv_id", "turn_idx").distinct().collect()
+        }
+        clean_keys = {(r.conv_id, r.turn_idx) for r in clean.collect()}
+        part_keys = {(r.conv_id, r.turn_idx) for r in part.collect()}
+        assert clean_keys <= part_keys
+        assert not (clean_keys & viol_keys)
+        # complement: every non-violating key survives
+        assert clean_keys == {k for k in part_keys if k not in viol_keys}
+        assert clean.columns == part.columns
