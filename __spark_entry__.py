@@ -736,6 +736,25 @@ def q_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI (drift.categorical_psi): per-source drift of the lang
+    distribution vs the whole corpus — the nominal-column counterpart of the
+    t-digest KS/PSI path, computed entirely on pre-aggregated counts (raw
+    rows shuffle once). Laplace alpha=0.5 over the global category set;
+    rounded to 4 dp so both engines' float sums compare stably."""
+    ensure_shipped(spark)
+    from lyra_spark.drift import categorical_psi
+
+    docs = _read(spark, sf_dir, "documents").withColumnRenamed("source", "part_date")
+    out = categorical_psi(docs, "lang")
+    return out.select(
+        F.col("partition").alias("source"),
+        F.round("psi", 4).alias("psi"),
+        "n_rows",
+        "n_categories",
+    )
+
+
 def q_clean_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quarantine complement (engine.clean_rows): rows failing NO rule —
     the validated table a pipeline writes downstream. One map-only codegen
@@ -817,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "transition": q_transition,
         "clean_rows": q_clean_rows,
+        "categorical_drift": q_categorical_drift,
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
     }
@@ -889,6 +909,29 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "categorical_drift": """
+            WITH vals AS (
+                SELECT COALESCE(lang, '<NULL>') AS v, source AS p FROM documents
+            ),
+            grid AS (SELECT p, v, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+            gtab AS (SELECT v, SUM(n) AS gn FROM grid GROUP BY 1),
+            parts AS (SELECT p, SUM(n) AS pn FROM grid GROUP BY 1),
+            const AS (SELECT COUNT(*) AS k, SUM(gn) AS gtot FROM gtab),
+            dense AS (
+                SELECT parts.p, parts.pn, gtab.v, gtab.gn, COALESCE(grid.n, 0) AS n
+                FROM parts CROSS JOIN gtab
+                LEFT JOIN grid ON grid.p = parts.p AND grid.v = gtab.v
+            )
+            SELECT p AS source,
+                   ROUND(SUM(
+                       ((n + 0.5)/(pn + 0.5*k) - (gn + 0.5)/(gtot + 0.5*k))
+                       * LN(((n + 0.5)/(pn + 0.5*k)) / ((gn + 0.5)/(gtot + 0.5*k)))
+                   ), 4) AS psi,
+                   MAX(pn) AS n_rows,
+                   COUNT(*) AS n_categories
+            FROM dense CROSS JOIN const
+            GROUP BY p
         """,
         "clean_rows": r"""
             SELECT event_id, event_type, value

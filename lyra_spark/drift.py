@@ -94,6 +94,64 @@ def load_reference(path: str) -> TDigest:
     return TDigest.from_bytes(blob)
 
 
+# --- categorical drift (distributed, pure Catalyst) -------------------------
+def categorical_psi(
+    df: DataFrame,
+    col: str,
+    partition_col: str = "part_date",
+    alpha: float = 0.5,
+    null_token: str = "<NULL>",
+) -> DataFrame:
+    """Per-partition PSI of a CATEGORICAL column's value distribution vs the
+    whole table (role/tool/lang drift — the t-digest path covers numeric
+    columns only, and quantile sketches are meaningless on nominal values).
+
+    Returns (partition, psi, n_rows, n_categories). Additive (Laplace)
+    smoothing ``alpha`` on BOTH sides over the GLOBAL category set handles
+    categories absent from one side (a new role appearing in today's
+    partition is precisely the event to flag, not a log(0)).
+
+    Scale shape: everything aggregates COUNTS — one exchange on
+    (partition, value) for the grid (map-side partials absorb hot values),
+    one global (value) aggregate derived from the same grid (pre-aggregated:
+    #partitions × #categories rows, not raw rows), one broadcast-size join on
+    value, one final sum per partition. Raw rows shuffle exactly once. The
+    category set of a validated enum-ish column is small by definition; a
+    high-cardinality column (conv_id) is not a drift target.
+    """
+    vals = df.select(
+        F.coalesce(F.col(col).cast("string"), F.lit(null_token)).alias("__v"),
+        F.col(partition_col).alias("partition"),
+    )
+    grid = vals.groupBy("partition", "__v").agg(F.count(F.lit(1)).alias("n"))
+    grid = grid.localCheckpoint(eager=False)  # reused by all three branches
+    glob = grid.groupBy("__v").agg(F.sum("n").alias("gn"))
+    # dense (partition × global category) frame so absent categories get n=0
+    parts = grid.groupBy("partition").agg(F.sum("n").alias("pn"))
+    k = glob.count()  # global category count (small by contract)
+    gtot = glob.agg(F.sum("gn")).collect()[0][0] or 0
+    dense = parts.crossJoin(F.broadcast(glob)).join(
+        grid, ["partition", "__v"], "left"
+    ).select(
+        "partition",
+        "pn",
+        "gn",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    a = float(alpha)
+    p = (F.col("n") + F.lit(a)) / (F.col("pn") + F.lit(a) * k)
+    q = (F.col("gn") + F.lit(a)) / (F.lit(float(gtot)) + F.lit(a) * k)
+    term = (p - q) * F.log(p / q)
+    return (
+        dense.groupBy("partition")
+        .agg(
+            F.sum(term).alias("psi"),
+            F.max("pn").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+    )
+
+
 # --- drift metrics (numpy on digests) -------------------------------------
 def ks_statistic(a: TDigest, b: TDigest, grid_points: int = 256) -> float:
     """max |CDF_a − CDF_b| on a shared quantile-union grid."""

@@ -107,3 +107,57 @@ def test_reference_roundtrip_and_run_over_run(tmp_path, spark, fixtures_sf0001):
     by_key = verdicts.set_index("part_key")["pass"]
     assert not by_key[str(DRIFT_DATE)], "drifted partition must fail vs stored baseline"
     assert by_key.mean() > 0.9
+
+
+def test_categorical_psi_matches_numpy_reference(spark):
+    """Distributed categorical PSI == the straightforward numpy computation
+    (same Laplace smoothing over the global category set), and a partition
+    with a genuinely shifted distribution scores far above the others."""
+    import numpy as np
+    import pandas as pd
+
+    from lyra_spark.drift import categorical_psi
+
+    rng = np.random.default_rng(11)
+    specs = [(f"d{i}", [0.5, 0.3, 0.2, 0.0]) for i in range(8)]
+    specs.append(("drifted", [0.05, 0.05, 0.3, 0.6]))  # heavy on a near-absent value
+    parts, vals = [], []
+    for pk, probs in specs:
+        draw = rng.choice(["a", "b", "c", "zz"], size=2000, p=probs)
+        parts += [pk] * 2000
+        vals += list(draw)
+    pdf = pd.DataFrame({"part_date": parts, "role": vals})
+    got = {
+        r.partition: (r.psi, r.n_rows, r.n_categories)
+        for r in categorical_psi(spark.createDataFrame(pdf), "role").collect()
+    }
+
+    # numpy reference
+    cats = sorted(set(vals))
+    k, a = len(cats), 0.5
+    gcounts = pd.Series(vals).value_counts()
+    gtot = len(vals)
+    for pk, _ in specs:
+        pvals = pdf.loc[pdf.part_date == pk, "role"]
+        pc = pvals.value_counts()
+        p = np.array([(pc.get(c, 0) + a) / (len(pvals) + a * k) for c in cats])
+        q = np.array([(gcounts[c] + a) / (gtot + a * k) for c in cats])
+        want = float(np.sum((p - q) * np.log(p / q)))
+        assert got[pk][0] == pytest.approx(want, rel=1e-9), pk
+        assert got[pk][1] == 2000 and got[pk][2] == k
+    conforming = max(got[f"d{i}"][0] for i in range(8))
+    assert got["drifted"][0] > 5 * conforming
+
+
+def test_categorical_psi_null_token_and_absent_category(spark):
+    from lyra_spark.drift import categorical_psi
+
+    df = spark.createDataFrame(
+        [("d1", "x"), ("d1", None), ("d2", "x"), ("d2", "x")],
+        "part_date string, role string",
+    )
+    rows = {r.partition: r for r in categorical_psi(df, "role").collect()}
+    # NULLs are a first-class category; d2 is missing it yet still gets a
+    # finite PSI (smoothing), and both see the GLOBAL category count
+    assert rows["d1"].n_categories == 2 and rows["d2"].n_categories == 2
+    assert np.isfinite(rows["d1"].psi) and np.isfinite(rows["d2"].psi)
