@@ -26,16 +26,34 @@ from lyra_spark.presets import transcript_ruleset, validate_transcripts
 from lyra_spark.session import get_spark
 
 
-def rule_ids(ruleset) -> list[str]:
-    """Suite rule ids: the row rules plus the three dataset checks (the same
-    grid run_suite uses)."""
-    from lyra_spark.checks import MONO_RULE, UNIQ_RULE
+# The transcript role grammar: every (prev → cur) pair a well-formed
+# conversation can contain (system opens; user/assistant alternate; tool
+# turns answer an assistant tool call or chain; user may follow a tool
+# result). Overridable via --allowed-transitions.
+DEFAULT_TRANSITIONS = {
+    ("system", "user"),
+    ("user", "assistant"),
+    ("assistant", "user"),
+    ("assistant", "tool"),
+    ("tool", "assistant"),
+    ("tool", "user"),
+    ("tool", "tool"),
+    ("user", "tool"),
+}
+
+
+def rule_ids(ruleset, check_transitions: bool = False) -> list[str]:
+    """Suite rule ids: the row rules plus the dataset checks (the same grid
+    run_suite uses); + the transition rule when --check-transitions is on."""
+    from lyra_spark.checks import MONO_RULE, TRANSITION_RULE, UNIQ_RULE
     from lyra_spark.fused import REF_RULE
 
     ids = [r.rule_id for r in ruleset.checks]
     for extra in (REF_RULE, UNIQ_RULE, MONO_RULE):
         if extra not in ids:
             ids.append(extra)
+    if check_transitions:
+        ids.append(TRANSITION_RULE)
     return ids
 
 
@@ -65,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns: persist per-partition DataSketches HLL "
                          "blobs next to the verdicts; the global distinct estimate then "
                          "merges STORED blobs (completed partitions are never rescanned)")
+    ap.add_argument("--check-transitions", action="store_true",
+                    help="also run the sequence-structure check: each (prev_role → "
+                         "role) pair per conversation must be in the allowed grammar "
+                         "(default: the standard transcript grammar; see "
+                         "--allowed-transitions). Violations merge into the sink and "
+                         "the verdict grid under rule_id=role_transition")
+    ap.add_argument("--allowed-transitions", default=None,
+                    help="comma-separated prev>cur pairs overriding the default "
+                         "grammar, e.g. 'system>user,user>assistant'")
     ap.add_argument("--clean-out", default=None,
                     help="also write the VALIDATED table (rows failing no rule) per "
                          "partition — the quarantine complement. Row rules (incl. the "
@@ -136,10 +163,23 @@ def main(argv: list[str] | None = None) -> int:
     #   (3.) optional HLL sketch pass when --hll-cols is set.
     # The verdict parquet is then written from the ALREADY-COLLECTED local
     # rows — a no-scan job.
+    transitions = DEFAULT_TRANSITIONS
+    if args.allowed_transitions:
+        transitions = {
+            tuple(pair.split(">", 1))
+            for pair in args.allowed_transitions.split(",")
+            if ">" in pair
+        }
+
     def validate_partition(pk: str) -> tuple[str, int, int, float]:
         t0 = time.perf_counter()
         scoped = lio.partition_scope(df, pk)
         result = validate_transcripts(scoped, dim)
+        if args.check_transitions:
+            from lyra_spark.checks import transition_violations
+
+            tv = transition_violations(scoped, transitions, partition_col="part_date")
+            result.violations = result.violations.unionByName(tv)
         if args.out:
             # write-then-reuse: violations compute once into the sink; the
             # verdict roll-up aggregates the WRITTEN files (never recomputes)
@@ -154,12 +194,20 @@ def main(argv: list[str] | None = None) -> int:
                 from lyra_spark.presets import verdicts_from_metadata
 
                 verd = verdicts_from_metadata(
-                    scoped, viol, rule_ids(ruleset), "part_date", {pk: meta_counts[pk]}
+                    scoped, viol, rule_ids(ruleset, args.check_transitions), "part_date", {pk: meta_counts[pk]}
                 )
             else:
                 from lyra_spark.engine import compute_verdicts
 
-                verd = compute_verdicts(scoped, viol, rule_ids(ruleset), "part_date")
+                verd = compute_verdicts(scoped, viol, rule_ids(ruleset, args.check_transitions), "part_date")
+        elif args.check_transitions:
+            # result.verdicts predates the transition union — rebuild the grid
+            # from the merged violation frame
+            from lyra_spark.engine import compute_verdicts
+
+            verd = compute_verdicts(
+                scoped, result.violations, rule_ids(ruleset, True), "part_date"
+            )
         else:
             verd = result.verdicts
         if args.clean_out:

@@ -464,3 +464,28 @@ def test_cli_clean_out_is_exact_complement(tmp_path, spark, fixtures_sf0001):
         # complement: every non-violating key survives
         assert clean_keys == {k for k in part_keys if k not in viol_keys}
         assert clean.columns == part.columns
+
+
+def test_cli_check_transitions(tmp_path, spark, fixtures_sf0001):
+    """--check-transitions merges role-grammar violations into the sink and
+    the verdict grid (the fixture's injected 'robot'/'USER' roles break the
+    grammar, so some fire)."""
+    from jobs.validate import main
+
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path),
+        "--run-id", "rt",
+        "--out", str(tmp_path / "viol"),
+        "--check-transitions",
+        "--limit-partitions", "3",
+    ]
+    assert main(args) == 0
+    verd = spark.read.parquet(str(tmp_path / "rt" / "verdicts"))
+    tv = verd.filter(verd.rule_id == "role_transition")
+    assert tv.count() == 3  # one grid row per partition
+    viol = spark.read.parquet(str(tmp_path / "viol"))
+    n_tv = viol.filter(viol.rule_id == "role_transition").count()
+    # grid violation_count agrees with the sink
+    assert sum(r.violation_count for r in tv.collect()) == n_tv
