@@ -736,6 +736,39 @@ def q_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-split sessionization (sessionize.sessionize): per user ordered by
+    (ts, event_id), a >30-min silence starts a new session; lag + running sum
+    share ONE exchange (plan-pinned in tests)."""
+    ensure_shipped(spark)
+    from lyra_spark.sessionize import sessionize
+
+    events = _read(spark, sf_dir, "events")
+    return sessionize(events, gap_sec=1800, order_cols=["event_id"]).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation profile (sessionize.conversation_stats) applied to the
+    events schema: user_id as the conversation, event_id as the turn order,
+    event_type as the role, props presence as a tool call. Window + aggregate
+    share one exchange."""
+    ensure_shipped(spark)
+    from lyra_spark.sessionize import conversation_stats
+
+    events = _read(spark, sf_dir, "events")
+    out = conversation_stats(
+        events, group_col="user_id", order_col="event_id",
+        ts_col="ts", role_col="event_type", tool_col="props",
+    )
+    return out.select(
+        "user_id", "n_turns", "n_roles", "n_tool_calls", "first_ts", "last_ts",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("max_gap_sec", 6).alias("max_gap_sec"),
+    )
+
+
 def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical PSI (drift.categorical_psi): per-source drift of the lang
     distribution vs the whole corpus — the nominal-column counterpart of the
@@ -837,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition": q_transition,
         "clean_rows": q_clean_rows,
         "categorical_drift": q_categorical_drift,
+        "sessionize": q_sessionize,
+        "conv_stats": q_conv_stats,
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
     }
@@ -909,6 +944,40 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "sessionize": """
+            WITH lagged AS (
+                SELECT event_id, user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            flagged AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN prev IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                            THEN 1 ELSE 0 END AS ns
+                FROM lagged
+            )
+            SELECT event_id, user_id,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS session_id
+            FROM flagged
+        """,
+        "conv_stats": """
+            WITH l AS (
+                SELECT user_id, ts, event_type, props,
+                       epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY event_id, ts)) AS gap_us
+                FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            )
+            SELECT user_id, COUNT(*) AS n_turns,
+                   COUNT(DISTINCT event_type) AS n_roles,
+                   COUNT(props) AS n_tool_calls,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                   ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6) AS duration_sec,
+                   ROUND(MAX(gap_us) / 1000000.0, 6) AS max_gap_sec
+            FROM l GROUP BY user_id
         """,
         "categorical_drift": """
             WITH vals AS (
