@@ -736,6 +736,45 @@ def q_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-blocklist filtering (pipeline.text.filter_blocked_domains) on the
+    same planted links as `url_stats`: docs linking site3/site7/the CDN are
+    dropped via the map-only literal-array path; survivors roll up per lang."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import filter_blocked_domains
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.org/p"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" ref http://cdn.example.net/assets?q="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    kept = filter_blocked_domains(
+        planted, ["site3.example.org", "site7.example.org", "cdn.example.net"]
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-split sessionization (sessionize.sessionize): per user ordered by
     (ts, event_id), a >30-min silence starts a new session; lag + running sum
@@ -872,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift": q_categorical_drift,
         "sessionize": q_sessionize,
         "conv_stats": q_conv_stats,
+        "domain_blocklist": q_domain_blocklist,
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
     }
@@ -944,6 +984,32 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "domain_blocklist": r"""
+            WITH planted AS (
+                SELECT doc_id, lang,
+                       text
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' see https://site' || (doc_id % 20)::VARCHAR
+                                    || '.example.org/p' || doc_id::VARCHAR
+                               ELSE '' END
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' ref http://cdn.example.net/assets?q=' || doc_id::VARCHAR
+                               ELSE '' END AS text
+                FROM documents WHERE text IS NOT NULL
+            ),
+            blocked_ids AS (
+                SELECT DISTINCT doc_id
+                FROM planted,
+                     UNNEST(regexp_extract_all(text,
+                         'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./?=&%_~#+-]*)?')) AS t(u)
+                WHERE lower(regexp_extract(u, '^https?://([^/]+)', 1))
+                      IN ('site3.example.org', 'site7.example.org', 'cdn.example.net')
+            )
+            SELECT lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+            FROM planted
+            WHERE doc_id NOT IN (SELECT doc_id FROM blocked_ids)
+            GROUP BY lang
         """,
         "sessionize": """
             WITH lagged AS (

@@ -287,3 +287,41 @@ def domain_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_urls"),
     )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document that links ANY blocked domain (the C4/RefinedWeb
+    URL-blocklist pass). Two scale paths by blocklist size:
+
+      * ``blocked`` as a Python list/set/tuple (≲ thousands): the lowercased
+        domains inline as a literal array and the whole filter is map-only
+        codegen (`arrays_overlap` on the per-doc extracted domain set) — zero
+        shuffles, scan speed;
+      * ``blocked`` as a DataFrame with a `domain` column (real blocklists run
+        10⁵-10⁶ entries): (id, domain) mentions semi-join the BROADCAST
+        blocklist, and the (small) blocked-id set subtracts from the corpus
+        via anti-join — AQE picks broadcast for it at runtime when it fits;
+        text never shuffles on either side.
+
+    Documents with no URLs (or NULL text) always survive."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    if isinstance(blocked, (list, set, tuple, frozenset)):
+        lit_arr = F.array(*[F.lit(d.lower()) for d in sorted(blocked)])
+        domains = F.transform(
+            F.regexp_extract_all(c, F.lit(URL_PATTERN), 0),
+            lambda u: F.lower(F.regexp_extract(u, r"^https?://([^/]+)", 1)),
+        )
+        return df.filter(~F.arrays_overlap(domains, lit_arr))
+    mentions = extract_urls(df, text_col, id_col).select(
+        F.col(id_col), F.explode("domains").alias("domain")
+    )
+    bl = blocked.select(F.lower(F.col("domain")).alias("domain")).distinct()
+    blocked_ids = (
+        mentions.join(F.broadcast(bl), "domain", "left_semi").select(id_col).distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")

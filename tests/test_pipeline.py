@@ -619,3 +619,22 @@ def test_cap_per_group_deterministic(spark):
     # per group, the two SMALLEST ids survive
     assert got == [0, 1, 2, 3, 4, 5]
     assert cap_per_group(df, "grp", k=100).count() == 20
+
+
+def test_filter_blocked_domains_both_paths(spark):
+    from lyra_spark.pipeline.text import filter_blocked_domains
+
+    rows = [
+        (1, "visit https://bad.example.com/x now"),
+        (2, "see http://good.example.org/page"),
+        (3, "mixed http://good.example.org and https://BAD.example.com/y"),
+        (4, "no urls at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    want = {2, 4, 5}
+    got_lit = {r.doc_id for r in filter_blocked_domains(df, ["bad.example.com"]).collect()}
+    assert got_lit == want
+    bl = spark.createDataFrame([("Bad.Example.Com",)], "domain string")
+    got_df = {r.doc_id for r in filter_blocked_domains(df, bl).collect()}
+    assert got_df == want
