@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--line-min-docs", type=int, default=2)
     ap.add_argument("--near-dup-threshold", type=float, default=0.9)
     ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--block-domains", default=None,
+                    help="comma-separated domains (or @file with one per line): drop "
+                         "docs linking any of them BEFORE the funnel (map-only filter "
+                         "for small lists; see pipeline.text.filter_blocked_domains)")
+    ap.add_argument("--cap-col", default=None,
+                    help="column to cap per group AFTER dedup (RefinedWeb-style "
+                         "per-domain/source cap); requires --cap-k")
+    ap.add_argument("--cap-k", type=int, default=None, help="max docs kept per --cap-col group")
     ap.add_argument("--master", default=None)
     ap.add_argument("--report", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)
@@ -59,6 +67,18 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.corpus).filter(F.col(args.text_col).isNotNull())
     n_in = docs.count()
 
+    n_blocked = None
+    if args.block_domains:
+        from lyra_spark.pipeline.text import filter_blocked_domains
+
+        if args.block_domains.startswith("@"):
+            with open(args.block_domains[1:]) as fh:
+                blocked = [ln.strip() for ln in fh if ln.strip()]
+        else:
+            blocked = [d.strip() for d in args.block_domains.split(",") if d.strip()]
+        docs = filter_blocked_domains(docs, blocked, args.text_col, args.id_col)
+        n_blocked = n_in - docs.count()
+
     cleaned = clean_corpus(
         docs,
         text_col=args.text_col,
@@ -68,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         near_dup_threshold=args.near_dup_threshold,
         shingle_k=args.shingle_k,
     )
+    if args.cap_col and args.cap_k:
+        from lyra_spark.pipeline.clean import cap_per_group
+
+        cleaned = cap_per_group(cleaned, args.cap_col, args.cap_k, order_col=args.id_col)
     cleaned.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
     n_out = out.count()
@@ -90,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
 
     report = {
         "docs_in": n_in,
+        **({"blocked_by_domain": n_blocked} if n_blocked is not None else {}),
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         # scrub-emptied docs + near-dup cluster members dropped for their

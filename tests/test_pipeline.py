@@ -638,3 +638,37 @@ def test_filter_blocked_domains_both_paths(spark):
     bl = spark.createDataFrame([("Bad.Example.Com",)], "domain string")
     got_df = {r.doc_id for r in filter_blocked_domains(df, bl).collect()}
     assert got_df == want
+
+
+def test_clean_cli_blocklist_and_cap(tmp_path, spark):
+    """--block-domains drops linking docs before the funnel; --cap-col/--cap-k
+    caps groups after dedup; the report carries the blocklist attrition."""
+    import json
+
+    from jobs.clean import main
+
+    base = ("a perfectly ordinary english document with plenty of words about "
+            "query planners and shuffle exchange strategies in modern engines")
+    rows = [
+        (0, base + " zero", "s1"),
+        (1, base + " one", "s1"),
+        (2, base + " two", "s1"),
+        (3, base + " three see https://spam.example.com/x", "s1"),
+        (4, base + " four", "s2"),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    out = str(tmp_path / "cleaned")
+    rpt = str(tmp_path / "report.json")
+    rc = main([
+        "--corpus", src, "--out", out, "--report", rpt,
+        "--near-dup-threshold", "0.99", "--shingle-k", "3",
+        "--block-domains", "spam.example.com",
+        "--cap-col", "source", "--cap-k", "2",
+    ])
+    assert rc == 0
+    rep = json.loads(open(rpt).read())
+    assert rep["docs_in"] == 5 and rep["blocked_by_domain"] == 1
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # doc 3 blocked; s1 capped to its 2 smallest surviving ids; s2 keeps doc 4
+    assert got == {0, 1, 4}
