@@ -736,6 +736,33 @@ def q_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal (pipeline.text.strip_markup) on PLANTED html: every 5th
+    doc is wrapped in tags + entities; the stripped text is value-checked via
+    md5 + length so the oracle pins every byte."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import strip_markup
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<div class="post"><h1>T</h1><p>'),
+                F.col("text"),
+                F.lit("</p><br/>&amp; <b>footer</b></div>"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = strip_markup(planted)
+    return out.select(
+        "doc_id",
+        F.md5("text_plain").alias("plain_md5"),
+        F.length("text_plain").alias("plain_len"),
+    )
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-blocklist filtering (pipeline.text.filter_blocked_domains) on the
     same planted links as `url_stats`: docs linking site3/site7/the CDN are
@@ -912,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "conv_stats": q_conv_stats,
         "domain_blocklist": q_domain_blocklist,
+        "markup_strip": q_markup_strip,
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
     }
@@ -984,6 +1012,28 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "markup_strip": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '<div class="post"><h1>T</h1><p>' || text
+                                 || '</p><br/>&amp; <b>footer</b></div>'
+                            ELSE text END AS text
+                FROM documents WHERE text IS NOT NULL
+            ),
+            stripped AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               regexp_replace(text, '</?[A-Za-z][^>]*>', ' ', 'g'),
+                               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                               '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                           '\s+', ' ', 'g')) AS plain
+                FROM planted
+            )
+            SELECT doc_id, md5(plain) AS plain_md5, length(plain) AS plain_len
+            FROM stripped
         """,
         "domain_blocklist": r"""
             WITH planted AS (

@@ -325,3 +325,27 @@ def filter_blocked_domains(
         mentions.join(F.broadcast(bl), "domain", "left_semi").select(id_col).distinct()
     )
     return df.join(blocked_ids, id_col, "left_anti")
+
+
+# conservative tag pattern shared by the engine and the DuckDB oracle: a '<'
+# followed by a letter or '/' then anything up to the next '>' is markup;
+# bare '<' (math, code) survives
+_TAG_PATTERN = r"</?[A-Za-z][^>]*>"
+_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]
+
+
+def strip_markup(df: DataFrame, text_col: str = "text", out_col: str = "text_plain") -> DataFrame:
+    """HTML/markup removal (the C4/WET extraction step for pages that arrive
+    as raw HTML): drop tags, decode the six ubiquitous entities, collapse the
+    resulting whitespace runs. Map-only codegen regexp chains — scan-speed at
+    100 TB, zero shuffles; NULL text stays NULL.
+
+    Deliberately conservative (a parser this is not): only `<letter…>` /
+    `</…>` spans are treated as tags, so inequalities in prose/code survive.
+    """
+    c = F.col(text_col)
+    out = F.regexp_replace(c, _TAG_PATTERN, " ")
+    for ent, repl in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.withColumn(out_col, out)

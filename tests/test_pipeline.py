@@ -672,3 +672,20 @@ def test_clean_cli_blocklist_and_cap(tmp_path, spark):
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     # doc 3 blocked; s1 capped to its 2 smallest surviving ids; s2 keeps doc 4
     assert got == {0, 1, 4}
+
+
+def test_strip_markup(spark):
+    from lyra_spark.pipeline.text import strip_markup
+
+    rows = [
+        (1, '<html><body><p class="x">Hello &amp; welcome</p><br/>to <b>the</b> page</body></html>'),
+        (2, "plain text with 1 < 2 and a<b comparisons"),
+        (3, "&lt;escaped&gt; &quot;quotes&quot; &#39;apos&#39; &nbsp;spaced"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.text_plain for r in strip_markup(df).collect()}
+    assert got[1] == "Hello & welcome to the page"
+    assert got[2] == "plain text with 1 < 2 and a<b comparisons"
+    assert got[3] == '<escaped> "quotes" \'apos\' spaced'
+    assert got[4] is None
