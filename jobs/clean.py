@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--line-min-docs", type=int, default=2)
     ap.add_argument("--near-dup-threshold", type=float, default=0.9)
     ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument("--strip-markup", action="store_true",
+                    help="strip HTML tags/entities from the text before the funnel "
+                         "(pipeline.text.strip_markup) — map-only, fuses into the scan")
     ap.add_argument("--block-domains", default=None,
                     help="comma-separated domains (or @file with one per line): drop "
                          "docs linking any of them BEFORE the funnel (map-only filter "
@@ -66,6 +69,20 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     docs = spark.read.parquet(args.corpus).filter(F.col(args.text_col).isNotNull())
     n_in = docs.count()
+
+    if args.strip_markup:
+        # applied to `docs` HERE (not via clean_corpus's flag) so the funnel
+        # report's quality/dedup probes below measure the same stripped text
+        # the pipeline saw
+        from lyra_spark.pipeline.text import strip_markup
+
+        cols = docs.columns
+        docs = (
+            strip_markup(docs, args.text_col)
+            .drop(args.text_col)
+            .withColumnRenamed("text_plain", args.text_col)
+            .select(*cols)
+        )
 
     n_blocked = None
     if args.block_domains:

@@ -36,6 +36,7 @@ def clean_corpus(
     line_min_docs: int = 2,
     near_dup_threshold: float = 0.9,
     shingle_k: int = 3,
+    strip_markup_first: bool = False,
 ) -> DataFrame:
     """Return the cleaned corpus: one representative document per near-dup
     cluster, boilerplate lines scrubbed, garbage filtered. Output columns:
@@ -46,6 +47,17 @@ def clean_corpus(
     the whole pass is re-runnable to byte-identical output on fixed input.
     """
     in_cols = df.columns
+
+    if strip_markup_first:
+        # stage 0 (map-only, fuses into the same scan as the quality score):
+        # pages arriving as raw HTML are stripped BEFORE anything measures or
+        # hashes text — markup would otherwise poison quality ratios, shingle
+        # sets, and line hashes alike
+        from .text import strip_markup
+
+        df = strip_markup(df, text_col).drop(text_col).withColumnRenamed(
+            "text_plain", text_col
+        ).select(*in_cols)
 
     scored = quality_score(df, text_col).filter(
         F.col("quality_score") >= min_quality

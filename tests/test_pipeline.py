@@ -689,3 +689,24 @@ def test_strip_markup(spark):
     assert got[2] == "plain text with 1 < 2 and a<b comparisons"
     assert got[3] == '<escaped> "quotes" \'apos\' spaced'
     assert got[4] is None
+
+
+def test_clean_corpus_strip_markup_first(spark):
+    """strip_markup_first=True: markup-wrapped near-identical docs dedup to
+    one representative (tags would otherwise break quality and shingles)."""
+    from lyra_spark.pipeline.clean import clean_corpus
+
+    base = ("a perfectly ordinary english document with plenty of words about "
+            "query planners and shuffle exchange strategies in modern engines")
+    rows = [
+        (0, "<html><p>" + base + "</p></html>"),
+        (1, base),  # exact dup after stripping
+        (2, "another clean document full of normal words describing window "
+            "functions partition pruning and adaptive query execution today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, near_dup_threshold=0.95, strip_markup_first=True)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert set(got) == {0, 2}
+    assert got[0] == base  # representative carries the STRIPPED text
+    assert out.columns[:2] == ["doc_id", "text"]
