@@ -137,8 +137,11 @@ def transition_violations(
     Plan shape: identical to monotone_violations — one window lag over the
     (group) exchange, pure Catalyst (the transition set folds into a literal
     IN list on a concat key; NULL states print as the literal <NULL> so a
-    NULL can be allowed or denied explicitly). On a real run this check
-    shares the conversation exchange with uniqueness + monotone.
+    NULL can be allowed or denied explicitly). Like composable monotone, the
+    window puts a whole conversation in one task — bounded for real
+    transcripts; a hot-conversation-skewed table should run this fused with
+    the bucketed-lag machinery (lyra_spark.fused), which the suite already
+    applies to monotone.
     """
     sep = "\x1f"  # cannot appear in enum-constrained role values
     w = Window.partitionBy(group_col).orderBy(order_col)
