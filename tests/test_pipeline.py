@@ -710,3 +710,31 @@ def test_clean_corpus_strip_markup_first(spark):
     assert set(got) == {0, 2}
     assert got[0] == base  # representative carries the STRIPPED text
     assert out.columns[:2] == ["doc_id", "text"]
+
+
+def test_profile_cli(tmp_path, spark):
+    """jobs/profile_corpus.py: one JSON report with consistent counts."""
+    import json
+
+    from jobs.profile_corpus import main
+
+    rows = [
+        (0, "a perfectly ordinary english document about query planners and "
+            "shuffle strategies see https://site.example.org/a", "s1"),
+        (1, "a perfectly ordinary english document about query planners and "
+            "shuffle strategies see https://site.example.org/a", "s1"),  # exact dup
+        (2, "another clean english document describing window functions and "
+            "partition pruning in detail", "s2"),
+        (3, None, "s2"),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    rpt = str(tmp_path / "profile.json")
+    assert main(["--corpus", src, "--report", rpt]) == 0
+    rep = json.loads(open(rpt).read())
+    assert rep["n_docs"] == 4 and rep["n_null_text"] == 1
+    assert rep["exact_dup_rate"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert rep["lang_distribution"].get("en") == 3
+    assert rep["n_docs_with_urls"] == 2
+    assert rep["top_domains"][0]["domain"] == "site.example.org"
+    assert rep["top_domains"][0]["n_docs"] == 2
