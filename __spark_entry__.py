@@ -335,6 +335,24 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, threshold=0.9, shingle_k=3)
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-store dedup: docs with doc_id % 5 == 0 are the 'new crawl',
+    the rest the persisted base corpus; the base contributes only its
+    signature_store (id + content digest + minhash — never re-signatured) to
+    the band join, and its text solely to verify candidates. Oracle-checkable
+    by the same argument as minhash_neardup: at jaccard ≥ 0.9 the 16-band miss
+    rate is (1-j⁴)^16 ≈ 4e-8, so the verified output equals the exhaustive
+    new×base exact-Jaccard pair set DuckDB computes."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import incremental_near_duplicates, signature_store
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    store = signature_store(base)
+    return incremental_near_duplicates(new, store, base, threshold=0.9, shingle_k=3)
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pipeline recall, oracle-checked via PLANTED identities: every
     7th doc gets a whitespace-perturbed copy (token-list-preserving, so its
@@ -942,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_strip": q_markup_strip,
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
+        "incremental_neardup": q_incremental_neardup,
     }
 
 
@@ -1337,6 +1356,30 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                         / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.9
+        """,
+        "incremental_neardup": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM t),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 3
+                            THEN list_distinct(list_transform(
+                                     generate_series(1, len(ws) - 2),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                            ELSE [norm] END AS sh
+                FROM w
+            )
+            SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+                   ROUND(len(list_intersect(n.sh, b.sh))::DOUBLE
+                         / GREATEST(len(n.sh) + len(b.sh) - len(list_intersect(n.sh, b.sh)), 1), 6) AS jaccard
+            FROM sh n JOIN sh b ON n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+            WHERE ROUND(len(list_intersect(n.sh, b.sh))::DOUBLE
+                        / GREATEST(len(n.sh) + len(b.sh) - len(list_intersect(n.sh, b.sh)), 1), 6) >= 0.9
         """,
         "simhash_neardup": """
             WITH corpus AS (

@@ -230,6 +230,15 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
     return base.withColumn("minhash", sig).drop("_mh_hs")
 
 
+def _band_rows(with_sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_idx, band_hash) rows — the only thing LSH ever shuffles."""
+    r = num_hashes // bands
+    band_arr = F.array(
+        *[F.xxhash64(F.lit(b), *[F.col("minhash")[b * r + j] for j in range(r)]) for b in range(bands)]
+    )
+    return with_sig.select(F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash"))
+
+
 def lsh_candidate_pairs(
     with_sig: DataFrame,
     id_col: str = "doc_id",
@@ -243,13 +252,7 @@ def lsh_candidate_pairs(
     quadratic per bucket by construction — bucket sizes are bounded because a
     full-band match at r = num_hashes/bands rows implies near-identical docs.
     """
-    r = num_hashes // bands
-    band_arr = F.array(
-        *[F.xxhash64(F.lit(b), *[F.col("minhash")[b * r + j] for j in range(r)]) for b in range(bands)]
-    )
-    exploded = with_sig.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
+    exploded = _band_rows(with_sig, id_col, num_hashes, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -328,6 +331,123 @@ def minhash_near_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- incremental dedup (new snapshot vs persisted corpus store) -----------------
+def signature_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, content_sha, minhash) — the persistable dedup state of a corpus.
+
+    At web scale you never re-dedup the whole corpus when a new crawl snapshot
+    lands: you persist THIS frame (~0.5% of corpus bytes — a 64-char digest +
+    64 int64s per doc) once, and each snapshot dedups against it via
+    incremental_exact_duplicates / incremental_near_duplicates below. Write it
+    partitioned however the corpus is partitioned; appending the new
+    snapshot's own store rows after each ingest keeps it current. NULL/empty
+    docs are excluded — they have no dedup-relevant content and would
+    otherwise all share one signature (see minhash_near_duplicates).
+    """
+    df = df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+    return minhash_signature(df, text_col, num_hashes, shingle_k).select(
+        F.col(id_col),
+        F.sha2(_norm(text_col), 256).alias("content_sha"),
+        "minhash",
+    )
+
+
+def incremental_exact_duplicates(
+    new_df: DataFrame,
+    base_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New-snapshot docs whose normalized content already exists in the base
+    corpus: (new_id, content_sha, n_base_matches, first_base_id).
+
+    base_store is a signature_store frame (only id + content_sha are read —
+    column pruning drops the minhash array at the scan). Shuffle carries
+    digests + ids only; neither side's text moves. The base aggregation is
+    constant-buffer (count + min), so a boilerplate digest with 10⁸ base
+    copies costs one row, not one list.
+    """
+    new_hashed = new_df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("new_id"), F.sha2(_norm(text_col), 256).alias("content_sha"))
+    base_groups = base_store.groupBy("content_sha").agg(
+        F.count(F.lit(1)).alias("n_base_matches"),
+        F.min(id_col).alias("first_base_id"),
+    )
+    return new_hashed.join(base_groups, "content_sha").select(
+        "new_id", "content_sha", "n_base_matches", "first_base_id"
+    )
+
+
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    base_store: DataFrame,
+    base_texts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dups of new-snapshot docs against the persisted base corpus:
+    (new_id, base_id, jaccard ≥ threshold).
+
+    The base corpus is touched twice, both times cheaply: its STORE (id +
+    minhash, ~0.5% of corpus bytes) feeds the band join, and its TEXT is read
+    only to verify actual candidates — an id-selective join, candidates ≪
+    corpus. The new snapshot (typically ≪ base) computes signatures map-only
+    and joins base bands on (band_idx, band_hash); AQE handles hot buckets the
+    same way the self-join path does. Per-pair verification is the exact
+    shingle-Jaccard of minhash_near_duplicates, so at high thresholds the
+    result equals the exhaustive new×base pair set (16-band miss rate
+    (1-j^4)^16 ≈ 4e-8 at j = 0.9)."""
+    new_df = new_df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+    new_sig = (
+        minhash_signature(new_df, text_col, num_hashes, shingle_k)
+        .select(F.col(id_col), "minhash")
+        .localCheckpoint(eager=False)
+    )
+    new_bands = _band_rows(new_sig, id_col, num_hashes, bands).withColumnRenamed(id_col, "new_id")
+    base_bands = _band_rows(
+        base_store.select(id_col, "minhash"), id_col, num_hashes, bands
+    ).withColumnRenamed(id_col, "base_id")
+    cands = (
+        new_bands.join(base_bands, ["band_idx", "band_hash"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    new_texts = new_df.select(F.col(id_col).alias("new_id"), F.col(text_col).alias("__text_n"))
+    base_texts = base_texts.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("base_id"), F.col(text_col).alias("__text_b"))
+    paired = (
+        cands.join(new_texts, "new_id")
+        .join(base_texts, "base_id")
+        .withColumn("sh_n", word_shingles("__text_n", shingle_k))
+        .withColumn("sh_b", word_shingles("__text_b", shingle_k))
+        .withColumn("__i", F.size(F.array_intersect("sh_n", "sh_b")))
+    )
+    return (
+        paired.withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i")
+                / F.greatest(F.size("sh_n") + F.size("sh_b") - F.col("__i"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
     )
 
 

@@ -73,6 +73,51 @@ def test_minhash_recall_vs_exact_jaccard(docs):
     assert exact == lsh
 
 
+def test_incremental_dedup_vs_store(docs, tmp_path):
+    """Snapshot-vs-store dedup: persist the base corpus's signature store,
+    then dedup a new snapshot against it without re-signaturing the base.
+    Exact matches and near-dups must equal the self-join ground truth
+    restricted to new×base pairs."""
+    base = docs.filter("doc_id <= 3 and text <> ''")
+    new = docs.sparkSession.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog and runs away fast"),  # = base 0
+            (101, "the quick brown fox jumps over the lazy cat and runs away SLOW"),  # near base 3
+            (102, "entirely novel snapshot content with no counterpart in the base"),
+            (103, None),
+            (104, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "sigstore")
+    dedup.signature_store(base).write.parquet(store_path)
+    store = docs.sparkSession.read.parquet(store_path)
+
+    exact = {
+        (r.new_id, r.n_base_matches, r.first_base_id)
+        for r in dedup.incremental_exact_duplicates(new, store).collect()
+    }
+    # base 0,1,2 normalize to the same content → 3 matches, first id 0
+    assert exact == {(100, 3, 0)}
+
+    near = {
+        (r.new_id, r.base_id): r.jaccard
+        for r in dedup.incremental_near_duplicates(new, store, base, threshold=0.4).collect()
+    }
+    assert (100, 0) in near and near[(100, 0)] == 1.0
+    assert (100, 1) in near and (100, 2) in near
+    assert (101, 3) in near and 0.4 <= near[(101, 3)] < 1.0
+    assert not any(nid == 102 or nid in (103, 104) for nid, _ in near)
+    # ground truth: exhaustive jaccard over the union, restricted to new×base
+    both = base.unionByName(new.filter("text is not null and trim(text) <> ''"))
+    truth = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(both, threshold=0.4, shingle_k=3).collect()
+        if (r.id_a >= 100) != (r.id_b >= 100)
+    }
+    assert near == truth
+
+
 def test_simhash_near_duplicates(docs):
     got = dedup.simhash_near_duplicates(docs.filter("text <> ''"), max_hamming=6, chunks=8)
     pairs = {(r.id_a, r.id_b): r.hamming for r in got.collect()}
