@@ -92,6 +92,28 @@ def q_verdicts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compute_verdicts(events, viol, rule_ids, partition_col="day").withColumnRenamed("pass", "passed")
 
 
+def q_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style X → Y consistency: users whose events span >1 event_type
+    (constant-buffer two-phase aggregate — no value lists at any group size)."""
+    ensure_shipped(spark)
+    from lyra_spark.checks import functional_dependency_violations
+
+    events = _read(spark, sf_dir, "events")
+    return functional_dependency_violations(events, ["user_id"], "event_type")
+
+
+def q_rowcount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly gate: days whose row count deviates >5% from the
+    trailing-7-day mean. The anomaly math runs on one row per partition; at
+    scale the counts come from table metadata (io.partition_row_counts), not
+    a scan."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import row_count_anomaly
+
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return row_count_anomaly(events, "day", trailing=7, threshold=0.05)
+
+
 def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 row 21: custom VECTORIZED predicate (Arrow pandas UDF) end-to-end.
 
@@ -961,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
         "incremental_neardup": q_incremental_neardup,
+        "functional_dep": q_functional_dep,
+        "rowcount_anomaly": q_rowcount_anomaly,
     }
 
 
@@ -1356,6 +1380,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                         / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.9
+        """,
+        "functional_dep": """
+            SELECT user_id, 'functional_dependency' AS rule_id,
+                   COUNT(DISTINCT COALESCE(event_type, '<NULL>')) AS n_values,
+                   MIN(COALESCE(event_type, '<NULL>')) AS first_value,
+                   MAX(COALESCE(event_type, '<NULL>')) AS last_value,
+                   COUNT(*) AS n_rows
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(DISTINCT COALESCE(event_type, '<NULL>')) > 1
+        """,
+        "rowcount_anomaly": """
+            WITH c AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS row_count
+                FROM events GROUP BY 1
+            ),
+            s AS (
+                SELECT day, row_count,
+                       ROUND(AVG(row_count) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS expected
+                FROM c
+            )
+            SELECT day, row_count, expected,
+                   ROUND(ABS(row_count - expected) / expected, 6) AS deviation
+            FROM s
+            WHERE expected IS NOT NULL AND expected > 0
+              AND ROUND(ABS(row_count - expected) / expected, 6) > 0.05
         """,
         "incremental_neardup": """
             WITH t AS (

@@ -169,6 +169,57 @@ def transition_violations(
     )
 
 
+FD_RULE = "functional_dependency"
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    determinant_cols: list[str],
+    dependent_col: str,
+    rule_id: str = FD_RULE,
+) -> DataFrame:
+    """Determinant groups where ``dependent_col`` takes more than one value —
+    the Deequ-style X → Y consistency check (e.g. a conv_id split across
+    part_dates breaks per-partition verdict semantics; a turn key mapping to
+    two roles means upstream merged two transcripts).
+
+    Returns one row per violating group: (*determinant_cols, rule_id,
+    n_values, first_value, last_value, n_rows) — a dataset-level report like
+    the drift checks, not a per-row violation stream.
+
+    Scale: two-phase aggregate with CONSTANT buffers — the (det, dep) partial
+    collapses each group to one row per distinct value before the per-det
+    roll-up counts/min/maxes them, so a determinant with 10⁸ rows costs its
+    distinct-value count, never a list. NULL dependents participate as the
+    literal '<NULL>' (a NULL is a real inconsistency against a non-NULL).
+    NULL determinant keys are excluded like every per-key check here.
+    """
+    dep = F.coalesce(F.col(dependent_col).cast("string"), F.lit("<NULL>"))
+    pairs = (
+        df.filter(_non_null_keys(determinant_cols))
+        .groupBy(*determinant_cols, dep.alias("__dep__"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        pairs.groupBy(*determinant_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.min("__dep__").alias("first_value"),
+            F.max("__dep__").alias("last_value"),
+            F.sum("__n").cast("long").alias("n_rows"),
+        )
+        .filter(F.col("n_values") > 1)
+        .select(
+            *determinant_cols,
+            F.lit(rule_id).alias("rule_id"),
+            "n_values",
+            "first_value",
+            "last_value",
+            "n_rows",
+        )
+    )
+
+
 def monotone_violations(
     df: DataFrame,
     group_col: str = "conv_id",

@@ -106,3 +106,47 @@ def merge_hll(sketches: DataFrame, group_cols: list[str] = ("column",)) -> DataF
         .agg(F.hll_union_agg("sketch").alias("sketch"))
         .withColumn("estimate", F.hll_sketch_estimate("sketch"))
     )
+
+
+def row_count_anomaly(
+    df: DataFrame,
+    partition_col: str = "part_date",
+    trailing: int = 7,
+    threshold: float = 0.5,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Partitions whose row count deviates from the trailing-``trailing``-
+    partition mean by more than ``threshold`` (relative) — the Deequ-style
+    anomaly gate on ingest volume: a date that suddenly has half (pipeline
+    dropped a source) or triple (duplicated ingest) its recent volume should
+    fail loudly even when every row in it is individually valid.
+
+    Returns (partition_col, row_count, expected, deviation) for anomalous
+    partitions; the first ``trailing``-less partitions have no expectation and
+    are never flagged.
+
+    Scale: the anomaly math runs on ONE ROW PER PARTITION — ~10⁵ rows at the
+    10⁵-Iceberg-partition design point — so the unpartitioned ordering window
+    (a single task) is trivially fine. What must NOT happen at scale is the
+    counting scan: pass ``counts`` (partition_col, row_count) built from
+    parquet footers / Iceberg manifest metadata (lyra_spark.io.
+    partition_row_counts) and the whole check reads zero data files.
+    """
+    from pyspark.sql import Window
+
+    if counts is None:
+        counts = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("row_count"))
+    w = Window.orderBy(partition_col).rowsBetween(-trailing, -1)
+    scored = counts.select(
+        partition_col,
+        F.col("row_count").cast("long").alias("row_count"),
+        F.round(F.avg("row_count").over(w), 6).alias("expected"),
+    ).withColumn(
+        "deviation",
+        F.round(F.abs(F.col("row_count") - F.col("expected")) / F.col("expected"), 6),
+    )
+    return scored.filter(
+        F.col("expected").isNotNull()
+        & (F.col("expected") > 0)
+        & (F.col("deviation") > threshold)
+    )

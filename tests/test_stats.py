@@ -58,3 +58,46 @@ def test_per_partition_stats_grouping(tdf, pdf):
     got = column_stats(tdf, ["text"], partition_col="part_date").toPandas()
     assert len(got) == pdf["part_date"].nunique()
     assert int(got["row_count"].sum()) == len(pdf)
+
+
+# --- dataset-level reports: functional dependency + row-count anomaly -----------
+def test_functional_dependency_violations(spark):
+    from lyra_spark.checks import functional_dependency_violations
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "2024-01-01"), ("c1", "2024-01-01"),          # consistent
+            ("c2", "2024-01-01"), ("c2", "2024-01-02"),          # split across dates
+            ("c3", None), ("c3", "2024-01-05"), ("c3", "2024-01-09"),  # NULL counts as a value
+            (None, "2024-01-01"), (None, "2024-01-02"),          # NULL determinant excluded
+        ],
+        "conv_id string, part_date string",
+    )
+    got = {r.conv_id: r for r in functional_dependency_violations(df, ["conv_id"], "part_date").collect()}
+    assert set(got) == {"c2", "c3"}
+    assert got["c2"].n_values == 2 and got["c2"].n_rows == 2
+    assert (got["c2"].first_value, got["c2"].last_value) == ("2024-01-01", "2024-01-02")
+    assert got["c3"].n_values == 3 and got["c3"].first_value == "2024-01-05"
+    assert got["c3"].last_value == "<NULL>"  # sentinel sorts after dates
+
+
+def test_row_count_anomaly_trailing_mean(spark):
+    from lyra_spark.stats import row_count_anomaly
+
+    rows = []
+    for d, n in [("d01", 100), ("d02", 100), ("d03", 100), ("d04", 300), ("d05", 100)]:
+        rows += [(d,)] * n
+    df = spark.createDataFrame(rows, "day string")
+    got = {r.day: r for r in row_count_anomaly(df, "day", trailing=3, threshold=0.5).collect()}
+    # d01 has no trailing window; d04 is 3x the trailing mean of 100;
+    # d05's trailing mean is (100+100+300)/3 = 166.67 → deviation 0.4 < 0.5
+    assert set(got) == {"d04"}
+    assert got["d04"].row_count == 300 and got["d04"].expected == 100.0
+    assert got["d04"].deviation == 2.0
+
+    # metadata-counts path: identical result with zero scan of df
+    counts = df.groupBy("day").count().withColumnRenamed("count", "row_count")
+    got2 = {r.day: r for r in row_count_anomaly(df, "day", trailing=3, threshold=0.5, counts=counts).collect()}
+    assert {d: (r.row_count, r.expected, r.deviation) for d, r in got.items()} == {
+        d: (r.row_count, r.expected, r.deviation) for d, r in got2.items()
+    }
