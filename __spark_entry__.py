@@ -114,6 +114,16 @@ def q_rowcount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_count_anomaly(events, "day", trailing=7, threshold=0.05)
 
 
+def q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters per profiled column (one scan, one exchange;
+    deterministic count-DESC/value-ASC tie-break)."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import frequent_values
+
+    events = _read(spark, sf_dir, "events")
+    return frequent_values(events, ["event_type", "user_id"], k=5)
+
+
 def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 row 21: custom VECTORIZED predicate (Arrow pandas UDF) end-to-end.
 
@@ -985,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "functional_dep": q_functional_dep,
         "rowcount_anomaly": q_rowcount_anomaly,
+        "frequent_values": q_frequent_values,
     }
 
 
@@ -1380,6 +1391,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                         / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.9
+        """,
+        "frequent_values": """
+            WITH pairs AS (
+                SELECT 'event_type' AS "column", COALESCE(event_type, '<NULL>') AS value FROM events
+                UNION ALL
+                SELECT 'user_id', COALESCE(CAST(user_id AS VARCHAR), '<NULL>') FROM events
+            ),
+            counts AS (
+                SELECT "column", value, COUNT(*) AS count FROM pairs GROUP BY 1, 2
+            )
+            SELECT "column", value, count, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY "column" ORDER BY count DESC, value ASC) AS rank
+                FROM counts
+            ) WHERE rank <= 5
         """,
         "functional_dep": """
             SELECT user_id, 'functional_dependency' AS rule_id,

@@ -150,3 +150,49 @@ def row_count_anomaly(
         & (F.col("expected") > 0)
         & (F.col("deviation") > threshold)
     )
+
+
+def frequent_values(
+    df: DataFrame,
+    columns: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-``k`` most frequent values per column, long format
+    (column, value, count, rank) — the heavy-hitters half of a column profile
+    (column_stats covers null-rate/distinct/min/max; this names the values).
+
+    Deterministic tie-break: count DESC, then value ASC — re-runs and engines
+    agree bit-for-bit.
+
+    Scale: one scan unpivots every profiled column into (column, value) pairs,
+    ONE exchange aggregates them (map-side partials collapse hot values before
+    the shuffle — the count per distinct value is a constant-size buffer), and
+    the rank window partitions BY COLUMN over the already-tiny distinct-value
+    counts. The expensive case is a high-cardinality column (e.g. an id):
+    the aggregate output is ~its cardinality — rows, not lists, so it spills
+    gracefully rather than OOMing, and every later step sees ≤ k rows per
+    column. NULLs count as the literal '<NULL>' (a top value being NULL is
+    exactly what a profiler must surface).
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value")
+    counts = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("count"))
+    w = Window.partitionBy("column").orderBy(F.col("count").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("column", "value", "count", "rank")
+    )

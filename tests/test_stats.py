@@ -101,3 +101,21 @@ def test_row_count_anomaly_trailing_mean(spark):
     assert {d: (r.row_count, r.expected, r.deviation) for d, r in got.items()} == {
         d: (r.row_count, r.expected, r.deviation) for d, r in got2.items()
     }
+
+
+def test_frequent_values_exact_topk(spark):
+    from lyra_spark.stats import frequent_values
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 1), ("c", None), (None, 1)],
+        "et string, v int",
+    )
+    got = frequent_values(df, ["et", "v"], k=2).collect()
+    by_col = {}
+    for r in got:
+        by_col.setdefault(r.column, []).append((r.rank, r.value, r["count"]))
+    assert sorted(by_col["et"]) == [(1, "a", 2), (2, "b", 2)]  # a before b on tie (value ASC)
+    assert sorted(by_col["v"]) == [(1, "1", 4), (2, "2", 1)]
+    # NULL surfaces as a countable value when it's frequent enough
+    all3 = {(r.column, r.rank): r.value for r in frequent_values(df, ["et"], k=3).collect()}
+    assert all3[("et", 3)] == "<NULL>"
