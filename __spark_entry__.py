@@ -124,6 +124,39 @@ def q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_values(events, ["event_type", "user_id"], k=5)
 
 
+def q_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-conformance report as data: the events table's ACTUAL schema
+    diffed against an expected schema with planted drift — a missing column
+    (session_id), a type change (value float→double), a tightened nullability
+    (event_type), and an unexpected extra (props). Pure driver-side metadata,
+    zero scans. The ts column is excluded on both sides: its parquet logical
+    type (TIMESTAMP vs TIMESTAMP_NTZ) is a reader-config artifact, not schema
+    drift, and pinning it would make the oracle host-dependent."""
+    ensure_shipped(spark)
+    from pyspark.sql import types as T
+
+    from lyra_spark.schema import schema_diff
+
+    events = _read(spark, sf_dir, "events")
+    expected = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.FloatType(), True),
+            T.StructField("session_id", T.StringType(), True),
+        ]
+    )
+    actual = T.StructType([f for f in events.schema.fields if f.name != "ts"])
+    rows = [
+        (d["column"], d["status"], d["expected_type"], d["actual_type"])
+        for d in schema_diff(actual, expected)
+    ]
+    return spark.createDataFrame(
+        rows, "column string, status string, expected_type string, actual_type string"
+    )
+
+
 def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 row 21: custom VECTORIZED predicate (Arrow pandas UDF) end-to-end.
 
@@ -996,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_dep": q_functional_dep,
         "rowcount_anomaly": q_rowcount_anomaly,
         "frequent_values": q_frequent_values,
+        "schema_check": q_schema_check,
     }
 
 
@@ -1391,6 +1425,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                         / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.9
+        """,
+        "schema_check": """
+            SELECT * FROM (VALUES
+                ('event_type', 'nullability_tightened', 'string', 'string'),
+                ('session_id', 'missing', 'string', CAST(NULL AS VARCHAR)),
+                ('value', 'type_mismatch', 'float', 'double'),
+                ('props', 'extra', CAST(NULL AS VARCHAR), 'string')
+            ) AS t("column", status, expected_type, actual_type)
         """,
         "frequent_values": """
             WITH pairs AS (

@@ -99,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
                          "keyed by uniqueness/monotone violations are subtracted via a "
                          "broadcast anti-join against the (tiny) violation set, so the "
                          "clean side never shuffles")
+    ap.add_argument("--check-schema", action="store_true",
+                    help="preflight: fail fast (before ANY scan) unless the table's "
+                         "schema conforms to the mandated transcript schema — missing "
+                         "columns, type changes, and tightened nullability block; "
+                         "extra columns are reported but never block")
     ap.add_argument("--snapshot-id", default=None,
                     help="table snapshot / read-version this run validates (Iceberg "
                          "snapshot id in prod); recorded per partition in the manifest "
@@ -135,6 +140,13 @@ def main(argv: list[str] | None = None) -> int:
     # behind its lock (lyra_spark.io._AQE_FLOOR_LOCK).
     spark.conf.set(lio._AQE_FLOOR_KEY, lio._AQE_FLOOR_VALUE)
     df = lio.read_transcripts(spark, args.table)
+    if args.check_schema:
+        from lyra_spark.schema import TRANSCRIPTS_SCHEMA, assert_schema, schema_diff
+
+        for d in schema_diff(df.schema, TRANSCRIPTS_SCHEMA):
+            print(f"[lyra] schema: {d['column']} {d['status']} "
+                  f"(expected {d['expected_type']}, got {d['actual_type']})")
+        assert_schema(df.schema, TRANSCRIPTS_SCHEMA)
     dim = spark.read.parquet(args.tools_dim)
     ruleset = transcript_ruleset()
     hll_cols = [c.strip() for c in args.hll_cols.split(",") if c.strip()] if args.hll_cols else []

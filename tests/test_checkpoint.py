@@ -489,3 +489,72 @@ def test_cli_check_transitions(tmp_path, spark, fixtures_sf0001):
     n_tv = viol.filter(viol.rule_id == "role_transition").count()
     # grid violation_count agrees with the sink
     assert sum(r.violation_count for r in tv.collect()) == n_tv
+
+
+def test_cli_check_schema_preflight(tmp_path, spark, fixtures_sf0001, capsys):
+    """--check-schema passes on a conforming table and fails fast (before any
+    partition work) on a non-conforming one."""
+    import pytest as _pytest
+
+    from jobs.validate import main
+
+    ok_args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ok"),
+        "--run-id", "r1",
+        "--limit-partitions", "1",
+        "--check-schema",
+    ]
+    assert main(ok_args) == 0
+    capsys.readouterr()  # drop the conforming run's output
+
+    # a table missing the tool column (and with turn_idx retyped) must block
+    bad = str(tmp_path / "bad_table")
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    tdf.drop("tool").withColumn("turn_idx", tdf.turn_idx.cast("string")).write.partitionBy(
+        "part_date"
+    ).parquet(bad)
+    bad_args = [
+        "--table", bad,
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "bad"),
+        "--run-id", "r1",
+        "--check-schema",
+    ]
+    with _pytest.raises(ValueError, match="tool: missing"):
+        main(bad_args)
+    out = capsys.readouterr().out
+    assert "turn_idx type_mismatch" in out
+    # fail-fast: no partition ever completed
+    assert "partition=" not in out
+
+
+def test_schema_diff_statuses(spark):
+    from pyspark.sql import types as T
+
+    from lyra_spark.schema import assert_schema, schema_diff
+
+    expected = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), False),
+            T.StructField("c", T.DoubleType(), True),
+        ]
+    )
+    actual = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),       # conforming
+            T.StructField("b", T.StringType(), True),     # nullability tightened
+            T.StructField("c", T.FloatType(), True),      # type mismatch
+            T.StructField("d", T.DateType(), True),       # extra (never blocks)
+        ]
+    )
+    statuses = {d["column"]: d["status"] for d in schema_diff(actual, expected)}
+    assert statuses == {"b": "nullability_tightened", "c": "type_mismatch", "d": "extra"}
+    assert_schema(actual, T.StructType([T.StructField("a", T.LongType(), True)]))  # extras ok
+    try:
+        assert_schema(actual, expected)
+        raise AssertionError("should have raised")
+    except ValueError as e:
+        assert "c: type_mismatch" in str(e) and "d" not in str(e).split("extra")[0].split(",")[-1]
