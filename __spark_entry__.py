@@ -919,11 +919,13 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Categorical PSI (drift.categorical_psi): per-source drift of the lang
-    distribution vs the whole corpus — the nominal-column counterpart of the
-    t-digest KS/PSI path, computed entirely on pre-aggregated counts (raw
-    rows shuffle once). Laplace alpha=0.5 over the global category set;
-    rounded to 4 dp so both engines' float sums compare stably."""
+    """Categorical PSI + Jensen–Shannon (drift.categorical_psi): per-source
+    drift of the lang distribution vs the whole corpus — the nominal-column
+    counterpart of the t-digest KS/PSI path, computed entirely on
+    pre-aggregated counts (raw rows shuffle once); both metrics come out of
+    ONE aggregate over the same smoothed grid. Laplace alpha=0.5 over the
+    global category set; rounded to 4 dp so both engines' float sums compare
+    stably."""
     ensure_shipped(spark)
     from lyra_spark.drift import categorical_psi
 
@@ -932,6 +934,7 @@ def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("partition").alias("source"),
         F.round("psi", 4).alias("psi"),
+        F.round("js", 4).alias("js"),
         "n_rows",
         "n_categories",
     )
@@ -1201,6 +1204,14 @@ def oracle_sql() -> dict[str, str]:
                        ((n + 0.5)/(pn + 0.5*k) - (gn + 0.5)/(gtot + 0.5*k))
                        * LN(((n + 0.5)/(pn + 0.5*k)) / ((gn + 0.5)/(gtot + 0.5*k)))
                    ), 4) AS psi,
+                   ROUND(SUM(
+                       ((n + 0.5)/(pn + 0.5*k))
+                         * LN(((n + 0.5)/(pn + 0.5*k))
+                              / (((n + 0.5)/(pn + 0.5*k) + (gn + 0.5)/(gtot + 0.5*k)) / 2)) / 2
+                       + ((gn + 0.5)/(gtot + 0.5*k))
+                         * LN(((gn + 0.5)/(gtot + 0.5*k))
+                              / (((n + 0.5)/(pn + 0.5*k) + (gn + 0.5)/(gtot + 0.5*k)) / 2)) / 2
+                   ), 4) AS js,
                    MAX(pn) AS n_rows,
                    COUNT(*) AS n_categories
             FROM dense CROSS JOIN const

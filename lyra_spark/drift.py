@@ -106,10 +106,14 @@ def categorical_psi(
     whole table (role/tool/lang drift — the t-digest path covers numeric
     columns only, and quantile sketches are meaningless on nominal values).
 
-    Returns (partition, psi, n_rows, n_categories). Additive (Laplace)
-    smoothing ``alpha`` on BOTH sides over the GLOBAL category set handles
-    categories absent from one side (a new role appearing in today's
-    partition is precisely the event to flag, not a log(0)).
+    Returns (partition, psi, js, n_rows, n_categories) — PSI plus the
+    Jensen–Shannon divergence (natural log, so js ∈ [0, ln 2]) of the same
+    smoothed distributions, computed in the SAME aggregate: js is bounded and
+    symmetric where PSI explodes on rare categories, so thresholds transfer
+    across partitions of very different size. Additive (Laplace) smoothing
+    ``alpha`` on BOTH sides over the GLOBAL category set handles categories
+    absent from one side (a new role appearing in today's partition is
+    precisely the event to flag, not a log(0)).
 
     Scale shape: everything aggregates COUNTS — one exchange on
     (partition, value) for the grid (map-side partials absorb hot values),
@@ -142,10 +146,13 @@ def categorical_psi(
     p = (F.col("n") + F.lit(a)) / (F.col("pn") + F.lit(a) * k)
     q = (F.col("gn") + F.lit(a)) / (F.lit(float(gtot)) + F.lit(a) * k)
     term = (p - q) * F.log(p / q)
+    m = (p + q) / 2
+    js_term = (p * F.log(p / m) + q * F.log(q / m)) / 2
     return (
         dense.groupBy("partition")
         .agg(
             F.sum(term).alias("psi"),
+            F.sum(js_term).alias("js"),
             F.max("pn").alias("n_rows"),
             F.count(F.lit(1)).alias("n_categories"),
         )

@@ -128,7 +128,7 @@ def test_categorical_psi_matches_numpy_reference(spark):
         vals += list(draw)
     pdf = pd.DataFrame({"part_date": parts, "role": vals})
     got = {
-        r.partition: (r.psi, r.n_rows, r.n_categories)
+        r.partition: (r.psi, r.n_rows, r.n_categories, r.js)
         for r in categorical_psi(spark.createDataFrame(pdf), "role").collect()
     }
 
@@ -143,10 +143,16 @@ def test_categorical_psi_matches_numpy_reference(spark):
         p = np.array([(pc.get(c, 0) + a) / (len(pvals) + a * k) for c in cats])
         q = np.array([(gcounts[c] + a) / (gtot + a * k) for c in cats])
         want = float(np.sum((p - q) * np.log(p / q)))
+        m = (p + q) / 2
+        want_js = float(np.sum(p * np.log(p / m) + q * np.log(q / m)) / 2)
         assert got[pk][0] == pytest.approx(want, rel=1e-9), pk
+        assert got[pk][3] == pytest.approx(want_js, rel=1e-9), pk
+        assert 0.0 <= got[pk][3] <= np.log(2) + 1e-12  # JS is bounded
         assert got[pk][1] == 2000 and got[pk][2] == k
     conforming = max(got[f"d{i}"][0] for i in range(8))
     assert got["drifted"][0] > 5 * conforming
+    conforming_js = max(got[f"d{i}"][3] for i in range(8))
+    assert got["drifted"][3] > 5 * conforming_js
 
 
 def test_categorical_psi_null_token_and_absent_category(spark):
