@@ -3,7 +3,7 @@
     spark-submit --py-files dist/lyra_spark.zip jobs/clean.py \
         --corpus <parquet dir> --out <cleaned dir> \
         [--min-quality 0.5] [--near-dup-threshold 0.9] [--line-min-docs 2] \
-        [--report <json path>]
+        [--sig-store <dir>] [--sig-store-out <dir>] [--report <json path>]
 
 Runs clean_corpus (quality filter → exact dedup → C4 line scrub → MinHash-LSH
 near-dup representative) over a documents table (doc_id, text, …), writes the
@@ -47,6 +47,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="column to cap per group AFTER dedup (RefinedWeb-style "
                          "per-domain/source cap); requires --cap-k")
     ap.add_argument("--cap-k", type=int, default=None, help="max docs kept per --cap-col group")
+    ap.add_argument("--sig-store", default=None,
+                    help="existing signature-store parquet (pipeline.dedup."
+                         "signature_store): docs whose normalized content already "
+                         "exists in the base corpus are dropped BEFORE the funnel — "
+                         "snapshot ingest never re-cleans what the corpus already "
+                         "holds. A digest semi-join: neither side's text shuffles")
+    ap.add_argument("--sig-store-out", default=None,
+                    help="append the CLEANED snapshot's signature-store rows here, "
+                         "keeping the store current for the next ingest (pass the "
+                         "same dir as --sig-store for in-place growth)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--report", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)
@@ -96,6 +106,17 @@ def main(argv: list[str] | None = None) -> int:
         docs = filter_blocked_domains(docs, blocked, args.text_col, args.id_col)
         n_blocked = n_in - docs.count()
 
+    n_in_base = None
+    if args.sig_store:
+        from lyra_spark.pipeline.dedup import incremental_exact_duplicates
+
+        store = spark.read.parquet(args.sig_store)
+        dup_ids = incremental_exact_duplicates(docs, store, args.text_col, args.id_col).select(
+            F.col("new_id").alias(args.id_col)
+        )
+        n_in_base = dup_ids.count()  # one row per already-present new doc
+        docs = docs.join(dup_ids, args.id_col, "left_anti")
+
     cleaned = clean_corpus(
         docs,
         text_col=args.text_col,
@@ -112,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
     cleaned.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
     n_out = out.count()
+
+    if args.sig_store_out:
+        from lyra_spark.pipeline.dedup import signature_store
+
+        signature_store(out, args.text_col, args.id_col).write.mode("append").parquet(
+            args.sig_store_out
+        )
 
     # funnel attrition for the report: stage counts re-derived from cheap
     # aggregates over the written output plus two light probes (the quality
@@ -132,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
     report = {
         "docs_in": n_in,
         **({"blocked_by_domain": n_blocked} if n_blocked is not None else {}),
+        **({"already_in_base": n_in_base} if n_in_base is not None else {}),
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         # scrub-emptied docs + near-dup cluster members dropped for their

@@ -783,3 +783,46 @@ def test_profile_cli(tmp_path, spark):
     assert rep["n_docs_with_urls"] == 2
     assert rep["top_domains"][0]["domain"] == "site.example.org"
     assert rep["top_domains"][0]["n_docs"] == 2
+
+
+def test_clean_cli_incremental_sig_store(tmp_path, spark):
+    """First ingest writes a signature store; the second ingest drops docs the
+    base corpus already holds (digest semi-join) before any funnel work."""
+    import json
+
+    from jobs.clean import main
+
+    d_a = ("a perfectly ordinary english document with plenty of words about "
+           "query planners and shuffle exchange strategies in modern engines")
+    d_b = ("an entirely different report describing weather patterns over the "
+           "north atlantic and their effect on shipping routes each winter")
+    d_c = ("a third unrelated text on bread baking with sourdough starters "
+           "hydration ratios and the ideal oven temperature for a good crust")
+    snap1 = [(0, d_a), (1, d_b)]
+    snap2 = [
+        (10, d_a.upper()),        # already in base (normalized-equal to doc 0)
+        (11, d_c),                # genuinely new
+        (12, "  " + d_b + " "),   # already in base (normalized-equal to doc 1)
+    ]
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    spark.createDataFrame(snap1, "doc_id long, text string").write.parquet(src1)
+    spark.createDataFrame(snap2, "doc_id long, text string").write.parquet(src2)
+    store = str(tmp_path / "store")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    r1 = str(tmp_path / "r1.json")
+    r2 = str(tmp_path / "r2.json")
+
+    assert main(["--corpus", src1, "--out", out1, "--report", r1,
+                 "--sig-store-out", store, "--shingle-k", "1"]) == 0
+    st = spark.read.parquet(store)
+    assert {"doc_id", "content_sha", "minhash"} <= set(st.columns)
+    assert st.count() == 2
+
+    assert main(["--corpus", src2, "--out", out2, "--report", r2,
+                 "--sig-store", store, "--sig-store-out", store,
+                 "--shingle-k", "1"]) == 0
+    rep2 = json.loads(open(r2).read())
+    assert rep2["already_in_base"] == 2
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {11}
+    # store grew by the cleaned snapshot's rows only
+    assert spark.read.parquet(store).count() == 3
