@@ -144,3 +144,54 @@ def test_connected_components_rounds_stay_bounded(spark):
     p = plan_str(out, "extended")
     assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan ExistingRDD" in p
     assert p.count("Join") < 10
+
+
+def test_incremental_band_join_is_smj_when_big(spark, fixtures_sf0001):
+    """The snapshot-vs-store band join is big-big at web scale (both sides are
+    band rows): with broadcast off it must plan as SortMergeJoin on the band
+    keys, and the base STORE side must prune to (id, minhash) — the scan must
+    not read content_sha into the band join."""
+    from lyra_spark.pipeline.dedup import incremental_near_duplicates, signature_store
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    docs = tdf.limit(400).select(F.col("conv_id").alias("doc_id"), "text")
+    base = docs.limit(200)
+    store_path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "lyra_test_sigstore")
+    signature_store(base).write.mode("overwrite").parquet(store_path)
+    store = spark.read.parquet(store_path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_near_duplicates(docs, store, base, threshold=0.9)
+        p = plan_str(out)
+        assert "SortMergeJoin" in p
+        # column pruning: the store scan feeding bands reads minhash, not the digest
+        import re
+
+        scans = [m for m in re.findall(r"ReadSchema: struct<[^>]*>", p) if "minhash" in m]
+        assert scans and all("content_sha" not in s for s in scans)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_frequent_values_single_raw_exchange(spark, fixtures_sf0001):
+    """Raw rows shuffle exactly once (the count aggregate); the rank window
+    exchanges only the already-aggregated distinct values. Pinned by counting
+    Exchange operators below/above the HashAggregate pair."""
+    from lyra_spark.stats import frequent_values
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    p = plan_str(frequent_values(tdf, ["role", "tool"], k=5), mode="simple")
+    # plan reads bottom-up: scan → partial agg → Exchange → final agg →
+    # Exchange(window) → sort → window → filter. Two exchanges total, and the
+    # generate/explode (unpivot) must sit BELOW the first aggregate (map-side).
+    assert p.count("Exchange") == 2
+    assert "Generate explode" in p
+    # window sits ABOVE the aggregate (plans print top-down), and Spark's
+    # WindowGroupLimit prunes each partition to k rows BEFORE the window
+    # exchange — the top-k never ships more than k rows per column per task
+    assert p.index("Window") < p.index("HashAggregate")
+    partial_limit = p.index("WindowGroupLimit", p.index("WindowGroupLimit") + 1)
+    assert p.index("Exchange") < partial_limit  # Partial limit below the exchange
+    # scan prunes to exactly the profiled columns
+    assert "ReadSchema: struct<role:string,tool:string>" in p
