@@ -898,6 +898,39 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-LEVEL dedup: gap-split sessions whose event_type sequences
+    are identical (sessionize → conversation_text → exact_duplicates). Finds
+    what turn-level hashing can't: transcripts that are copies even though
+    every individual turn is common. Two exchanges end to end — the session
+    window and the conversation groupBy share the user key, and the dedup
+    digest aggregate is constant-buffer."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import exact_duplicates
+    from lyra_spark.sessionize import conversation_text, sessionize
+
+    events = _read(spark, sf_dir, "events")
+    sess = sessionize(events, gap_sec=1800, order_cols=["event_id"])
+    # group on (user_id, session_id) — partitioning by user_id from the
+    # session window already satisfies it, so the conversation aggregate
+    # reuses the window exchange; the display key concats AFTER (map-only)
+    conv = conversation_text(
+        sess,
+        group_cols=["user_id", "session_id"],
+        order_cols=["ts", "event_id"],
+        text_col="event_type",
+    ).select(
+        F.concat_ws("#", F.col("user_id"), F.col("session_id")).alias("sess_key"),
+        "conv_text",
+    )
+    return exact_duplicates(conv, text_col="conv_text", id_col="sess_key").select(
+        "content_hash",
+        "dup_count",
+        F.col("min_sess_key").alias("first_session"),
+        F.col("max_sess_key").alias("last_session"),
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation profile (sessionize.conversation_stats) applied to the
     events schema: user_id as the conversation, event_id as the turn order,
@@ -1033,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcount_anomaly": q_rowcount_anomaly,
         "frequent_values": q_frequent_values,
         "schema_check": q_schema_check,
+        "conv_dedup": q_conv_dedup,
     }
 
 
@@ -1170,6 +1204,38 @@ def oracle_sql() -> dict[str, str]:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
                        AS session_id
             FROM flagged
+        """,
+        "conv_dedup": """
+            WITH lagged AS (
+                SELECT event_id, user_id, ts, event_type,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                               THEN 1 ELSE 0 END AS ns
+                FROM lagged
+            ),
+            sess AS (
+                SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                              AS session_id
+                FROM flagged
+            ),
+            conv AS (
+                SELECT user_id || '#' || session_id AS sess_key,
+                       string_agg(COALESCE(event_type, ''), chr(10) ORDER BY ts, event_id) AS conv_text
+                FROM sess GROUP BY user_id, session_id
+            ),
+            h AS (
+                SELECT sess_key,
+                       sha256(regexp_replace(lower(trim(conv_text)), '\\s+', ' ', 'g')) AS content_hash
+                FROM conv
+            )
+            SELECT content_hash, COUNT(*) AS dup_count,
+                   MIN(sess_key) AS first_session, MAX(sess_key) AS last_session
+            FROM h GROUP BY content_hash HAVING COUNT(*) > 1
         """,
         "conv_stats": """
             WITH l AS (

@@ -98,3 +98,38 @@ def conversation_stats(
         ).alias("duration_sec"),
         (F.max("__gap_us") / F.lit(1_000_000.0)).alias("max_gap_sec"),
     )
+
+
+def conversation_text(
+    df: DataFrame,
+    group_cols: list[str] | str = "conv_id",
+    order_cols: list[str] | str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str = "conv_text",
+) -> DataFrame:
+    """One document per conversation: the group's turns concatenated in
+    ``order_cols`` order — the unit conversation-level dedup, fingerprinting,
+    and near-dup clustering operate on (turn-level dedup can't see that two
+    TRANSCRIPTS are copies when every individual turn is common).
+
+    Returns (group_cols..., out_col). NULL turn text renders as "" so a NULL
+    turn still holds its position in the sequence.
+
+    Scale: ONE exchange (the groupBy). The collect_list buffer is bounded by
+    the conversation's OWN turn count — the natural per-group unit a
+    transcript table is sized around — never corpus-scale; a pathological
+    million-turn conversation spills a task, not the job. sort_array orders
+    the (order..., text) structs totally, so duplicate order keys still give
+    an engine-stable, re-runnable concatenation.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    turn = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__t"),
+    )
+    joined = F.array_join(
+        F.transform(F.sort_array(F.collect_list(turn)), lambda s: s["__t"]), sep
+    )
+    return df.groupBy(*group_cols).agg(joined.alias(out_col))

@@ -77,3 +77,38 @@ def test_conversation_stats_single_exchange(spark):
     )
     plan = conversation_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # window + groupBy share the conv exchange
+
+
+def test_conversation_text_ordering_ties_and_nulls(spark):
+    from lyra_spark.sessionize import conversation_text
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 2, "world"),
+            ("c1", 1, "hello"),
+            ("c1", 3, None),       # NULL turn keeps its slot as ""
+            ("c2", 1, "b"),
+            ("c2", 1, "a"),        # duplicate turn_idx → text breaks the tie
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r.conv_id: r.conv_text for r in conversation_text(df).collect()}
+    assert got == {"c1": "hello\nworld\n", "c2": "a\nb"}
+
+
+def test_conversation_dedup_end_to_end(spark):
+    """Two conversations made of individually-common turns dedup at the
+    CONVERSATION level (turn-level hashing could never pair them)."""
+    from lyra_spark.pipeline.dedup import exact_duplicates
+    from lyra_spark.sessionize import conversation_text
+
+    rows = []
+    for conv, seq in [("a", ["hi", "yes", "bye"]), ("b", ["hi", "yes", "bye"]),
+                      ("c", ["hi", "bye", "yes"])]:  # same turns, different order
+        rows += [(conv, i, t) for i, t in enumerate(seq)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    conv = conversation_text(df)
+    got = exact_duplicates(conv, text_col="conv_text", id_col="conv_id").collect()
+    assert len(got) == 1
+    assert got[0]["dup_count"] == 2
+    assert (got[0]["min_conv_id"], got[0]["max_conv_id"]) == ("a", "b")
