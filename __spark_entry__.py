@@ -157,6 +157,38 @@ def q_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_violation_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded failing examples per rule (engine.violation_samples): k rows +
+    the group total per rule — what a quality report shows a human. The
+    sample window is pruned to k rows per task BEFORE its exchange
+    (WindowGroupLimit); totals join back broadcast-small."""
+    ensure_shipped(spark)
+    from lyra_spark.engine import row_violations, violation_samples
+
+    events = _read(spark, sf_dir, "events")
+    viol = row_violations(events, events_ruleset(), key_cols=["event_id"], partition_col=None)
+    return violation_samples(viol, k=3, key_cols=["event_id"])
+
+
+def q_profile_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable profile findings (stats.profile_findings): all-null /
+    constant / complete / candidate-key columns from ONE aggregation pass.
+    Two planted columns (a constant, an all-null) exercise every finding
+    kind; exact distinct mode so the DuckDB oracle replicates bit-for-bit
+    (approx/HLL is the documented 10¹²-row mode)."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import profile_findings
+
+    events = (
+        _read(spark, sf_dir, "events")
+        .withColumn("src", F.lit("events"))
+        .withColumn("dead", F.lit(None).cast("string"))
+    )
+    return profile_findings(
+        events, ["event_id", "event_type", "value", "src", "dead"], distinct_mode="exact"
+    )
+
+
 def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 row 21: custom VECTORIZED predicate (Arrow pandas UDF) end-to-end.
 
@@ -1067,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_values": q_frequent_values,
         "schema_check": q_schema_check,
         "conv_dedup": q_conv_dedup,
+        "violation_samples": q_violation_samples,
+        "profile_findings": q_profile_findings,
     }
 
 
@@ -1204,6 +1238,46 @@ def oracle_sql() -> dict[str, str]:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
                        AS session_id
             FROM flagged
+        """,
+        "violation_samples": f"""
+            WITH viol AS ({EVENTS_ORACLE_VIOLATIONS}),
+            ranked AS (
+                SELECT event_id, rule_id, observed_value,
+                       ROW_NUMBER() OVER (PARTITION BY rule_id ORDER BY event_id) AS sample_rank,
+                       COUNT(*) OVER (PARTITION BY rule_id) AS group_total
+                FROM viol
+            )
+            SELECT rule_id, event_id, observed_value, sample_rank, group_total
+            FROM ranked WHERE sample_rank <= 3
+        """,
+        "profile_findings": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                       COUNT(event_id) AS nn1, COUNT(DISTINCT event_id) AS d1,
+                       MIN(CAST(event_id AS VARCHAR)) AS m1,
+                       COUNT(event_type) AS nn2, COUNT(DISTINCT event_type) AS d2,
+                       MIN(event_type) AS m2,
+                       COUNT(value) AS nn3, COUNT(DISTINCT value) AS d3,
+                       MIN(CAST(value AS VARCHAR)) AS m3
+                FROM events
+            )
+            SELECT * FROM (
+                SELECT 'event_id' AS "column", 'all_null' AS finding, CAST(NULL AS VARCHAR) AS detail FROM s WHERE nn1 = 0
+                UNION ALL SELECT 'event_id', 'constant', m1 FROM s WHERE nn1 > 0 AND d1 = 1
+                UNION ALL SELECT 'event_id', 'complete', NULL FROM s WHERE nn1 = n AND n > 0
+                UNION ALL SELECT 'event_id', 'candidate_key', NULL FROM s WHERE nn1 = n AND n > 0 AND d1 >= n
+                UNION ALL SELECT 'event_type', 'all_null', NULL FROM s WHERE nn2 = 0
+                UNION ALL SELECT 'event_type', 'constant', m2 FROM s WHERE nn2 > 0 AND d2 = 1
+                UNION ALL SELECT 'event_type', 'complete', NULL FROM s WHERE nn2 = n AND n > 0
+                UNION ALL SELECT 'event_type', 'candidate_key', NULL FROM s WHERE nn2 = n AND n > 0 AND d2 >= n
+                UNION ALL SELECT 'value', 'all_null', NULL FROM s WHERE nn3 = 0
+                UNION ALL SELECT 'value', 'constant', m3 FROM s WHERE nn3 > 0 AND d3 = 1
+                UNION ALL SELECT 'value', 'complete', NULL FROM s WHERE nn3 = n AND n > 0
+                UNION ALL SELECT 'value', 'candidate_key', NULL FROM s WHERE nn3 = n AND n > 0 AND d3 >= n
+                UNION ALL SELECT 'src', 'constant', 'events' FROM s WHERE n > 0
+                UNION ALL SELECT 'src', 'complete', NULL FROM s WHERE n > 0
+                UNION ALL SELECT 'dead', 'all_null', NULL FROM s WHERE n >= 0
+            )
         """,
         "conv_dedup": """
             WITH lagged AS (

@@ -177,3 +177,30 @@ def validate(
         else None
     )
     return ValidationResult(violations=viol, verdicts=verd, key_cols=list(key_cols), partition_col=partition_col)
+
+
+def violation_samples(
+    violations: DataFrame,
+    k: int = 5,
+    key_cols: list[str] = KEY_COLS,
+    group_cols: list[str] = ("rule_id",),
+) -> DataFrame:
+    """Up to ``k`` example violations per rule (or per (partition, rule) —
+    pass group_cols), in stable key order, with the group's total count —
+    what a human actually reads in a data-quality report. A rule violated
+    10⁸ times contributes k rows + one count, never 10⁸ rows.
+
+    Plan shape: the sample window is a pure row_number ≤ k, so Spark's
+    partial WindowGroupLimit prunes each map task to k rows BEFORE its
+    exchange (a count-over-group window on the same frame would defeat that
+    pruning — it needs every row — so totals come from a separate groupBy
+    whose output is one row per group, joined back broadcast-small)."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(*key_cols)
+    samples = violations.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )
+    totals = violations.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("group_total"))
+    return samples.join(F.broadcast(totals), group_cols)

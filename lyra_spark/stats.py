@@ -196,3 +196,54 @@ def frequent_values(
         .filter(F.col("rank") <= k)
         .select("column", "value", "count", "rank")
     )
+
+
+def profile_findings(
+    df: DataFrame,
+    columns: list[str],
+    distinct_mode: str = "approx",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Actionable findings from a one-pass column profile, long format
+    (column, finding, detail): `all_null` (no non-null values), `constant`
+    (exactly one non-null value), `complete` (no NULLs at all), and
+    `candidate_key` (distinct count == row count — a unique column). The
+    "so what" layer over column_stats: a constant enum or an all-null FK is
+    a pipeline bug regardless of any per-row rule.
+
+    ONE aggregation pass for every column (same shape as column_stats).
+    distinct_mode='approx' (default) uses HLL estimates — the only honest
+    option at 10¹²-row scale, where candidate_key means "distinct within
+    rsd of rows"; 'exact' uses count(DISTINCT) (Spark expands multiple
+    distinct aggs over one scan) for small/oracle-checked profiles.
+    """
+    agg_d = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if distinct_mode == "exact"
+        else (lambda c: F.approx_count_distinct(c, rsd))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),  # non-null count
+            agg_d(c).alias(f"__d_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = []
+    for c in columns:
+        n, nn, d, mn = F.col("__n"), F.col(f"__nn_{c}"), F.col(f"__d_{c}"), F.col(f"__mn_{c}")
+        tol = F.lit(1.0) if distinct_mode == "exact" else F.lit(1.0 - rsd)
+        findings = F.filter(
+            F.array(
+                F.when(nn == 0, F.struct(F.lit(c).alias("column"), F.lit("all_null").alias("finding"), F.lit(None).cast("string").alias("detail"))),
+                F.when((nn > 0) & (d == 1), F.struct(F.lit(c).alias("column"), F.lit("constant").alias("finding"), mn.alias("detail"))),
+                F.when((nn == n) & (n > 0), F.struct(F.lit(c).alias("column"), F.lit("complete").alias("finding"), F.lit(None).cast("string").alias("detail"))),
+                F.when((nn == n) & (n > 0) & (d >= tol * n), F.struct(F.lit(c).alias("column"), F.lit("candidate_key").alias("finding"), F.lit(None).cast("string").alias("detail"))),
+            ),
+            lambda s: s.isNotNull(),
+        )
+        per_col.append(findings)
+    return wide.select(F.explode(F.flatten(F.array(*per_col))).alias("f")).select(
+        "f.column", "f.finding", "f.detail"
+    )

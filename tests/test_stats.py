@@ -119,3 +119,36 @@ def test_frequent_values_exact_topk(spark):
     # NULL surfaces as a countable value when it's frequent enough
     all3 = {(r.column, r.rank): r.value for r in frequent_values(df, ["et"], k=3).collect()}
     assert all3[("et", 3)] == "<NULL>"
+
+
+def test_profile_findings_exact(spark):
+    from lyra_spark.stats import profile_findings
+
+    df = spark.createDataFrame(
+        [(1, "x", None, "a"), (2, "x", None, "b"), (3, "x", None, "b")],
+        "id int, const string, dead string, mixed string",
+    )
+    got = {(r.column, r.finding): r.detail
+           for r in profile_findings(df, ["id", "const", "dead", "mixed"], "exact").collect()}
+    assert got == {
+        ("id", "complete"): None,
+        ("id", "candidate_key"): None,
+        ("const", "constant"): "x",
+        ("const", "complete"): None,
+        ("dead", "all_null"): None,
+        ("mixed", "complete"): None,
+    }
+
+
+def test_violation_samples_bounded(spark):
+    from lyra_spark.engine import violation_samples
+
+    rows = [("c%03d" % i, i, "r1", "v") for i in range(100)]
+    rows += [("c000", 0, "r2", "w")]
+    viol = spark.createDataFrame(rows, "conv_id string, turn_idx int, rule_id string, observed_value string")
+    got = violation_samples(viol, k=3).collect()
+    by_rule = {}
+    for r in got:
+        by_rule.setdefault(r.rule_id, []).append((r.sample_rank, r.conv_id, r.group_total))
+    assert sorted(by_rule["r1"]) == [(1, "c000", 100), (2, "c001", 100), (3, "c002", 100)]
+    assert by_rule["r2"] == [(1, "c000", 1)]
