@@ -112,3 +112,30 @@ def test_conversation_dedup_end_to_end(spark):
     assert len(got) == 1
     assert got[0]["dup_count"] == 2
     assert (got[0]["min_conv_id"], got[0]["max_conv_id"]) == ("a", "b")
+
+
+def test_conversation_text_matches_python_reference_random(spark):
+    """Randomized pin: conversation_text == a pure-python groupby+sort+join,
+    including duplicate order keys, NULL text, and multi-column ordering."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(400):
+        conv = f"c{rnd.randrange(12)}"
+        idx = rnd.randrange(6)          # duplicates on purpose
+        sub = rnd.randrange(3)          # second order column
+        text = rnd.choice([None, "", "x", "yy", "hello world", "a\nb"])
+        rows.append((conv, idx, sub, text))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, sub int, text string")
+    got = {
+        r.conv_id: r.conv_text
+        for r in __import__("lyra_spark.sessionize", fromlist=["conversation_text"])
+        .conversation_text(df, "conv_id", ["turn_idx", "sub"], "text", sep="|")
+        .collect()
+    }
+    ref = {}
+    for conv, idx, sub, text in rows:
+        ref.setdefault(conv, []).append((idx, sub, text or ""))
+    want = {c: "|".join(t for _, _, t in sorted(v)) for c, v in ref.items()}
+    assert got == want
