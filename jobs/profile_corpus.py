@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--top-domains", type=int, default=10)
+    ap.add_argument("--profile-cols", default=None,
+                    help="comma-separated metadata columns: add profile findings "
+                         "(all-null/constant/complete/candidate-key, HLL distinct) "
+                         "and exact top-5 frequent values per column to the report")
     ap.add_argument("--master", default=None)
     ap.add_argument("--report", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)
@@ -94,6 +98,18 @@ def main(argv: list[str] | None = None) -> int:
         .collect()
     ]
 
+    # job 4 (opt-in): metadata-column findings + heavy hitters — one agg pass
+    # each, never touching text
+    findings, top_values = None, None
+    if args.profile_cols:
+        from lyra_spark.stats import frequent_values, profile_findings
+
+        cols = [c.strip() for c in args.profile_cols.split(",") if c.strip()]
+        findings = [r.asDict() for r in profile_findings(docs, cols).collect()]
+        top_values = {}
+        for r in sorted(frequent_values(docs, cols, k=5).collect(), key=lambda r: (r.column, r.rank)):
+            top_values.setdefault(r.column, []).append({"value": r.value, "count": r["count"]})
+
     report = {
         "n_docs": stats["n_docs"],
         "n_null_text": stats["n_null_text"],
@@ -106,6 +122,8 @@ def main(argv: list[str] | None = None) -> int:
         "lang_distribution": dict(sorted(lang_dist.items(), key=lambda kv: -kv[1])),
         "n_docs_with_urls": stats["n_docs_with_urls"],
         "top_domains": top,
+        **({"column_findings": findings} if findings is not None else {}),
+        **({"frequent_values": top_values} if top_values is not None else {}),
         "sec": round(time.time() - t0, 3),
     }
     line = json.dumps(report)

@@ -783,6 +783,15 @@ def test_profile_cli(tmp_path, spark):
     assert rep["n_docs_with_urls"] == 2
     assert rep["top_domains"][0]["domain"] == "site.example.org"
     assert rep["top_domains"][0]["n_docs"] == 2
+    assert "column_findings" not in rep  # opt-in only
+
+    # --profile-cols: findings + heavy hitters on metadata columns
+    rpt2 = str(tmp_path / "profile2.json")
+    assert main(["--corpus", src, "--report", rpt2, "--profile-cols", "doc_id,source"]) == 0
+    rep2 = json.loads(open(rpt2).read())
+    findings = {(f["column"], f["finding"]) for f in rep2["column_findings"]}
+    assert ("doc_id", "complete") in findings and ("doc_id", "candidate_key") in findings
+    assert rep2["frequent_values"]["source"][0] == {"value": "s1", "count": 2}
 
 
 def test_clean_cli_incremental_sig_store(tmp_path, spark):
