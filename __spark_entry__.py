@@ -189,6 +189,18 @@ def q_profile_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day z-score outliers on events.value (stats.outlier_rows): one
+    tiny (mean, std) aggregate per day broadcast back over the scan — the
+    data never shuffles. Closest zscore to the 3.0 threshold at sf0.01 is
+    3.0071, so engine float-sum ordering cannot flip the row set."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import outlier_rows
+
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return outlier_rows(events, "value", ["event_id"], partition_col="day", z=3.0)
+
+
 def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 row 21: custom VECTORIZED predicate (Arrow pandas UDF) end-to-end.
 
@@ -1101,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "violation_samples": q_violation_samples,
         "profile_findings": q_profile_findings,
+        "outliers": q_outliers,
     }
 
 
@@ -1238,6 +1251,18 @@ def oracle_sql() -> dict[str, str]:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
                        AS session_id
             FROM flagged
+        """,
+        "outliers": """
+            WITH s AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, s.day, e.value,
+                   ROUND((e.value - s.mu) / s.sd, 4) AS zscore
+            FROM events e JOIN s ON strftime(e.ts, '%Y-%m-%d') = s.day
+            WHERE e.value IS NOT NULL AND s.sd IS NOT NULL AND s.sd > 0
+              AND ABS(ROUND((e.value - s.mu) / s.sd, 4)) > 3.0
         """,
         "violation_samples": f"""
             WITH viol AS ({EVENTS_ORACLE_VIOLATIONS}),

@@ -247,3 +247,43 @@ def profile_findings(
     return wide.select(F.explode(F.flatten(F.array(*per_col))).alias("f")).select(
         "f.column", "f.finding", "f.detail"
     )
+
+
+def outlier_rows(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    partition_col: str | None = "part_date",
+    z: float = 3.0,
+) -> DataFrame:
+    """Rows whose ``value_col`` lies more than ``z`` sample standard
+    deviations from their partition's mean — the row-granular outlier check
+    (row rules catch fixed-range violations; this catches values that are
+    legal but wildly atypical for their cohort).
+
+    Returns (*key_cols, [partition_col], value, zscore) with zscore rounded
+    to 4 dp.
+
+    Scale: ONE aggregate produces one (mean, std) row per partition; the
+    verdict is then a MAP-ONLY filter over the scan with that tiny frame
+    broadcast back — the data never shuffles. Partitions with fewer than two
+    non-null values (std undefined/zero) emit nothing.
+    """
+    group = [partition_col] if partition_col else []
+    stats_df = df.groupBy(*group).agg(
+        F.avg(value_col).alias("__mu"), F.stddev_samp(value_col).alias("__sd")
+    )
+    joined = (
+        df.join(F.broadcast(stats_df), group) if group else df.crossJoin(F.broadcast(stats_df))
+    )
+    zscore = F.round((F.col(value_col) - F.col("__mu")) / F.col("__sd"), 4)
+    return (
+        joined.filter(
+            F.col(value_col).isNotNull()
+            & F.col("__sd").isNotNull()
+            & (F.col("__sd") > 0)
+        )
+        .withColumn("zscore", zscore)
+        .filter(F.abs(F.col("zscore")) > z)
+        .select(*key_cols, *group, F.col(value_col).alias("value"), "zscore")
+    )

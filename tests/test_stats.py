@@ -152,3 +152,21 @@ def test_violation_samples_bounded(spark):
         by_rule.setdefault(r.rule_id, []).append((r.sample_rank, r.conv_id, r.group_total))
     assert sorted(by_rule["r1"]) == [(1, "c000", 100), (2, "c001", 100), (3, "c002", 100)]
     assert by_rule["r2"] == [(1, "c000", 1)]
+
+
+def test_outlier_rows_zscore(spark):
+    from lyra_spark.stats import outlier_rows
+
+    rows = [("d1", i, 10.0) for i in range(10)] + [("d1", 99, 1000.0)]
+    rows += [("d2", 0, 5.0)]                      # single row: sd undefined → nothing
+    rows += [("d3", i, float(i)) for i in range(4)]  # spread but no outlier
+    df = spark.createDataFrame(rows, "day string, event_id int, value double")
+    got = outlier_rows(df, "value", ["event_id"], partition_col="day", z=3.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.day, r.event_id, r.value) == ("d1", 99, 1000.0)
+    import statistics
+
+    vals = [10.0] * 10 + [1000.0]
+    want = round((1000.0 - statistics.mean(vals)) / statistics.stdev(vals), 4)
+    assert r.zscore == want
