@@ -201,6 +201,33 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_rows(events, "value", ["event_id"], partition_col="day", z=3.0)
 
 
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (ROLLUP): violation-style counts by
+    (day, event_type) with day subtotals and a grand total in one pass —
+    Spark expands grouping sets map-side, still a single exchange."""
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return events.rollup("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.grouping_id("day", "event_type").alias("lvl"),
+    )
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot: one row per day, one count column per event type
+    (fixed pivot values → no extra discovery pass; one exchange)."""
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    kinds = ["click", "view", "purchase", "signup"]
+    return (
+        events.groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select("day", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds])
+    )
+
+
 def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 row 21: custom VECTORIZED predicate (Arrow pandas UDF) end-to-end.
 
@@ -1114,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_samples": q_violation_samples,
         "profile_findings": q_profile_findings,
         "outliers": q_outliers,
+        "rollup_counts": q_rollup_counts,
+        "pivot_daily": q_pivot_daily,
     }
 
 
@@ -1251,6 +1280,21 @@ def oracle_sql() -> dict[str, str]:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
                        AS session_id
             FROM flagged
+        """,
+        "rollup_counts": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value,
+                   GROUPING(strftime(ts, '%Y-%m-%d')) * 2 + GROUPING(event_type) AS lvl
+            FROM events
+            GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
+        """,
+        "pivot_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup
+            FROM events GROUP BY 1
         """,
         "outliers": """
             WITH s AS (
