@@ -195,3 +195,25 @@ def test_frequent_values_single_raw_exchange(spark, fixtures_sf0001):
     assert p.index("Exchange") < partial_limit  # Partial limit below the exchange
     # scan prunes to exactly the profiled columns
     assert "ReadSchema: struct<role:string,tool:string>" in p
+
+
+def test_conversation_assembly_reuses_session_exchange(spark, fixtures_sf0001):
+    """sessionize → conversation_text on (user, session) must NOT add an
+    exchange: partitioning by the window's group key already satisfies the
+    conversation aggregate (grouping keys are a superset). Whole composed
+    conv-dedup plan = exactly two exchanges (session window + dedup digest)."""
+    from lyra_spark.pipeline.dedup import exact_duplicates
+    from lyra_spark.sessionize import conversation_text, sessionize
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    ev = tdf.select(
+        F.col("conv_id").alias("user_id"), F.col("ts"), F.col("turn_idx").alias("event_id"),
+        F.col("role").alias("event_type"),
+    )
+    sess = sessionize(ev, gap_sec=1800, order_cols=["event_id"])
+    conv = conversation_text(sess, ["user_id", "session_id"], ["ts", "event_id"], "event_type")
+    dedup = exact_duplicates(
+        conv.select(F.concat_ws("#", "user_id", "session_id").alias("k"), "conv_text"),
+        text_col="conv_text", id_col="k",
+    )
+    assert plan_str(dedup, "simple").count("Exchange") == 2
