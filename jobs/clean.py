@@ -55,8 +55,11 @@ def main(argv: list[str] | None = None) -> int:
                          "holds. A digest semi-join: neither side's text shuffles")
     ap.add_argument("--sig-store-out", default=None,
                     help="append the CLEANED snapshot's signature-store rows here, "
-                         "keeping the store current for the next ingest (pass the "
-                         "same dir as --sig-store for in-place growth)")
+                         "keeping the store current for the next ingest. Pass the "
+                         "same dir as --sig-store for in-place growth — that also "
+                         "makes re-running an ingest idempotent (already-held docs "
+                         "are dropped before they can re-append); --sig-store-out "
+                         "ALONE double-appends on a re-run")
     ap.add_argument("--master", default=None)
     ap.add_argument("--report", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)

@@ -203,4 +203,7 @@ def violation_samples(
         F.col("sample_rank") <= k
     )
     totals = violations.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("group_total"))
-    return samples.join(F.broadcast(totals), group_cols)
+    # no broadcast hint: totals is one row per group, usually tiny, but
+    # group_cols=(partition, rule) at 10⁵ partitions is 10⁶+ rows — let AQE
+    # pick broadcast from the MEASURED size instead of forcing it
+    return samples.join(totals, group_cols)
