@@ -228,6 +228,45 @@ def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + distinctness per column (stats.column_entropy):
+    one unpivot scan, ONE exchange into per-value counts, entropy rolled up
+    from the distinct-value grid — never the raw rows."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import column_entropy
+
+    events = _read(spark, sf_dir, "events")
+    return column_entropy(events, ["event_type", "user_id"])
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column Pearson correlations (stats.numeric_correlations): every
+    pair's moments from ONE hash-agg pass with constant-size buffers."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import numeric_correlations
+
+    li = _read(spark, sf_dir, "lineitem")
+    return numeric_correlations(
+        li,
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_extendedprice", "l_discount"),
+            ("l_discount", "l_tax"),
+        ],
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (stats.percentile_stats) — the
+    PERCENTILE_CONT ground truth the t-digest drift sketches approximate;
+    partials merge tree-wise, interpolation happens once at the final step."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import percentile_stats
+
+    events = _read(spark, sf_dir, "events")
+    return percentile_stats(events, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 row 21: custom VECTORIZED predicate (Arrow pandas UDF) end-to-end.
 
@@ -1143,6 +1182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers": q_outliers,
         "rollup_counts": q_rollup_counts,
         "pivot_daily": q_pivot_daily,
+        "column_entropy": q_column_entropy,
+        "correlation": q_correlation,
+        "percentiles": q_percentiles,
     }
 
 
@@ -1295,6 +1337,51 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
                    COUNT(*) FILTER (event_type = 'signup') AS n_signup
             FROM events GROUP BY 1
+        """,
+        "column_entropy": """
+            WITH pairs AS (
+                SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS value
+                FROM events WHERE event_type IS NOT NULL
+                UNION ALL
+                SELECT 'user_id', CAST(user_id AS VARCHAR)
+                FROM events WHERE user_id IS NOT NULL
+            ), c AS (
+                SELECT "column", value, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+            )
+            SELECT "column",
+                   ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy,
+                   COUNT(*) AS distinct_count,
+                   CAST(SUM(cnt) AS BIGINT) AS non_null_count,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS distinctness
+            FROM c GROUP BY 1
+        """,
+        "correlation": """
+            SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
+                   CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   ROUND(corr(l_extendedprice, l_discount), 6),
+                   CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_tax',
+                   ROUND(corr(l_discount, l_tax), 6),
+                   CAST(SUM(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+        """,
+        "percentiles": """
+            WITH q AS (
+                SELECT quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+                FROM events
+            )
+            SELECT CAST(UNNEST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS percentile,
+                   ROUND(UNNEST(v), 6) AS value
+            FROM q
         """,
         "outliers": """
             WITH s AS (

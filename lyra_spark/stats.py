@@ -287,3 +287,124 @@ def outlier_rows(
         .filter(F.abs(F.col("zscore")) > z)
         .select(*key_cols, *group, F.col(value_col).alias("value"), "zscore")
     )
+
+
+def column_entropy(
+    df: DataFrame,
+    columns: list[str],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Shannon entropy (nats) and distinctness ratio per categorical column,
+    long format (column, entropy, distinct_count, non_null_count,
+    distinctness) — the information-content half of a column profile. A
+    near-zero entropy flags a column that collapsed to one value upstream; a
+    distinctness near 1.0 flags an accidental id column. NULLs are excluded
+    (entropy of the *observed* value distribution, the Deequ convention).
+
+    Scale: one scan unpivots every profiled column into (column, value)
+    pairs, ONE exchange aggregates them into per-value counts (map-side
+    partials collapse hot values before the shuffle; buffers are constant
+    size), and the entropy roll-up aggregates that already-distinct grid —
+    its input is the columns' total cardinality, not the row count. Same
+    shape as `frequent_values`; a 10¹²-row table costs one pass + one
+    value-grid aggregation.
+    """
+    group = [partition_col] if partition_col else []
+    pairs = df.select(
+        *group,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("value"))
+                    for c in columns
+                ]
+            )
+        ).alias("p"),
+    ).select(*group, "p.column", "p.value").filter(F.col("value").isNotNull())
+    counts = pairs.groupBy(*group, "column", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt")
+    # H = ln(n) - sum(c*ln c)/n: one pass over the value grid, no join back
+    # against a per-column total.
+    ent = F.log(n) - F.sum(F.col("cnt") * F.log("cnt")) / n
+    return counts.groupBy(*group, "column").agg(
+        F.round(ent, 6).alias("entropy"),
+        F.count(F.lit(1)).alias("distinct_count"),
+        n.alias("non_null_count"),
+        F.round(F.count(F.lit(1)) / n, 6).alias("distinctness"),
+    )
+
+
+def numeric_correlations(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Pearson correlation for each (x, y) column pair, long format
+    (x_col, y_col, corr, n_pairs) — the cross-column profile a validator
+    needs to catch broken derived columns (price vs quantity suddenly
+    uncorrelated) that every single-column stat misses.
+
+    ONE hash-aggregation pass computes every pair's `corr` plus its non-null
+    pair count (Catalyst's Pearson aggregate keeps constant-size moment
+    buffers and merges them tree-wise — partial aggregation is automatic, so
+    the 1000-executor plan is scan + one tiny exchange of moment buffers).
+    """
+    group = [partition_col] if partition_col else []
+    aggs = []
+    for x, y in pairs:
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        aggs += [
+            F.corr(x, y).alias(f"__c_{x}_{y}"),
+            F.sum(both.cast("long")).alias(f"__n_{x}_{y}"),
+        ]
+    wide = df.groupBy(*group).agg(*aggs)
+    per_pair = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                F.round(F.col(f"__c_{x}_{y}"), 6).alias("corr"),
+                F.col(f"__n_{x}_{y}").alias("n_pairs"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return wide.select(*group, F.explode(per_pair).alias("s")).select(
+        *group, "s.x_col", "s.y_col", "s.corr", "s.n_pairs"
+    )
+
+
+def percentile_stats(
+    df: DataFrame,
+    column: str,
+    percentiles: list[float],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles of a numeric column, long format
+    (percentile, value) — the oracle-checkable counterpart of the t-digest
+    drift path (drift.py sketches approximate quantiles at scale; this pins
+    the exact definition both implement: linear interpolation between order
+    statistics, the Hyndman-Fan type-7 / SQL PERCENTILE_CONT rule).
+
+    Spark's `percentile` is an exact aggregate: each task buffers its
+    partition's values, partials merge tree-wise, and the final interpolation
+    happens once. That makes it O(column bytes) in executor memory per group
+    at the FINAL step — honest for per-partition groups and profile samples;
+    at full 10¹²-row scale use the t-digest path and treat this as the
+    ground-truth gate run on samples/partitions.
+    """
+    group = [partition_col] if partition_col else []
+    pcts = F.percentile(F.col(column), F.array(*[F.lit(p) for p in percentiles]))
+    wide = df.groupBy(*group).agg(pcts.alias("__p"))
+    per_p = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("percentile"),
+                F.round(F.col("__p")[i], 6).alias("value"),
+            )
+            for i, p in enumerate(percentiles)
+        ]
+    )
+    return wide.select(*group, F.explode(per_p).alias("s")).select(
+        *group, "s.percentile", "s.value"
+    )

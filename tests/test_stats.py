@@ -170,3 +170,56 @@ def test_outlier_rows_zscore(spark):
     vals = [10.0] * 10 + [1000.0]
     want = round((1000.0 - statistics.mean(vals)) / statistics.stdev(vals), 4)
     assert r.zscore == want
+
+
+def test_column_entropy_exact(spark):
+    """Entropy/distinctness vs closed-form numpy on a known distribution."""
+    import math
+
+    from lyra_spark.stats import column_entropy
+
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] * 2 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "v string")
+    got = column_entropy(df, ["v"]).collect()[0]
+    p = [0.5, 0.25, 0.25]
+    expect = -sum(x * math.log(x) for x in p)
+    assert got["entropy"] == pytest.approx(expect, abs=1e-6)
+    assert got["distinct_count"] == 3
+    assert got["non_null_count"] == 8
+    assert got["distinctness"] == pytest.approx(3 / 8, abs=1e-6)
+
+
+def test_numeric_correlations_exact(spark):
+    """Pearson corr vs numpy on a planted linear + independent pair."""
+    import numpy as np
+
+    from lyra_spark.stats import numeric_correlations
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=200)
+    y = 3.0 * x + rng.normal(scale=0.1, size=200)
+    z = rng.normal(size=200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)], "x double, y double, z double"
+    )
+    got = {
+        (r["x_col"], r["y_col"]): r
+        for r in numeric_correlations(df, [("x", "y"), ("x", "z")]).collect()
+    }
+    assert got[("x", "y")]["corr"] == pytest.approx(float(np.corrcoef(x, y)[0, 1]), abs=1e-5)
+    assert got[("x", "z")]["corr"] == pytest.approx(float(np.corrcoef(x, z)[0, 1]), abs=1e-5)
+    assert got[("x", "y")]["n_pairs"] == 200
+
+
+def test_percentile_stats_matches_numpy(spark):
+    """Exact percentiles = numpy linear interpolation (PERCENTILE_CONT)."""
+    import numpy as np
+
+    from lyra_spark.stats import percentile_stats
+
+    vals = list(np.random.default_rng(11).normal(size=501))
+    df = spark.createDataFrame([(float(v),) for v in vals] + [(None,)], "v double")
+    pcts = [0.1, 0.5, 0.9]
+    got = {r["percentile"]: r["value"] for r in percentile_stats(df, "v", pcts).collect()}
+    for p in pcts:
+        assert got[p] == pytest.approx(float(np.quantile(vals, p)), abs=1e-6)
