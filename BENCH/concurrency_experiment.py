@@ -65,7 +65,7 @@ def run_once(fixture: str, parts: int, conc: int) -> float:
         res = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
         )
-        wall = time.perf_counter() - t0
+        _ = time.perf_counter() - t0  # subprocess wall incl. JVM startup (unused)
         for line in res.stdout.splitlines():
             if line.startswith("WALL_S"):
                 toks = line.split()
@@ -74,7 +74,6 @@ def run_once(fixture: str, parts: int, conc: int) -> float:
         raise RuntimeError(f"no WALL_S in output: {res.stdout[-2000:]} {res.stderr[-2000:]}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
-        _ = wall  # noqa: F841
 
 
 def main() -> int:

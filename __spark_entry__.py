@@ -228,6 +228,18 @@ def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-index density check (checks.contiguity_violations): lineitem's
+    l_linenumber is naturally dense from 1, so deleting line 3 of every 7th
+    order plants gaps (orders with exactly 3 lines shrink and stay dense —
+    both engines must agree on which). ONE hash-agg exchange on the
+    conversation key; count(DISTINCT) keeps duplicates from masking gaps."""
+    ensure_shipped(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    planted = li.filter(~((F.col("l_orderkey") % 7 == 0) & (F.col("l_linenumber") == 3)))
+    return checks.contiguity_violations(planted, "l_orderkey", "l_linenumber", base=1)
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1185,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "correlation": q_correlation,
         "percentiles": q_percentiles,
+        "contiguity": q_contiguity,
     }
 
 
@@ -1270,8 +1283,8 @@ def oracle_sql() -> dict[str, str]:
                        trim(regexp_replace(
                            replace(replace(replace(replace(replace(replace(
                                regexp_replace(text, '</?[A-Za-z][^>]*>', ' ', 'g'),
-                               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                               '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                            '\s+', ' ', 'g')) AS plain
                 FROM planted
             )
@@ -1337,6 +1350,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
                    COUNT(*) FILTER (event_type = 'signup') AS n_signup
             FROM events GROUP BY 1
+        """,
+        "contiguity": """
+            WITH planted AS (
+                SELECT l_orderkey, l_linenumber FROM lineitem
+                WHERE NOT (l_orderkey % 7 = 0 AND l_linenumber = 3)
+            ),
+            a AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_linenumber) AS n_turns,
+                       MIN(l_linenumber) AS min_idx,
+                       MAX(l_linenumber) AS max_idx
+                FROM planted GROUP BY 1
+            )
+            SELECT l_orderkey, n_turns, min_idx, max_idx,
+                   max_idx - 1 + 1 - n_turns AS n_missing,
+                   'turn_contiguity' AS rule_id
+            FROM a
+            WHERE min_idx <> 1 OR max_idx <> 1 + n_turns - 1
         """,
         "column_entropy": """
             WITH pairs AS (
@@ -1984,7 +2015,9 @@ def oracle_sql() -> dict[str, str]:
             s AS (
                 SELECT doc_id,
                        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-                       len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                       len(regexp_extract_all(
+                           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
                        regexp_replace(
                            regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
                            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[REDACTED]', 'g') AS red

@@ -140,9 +140,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.sig_store_out:
         from lyra_spark.pipeline.dedup import signature_store
 
-        signature_store(out, args.text_col, args.id_col).write.mode("append").parquet(
-            args.sig_store_out
-        )
+        # shingle_k must match the run's near-dup configuration — a store
+        # signed with a different k band-joins a later snapshot's signatures
+        # from a different shingle family and silently never collides
+        signature_store(
+            out, args.text_col, args.id_col, shingle_k=args.shingle_k
+        ).write.mode("append").parquet(args.sig_store_out)
 
     # funnel attrition for the report: stage counts re-derived from cheap
     # aggregates over the written output plus two light probes (the quality

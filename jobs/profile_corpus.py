@@ -72,7 +72,10 @@ def main(argv: list[str] | None = None) -> int:
         F.sum((F.col("n_urls") > 0).cast("int")).alias("n_docs_with_urls"),
     )
     stats = row.collect()[0].asDict()
-    stats["tok_p50"], stats["tok_p90"], stats["tok_p99"] = stats.pop("tok_pcts")
+    # percentile_approx over zero rows is NULL — an empty corpus must still
+    # produce a report, not a TypeError
+    pcts = stats.pop("tok_pcts") or [None, None, None]
+    stats["tok_p50"], stats["tok_p90"], stats["tok_p99"] = pcts
 
     lang_dist = {
         r.lang_pred: r.c

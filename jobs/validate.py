@@ -178,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
     transitions = DEFAULT_TRANSITIONS
     if args.allowed_transitions:
         transitions = {
-            tuple(pair.split(">", 1))
+            tuple(part.strip() for part in pair.split(">", 1))
             for pair in args.allowed_transitions.split(",")
             if ">" in pair
         }
@@ -225,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.clean_out:
             from pyspark.sql import functions as F
 
-            from lyra_spark.checks import MONO_RULE, UNIQ_RULE
+            from lyra_spark.checks import MONO_RULE, TRANSITION_RULE, UNIQ_RULE
             from lyra_spark.engine import clean_rows
             from lyra_spark.fused import inline_referential_rule
             from lyra_spark.rules import RuleSet
@@ -235,8 +235,11 @@ def main(argv: list[str] | None = None) -> int:
             # (tiny read), else from the result frame (recompute of the
             # windowed branch — still ≪ a second full suite)
             src = viol if args.out else result.violations
+            ds_rules = [UNIQ_RULE, MONO_RULE] + (
+                [TRANSITION_RULE] if args.check_transitions else []
+            )
             ds_keys = (
-                src.filter(F.col("rule_id").isin(UNIQ_RULE, MONO_RULE))
+                src.filter(F.col("rule_id").isin(*ds_rules))
                 .select("conv_id", "turn_idx")
                 .distinct()
             )

@@ -37,6 +37,7 @@ UNIQ_RULE = "uniq_conv_turn"
 REF_RULE = "tool_ref"
 MONO_RULE = "ts_monotone"
 TRANSITION_RULE = "role_transition"
+CONTIG_RULE = "turn_contiguity"
 
 
 def with_salt(df: DataFrame, buckets: int = 32, col: str = "__salt__") -> DataFrame:
@@ -250,4 +251,51 @@ def monotone_violations(
             F.lit(rule_id).alias("rule_id"),
             F.col(ts_col).cast("string").alias("observed_value"),
         )
+    )
+
+
+def contiguity_violations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    base: int = 0,
+    rule_id: str = CONTIG_RULE,
+) -> DataFrame:
+    """Per-conversation index-density check: the distinct ``idx_col`` values
+    of each conversation must be exactly ``base .. base + n - 1``. The gap
+    detector the ordering checks can't see — monotone (checks a turn against
+    its PREDECESSOR) is satisfied by 0,1,5,6 and uniqueness by any distinct
+    set; only density catches a silently dropped turn.
+
+    One row per violating conversation: (conv, n_turns, min_idx, max_idx,
+    n_missing, rule_id), where n_turns counts DISTINCT indices (duplicates are
+    uniqueness's finding, they must not mask a gap here) and n_missing is the
+    count of absent indices in [base, max_idx].
+
+    Scale: ONE hash-aggregate exchange on the conversation key. Spark rewrites
+    the single count(DISTINCT idx) into a two-level aggregate whose partial
+    buffers collapse to the distinct (conv, idx) pairs map-side — a
+    conversation's cost is its own turn count, never a list. NULL conv/idx
+    rows are excluded exactly as the other per-conversation checks
+    (SEMANTICS.md decision 21).
+    """
+    agg = (
+        df.filter(_non_null_keys([conv_col, idx_col]))
+        .groupBy(conv_col)
+        .agg(
+            F.count_distinct(F.col(idx_col)).alias("n_turns"),
+            F.min(idx_col).alias("min_idx"),
+            F.max(idx_col).alias("max_idx"),
+        )
+    )
+    b = F.lit(int(base))
+    return agg.filter(
+        (F.col("min_idx") != b) | (F.col("max_idx") != b + F.col("n_turns") - 1)
+    ).select(
+        conv_col,
+        "n_turns",
+        "min_idx",
+        "max_idx",
+        (F.col("max_idx") - b + 1 - F.col("n_turns")).alias("n_missing"),
+        F.lit(rule_id).alias("rule_id"),
     )

@@ -138,16 +138,26 @@ def write_violations(
         #     that skip the pre-set therefore serialize — pre-set the conf
         #     before a concurrent loop to keep writes parallel.
         conf = violations.sparkSession.conf
-        if conf.get(_AQE_FLOOR_KEY, None) == _AQE_FLOOR_VALUE:
-            _write_shaped(shaped, out_dir, partition_col, key_cols)
-            return
+        # The pre-set check MUST happen under the same lock the set/restore
+        # path holds for its whole write: checked lock-free, a caller could
+        # observe a sibling's TEMPORARY floor value, skip the lock, and have
+        # the sibling's finally-restore flip the conf under its in-flight
+        # write. Under the lock, conf == floor can only be the steady-state
+        # pre-set (temp holders always restore a non-floor value before
+        # releasing), so the fast path below is genuinely parallel.
         with _AQE_FLOOR_LOCK:
-            prev = conf.get(_AQE_FLOOR_KEY, None)
-            conf.set(_AQE_FLOOR_KEY, _AQE_FLOOR_VALUE)
-            try:
-                _write_shaped(shaped, out_dir, partition_col, key_cols)
-            finally:
-                conf.set(_AQE_FLOOR_KEY, prev) if prev is not None else conf.unset(_AQE_FLOOR_KEY)
+            preset = conf.get(_AQE_FLOOR_KEY, None) == _AQE_FLOOR_VALUE
+            if not preset:
+                prev = conf.get(_AQE_FLOOR_KEY, None)
+                conf.set(_AQE_FLOOR_KEY, _AQE_FLOOR_VALUE)
+                try:
+                    _write_shaped(shaped, out_dir, partition_col, key_cols)
+                finally:
+                    conf.set(_AQE_FLOOR_KEY, prev) if prev is not None else conf.unset(_AQE_FLOOR_KEY)
+                return
+        # pre-set by the session owner (jobs/validate does this before its
+        # concurrent loop): zero mutation — write without serializing
+        _write_shaped(shaped, out_dir, partition_col, key_cols)
         return
     elif buckets_per_partition > 1:
         bkt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(int(buckets_per_partition)))

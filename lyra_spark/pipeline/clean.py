@@ -59,17 +59,34 @@ def clean_corpus(
             "text_plain", text_col
         ).select(*in_cols)
 
-    scored = quality_score(df, text_col).filter(
+    # quality_score adds feature columns (n_chars, n_tokens, ...); if the
+    # input already carries a column by one of those names (e.g. upstream
+    # n_chars metadata), withColumns would REPLACE it and select(*in_cols)
+    # would leak the clobbered value into the cleaned output — stash such
+    # columns around the scoring stage (map-only renames, no plan change)
+    feature_cols = {
+        "n_chars", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "mean_word_len", "quality_score",
+    }
+    stash = {c: f"__orig_{c}" for c in in_cols if c in feature_cols and c != text_col}
+    work = df
+    for c, s in stash.items():
+        work = work.withColumnRenamed(c, s)
+    scored = quality_score(work, text_col).filter(
         F.col("quality_score") >= min_quality
     )
-    scored = scored.select(*in_cols, "quality_score")
+    scored = scored.select(
+        *[F.col(stash.get(c, c)).alias(c) for c in in_cols], "quality_score"
+    )
 
     exact = distinct_by_content(scored, text_col, id_col)
 
     scrubbed = scrub_duplicate_lines(exact, text_col, id_col, min_docs=line_min_docs)
     uniq = scrubbed.select(
-        *[c for c in in_cols if c != text_col],
-        F.col("text_scrubbed").alias(text_col),
+        *[
+            F.col("text_scrubbed").alias(text_col) if c == text_col else F.col(c)
+            for c in in_cols
+        ],
         "quality_score",
         "n_lines_removed",
     ).filter(F.length(F.trim(F.col(text_col))) > 0)

@@ -49,7 +49,12 @@ def split_by_hash(
 ) -> DataFrame:
     """Assign each row to a named split with the given weights (normalized),
     deterministically by id. The LAST split absorbs the floating-point
-    remainder, so every row gets exactly one split.
+    remainder, so every non-NULL id gets exactly one split. NULL ids get a
+    NULL split — a NULL hash would otherwise silently fall through every
+    WHEN into the last-named split (polluting a test/eval split with exactly
+    the rows whose identity is broken), and the sibling samplers already
+    exclude NULL ids (NULL < rate is never true); surfacing NULL lets the
+    caller quarantine instead of hiding the problem in one bucket.
     """
     if not weights:
         raise ValueError("weights must name at least one split")
@@ -68,6 +73,7 @@ def split_by_hash(
         arms.append((cum, name))
     for bound, name in reversed(arms):
         expr = F.when(frac < F.lit(bound), F.lit(name)).otherwise(expr)
+    expr = F.when(F.col(id_col).isNull(), F.lit(None).cast("string")).otherwise(expr)
     return df.withColumn(out_col, expr)
 
 

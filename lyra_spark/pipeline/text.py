@@ -237,17 +237,20 @@ def pii_scrub(
     pats = patterns or PII_PATTERNS
     c = F.col(text_col)
     out = df
+    # Each pattern counts on the text AFTER the previous patterns' redaction,
+    # mirroring the redaction chain exactly — otherwise an IPv4 inside an
+    # already-redacted email address is counted twice for one [REDACTED],
+    # and the counts stop describing what the scrub actually removed.
+    cur = c
     for name, pat in pats.items():
         out = out.withColumn(
             f"n_{name}",
             F.when(c.isNull(), F.lit(0)).otherwise(
-                F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+                F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
             ),
         )
-    red = c
-    for pat in pats.values():
-        red = F.regexp_replace(red, pat, token)
-    return out.withColumn(f"{text_col}_redacted", red)
+        cur = F.regexp_replace(cur, pat, token)
+    return out.withColumn(f"{text_col}_redacted", cur)
 
 
 # --- URL / domain analysis ----------------------------------------------------------
@@ -331,7 +334,9 @@ def filter_blocked_domains(
 # followed by a letter or '/' then anything up to the next '>' is markup;
 # bare '<' (math, code) survives
 _TAG_PATTERN = r"</?[A-Za-z][^>]*>"
-_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]
+# &amp; decodes LAST: a double-escaped entity like '&amp;lt;' must come out as
+# the single-decoded '&lt;', not be decoded twice into '<'
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
 
 def strip_markup(df: DataFrame, text_col: str = "text", out_col: str = "text_plain") -> DataFrame:

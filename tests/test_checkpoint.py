@@ -558,3 +558,45 @@ def test_schema_diff_statuses(spark):
         raise AssertionError("should have raised")
     except ValueError as e:
         assert "c: type_mismatch" in str(e) and "d" not in str(e).split("extra")[0].split(",")[-1]
+
+
+def test_cli_clean_out_excludes_transition_violations(tmp_path, spark, fixtures_sf0001):
+    """--clean-out + --check-transitions: a turn that fails ONLY the role
+    grammar must not land in the validated output (the clean table's 'rows
+    failing no rule' contract covers every enabled rule, dataset checks
+    included)."""
+    from pyspark.sql import functions as F
+
+    from jobs.validate import DEFAULT_TRANSITIONS, main
+    from lyra_spark.checks import transition_violations
+
+    clean_dir = tmp_path / "clean"
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--run-id", "rct",
+        "--out", str(tmp_path / "viol"),
+        "--clean-out", str(clean_dir),
+        "--check-transitions",
+        "--limit-partitions", "3",
+    ]
+    assert main(args) == 0
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    done = sorted(d.name.split("=", 1)[1] for d in clean_dir.glob("part=*"))
+    assert len(done) == 3
+    checked = 0
+    for pk in done:
+        part = tdf.filter(F.col("part_date") == pk)
+        tv = transition_violations(part, DEFAULT_TRANSITIONS, partition_col="part_date")
+        tv_keys = {(r.conv_id, r.turn_idx) for r in tv.select("conv_id", "turn_idx").collect()}
+        if not tv_keys:
+            continue
+        clean_keys = {
+            (r.conv_id, r.turn_idx)
+            for r in spark.read.parquet(str(clean_dir / f"part={pk}")).collect()
+        }
+        assert not (clean_keys & tv_keys)
+        checked += 1
+    assert checked > 0  # the fixture's injected bad roles must exercise this

@@ -727,6 +727,7 @@ def test_strip_markup(spark):
         (2, "plain text with 1 < 2 and a<b comparisons"),
         (3, "&lt;escaped&gt; &quot;quotes&quot; &#39;apos&#39; &nbsp;spaced"),
         (4, None),
+        (5, "use &amp;lt; for a literal less-than"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {r.doc_id: r.text_plain for r in strip_markup(df).collect()}
@@ -734,6 +735,8 @@ def test_strip_markup(spark):
     assert got[2] == "plain text with 1 < 2 and a<b comparisons"
     assert got[3] == '<escaped> "quotes" \'apos\' spaced'
     assert got[4] is None
+    # double-escaped entity decodes exactly once (&amp; is decoded LAST)
+    assert got[5] == "use &lt; for a literal less-than"
 
 
 def test_clean_corpus_strip_markup_first(spark):
@@ -835,3 +838,37 @@ def test_clean_cli_incremental_sig_store(tmp_path, spark):
     assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {11}
     # store grew by the cleaned snapshot's rows only
     assert spark.read.parquet(store).count() == 3
+
+
+def test_pii_scrub_overlapping_counted_once(spark):
+    """An IPv4 inside an email address redacts as ONE identifier and counts
+    as one: each pattern counts on the previous patterns' redacted text,
+    mirroring the redaction chain."""
+    from lyra_spark.pipeline.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail 10.1.2.3@mail.example.com now"), (2, "host 10.1.2.3 up")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[1].n_email == 1 and got[1].n_ipv4 == 0
+    assert got[1].text_redacted == "mail [REDACTED] now"
+    assert got[2].n_email == 0 and got[2].n_ipv4 == 1
+
+
+def test_clean_corpus_preserves_input_feature_named_columns(spark):
+    """An input column named like a quality feature (n_chars) passes through
+    clean_corpus untouched instead of being clobbered by LENGTH(text)."""
+    from lyra_spark.pipeline.clean import clean_corpus
+
+    rows = [
+        (0, "a perfectly ordinary english document with plenty of words about "
+            "query planners and shuffle exchange strategies in modern engines", 777),
+        (1, "another clean document full of normal words describing window "
+            "functions partition pruning and adaptive query execution today", 888),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = clean_corpus(df)
+    got = {r.doc_id: r.n_chars for r in out.collect()}
+    assert got == {0: 777, 1: 888}
+    assert out.columns[:3] == ["doc_id", "text", "n_chars"]

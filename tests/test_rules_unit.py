@@ -224,3 +224,29 @@ def test_clean_rows_extra_fail(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
     out = clean_rows(df, rs, extra_fail=[F.col("id") == 2])
     assert [r.id for r in out.collect()] == [1]
+
+
+def test_contiguity_violations(spark):
+    """Gap, head-offset, and duplicate-masking cases; clean convs absent."""
+    from lyra_spark.checks import contiguity_violations
+
+    rows = [
+        ("a", 0), ("a", 1), ("a", 2),          # dense from 0 — clean
+        ("b", 0), ("b", 1), ("b", 3),          # gap at 2
+        ("c", 1), ("c", 2),                    # starts at 1, not 0
+        ("d", 0), ("d", 0), ("d", 1),          # duplicate idx, still dense — clean here
+        ("e", 0), ("e", 2), ("e", 2),          # duplicate must NOT mask the gap
+        (None, 0), ("f", None),                # NULL keys excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    got = {r.conv_id: r for r in contiguity_violations(df).collect()}
+    assert set(got) == {"b", "c", "e"}
+    assert got["b"].n_missing == 1 and got["b"].n_turns == 3 and got["b"].max_idx == 3
+    assert got["c"].min_idx == 1 and got["c"].n_missing == 1
+    assert got["e"].n_turns == 2 and got["e"].n_missing == 1
+    assert "f" not in got
+
+    # base=1 semantics (lineitem-style numbering)
+    df2 = spark.createDataFrame([("x", 1), ("x", 2), ("y", 2)], "conv_id string, turn_idx int")
+    got2 = {r.conv_id for r in contiguity_violations(df2, base=1).collect()}
+    assert got2 == {"y"}

@@ -113,3 +113,17 @@ def test_pack_sequences_null_handling(spark):
 def test_pack_sequences_rejects_bad_budget(spark, ids_df):
     with pytest.raises(ValueError):
         pack_sequences(ids_df, budget=0)
+
+
+def test_split_null_id_gets_null_split(spark):
+    """NULL ids must not silently pool in the last-named split (they would
+    pollute exactly the eval split); they surface as NULL, consistent with
+    the samplers which never select NULL ids."""
+    from lyra_spark.pipeline.sample import split_by_hash
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    got = {r.doc_id: r.split for r in split_by_hash(
+        df, {"train": 0.5, "test": 0.5}, id_col="doc_id"
+    ).collect()}
+    assert got[None] is None
+    assert got[1] in ("train", "test") and got[2] in ("train", "test")
