@@ -272,12 +272,13 @@ def contiguity_violations(
     uniqueness's finding, they must not mask a gap here) and n_missing is the
     count of absent indices in [base, max_idx].
 
-    Scale: ONE hash-aggregate exchange on the conversation key. Spark rewrites
-    the single count(DISTINCT idx) into a two-level aggregate whose partial
-    buffers collapse to the distinct (conv, idx) pairs map-side — a
-    conversation's cost is its own turn count, never a list. NULL conv/idx
-    rows are excluded exactly as the other per-conversation checks
-    (SEMANTICS.md decision 21).
+    Scale: Spark rewrites the count(DISTINCT idx) into the standard two-phase
+    distinct aggregate — an exchange on (conv, idx) with map-side dedup below
+    it, then an exchange on conv over the already-distinct pairs. Both
+    exchanges ship at most the distinct (conv, idx) pairs, never raw rows and
+    never a per-conversation list, so buffers stay constant-size and a hot
+    conversation costs its own turn count. NULL conv/idx rows are excluded
+    exactly as the other per-conversation checks (SEMANTICS.md decision 21).
     """
     agg = (
         df.filter(_non_null_keys([conv_col, idx_col]))

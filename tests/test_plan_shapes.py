@@ -217,3 +217,21 @@ def test_conversation_assembly_reuses_session_exchange(spark, fixtures_sf0001):
         text_col="conv_text", id_col="k",
     )
     assert plan_str(dedup, "simple").count("Exchange") == 2
+
+
+def test_contiguity_two_bounded_exchanges(spark, fixtures_sf0001):
+    """The contiguity check must stay the standard two-phase distinct
+    aggregate: exactly two hash exchanges, with a map-side dedup aggregate
+    BELOW the first so only distinct (conv, idx) pairs ever ship — no
+    collect-style list aggregation anywhere."""
+    import re
+
+    from lyra_spark.checks import contiguity_violations
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    p = plan_str(contiguity_violations(tdf))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 2
+    assert len(re.findall(r"hashpartitioning\(conv_id", p)) >= 2
+    assert "collect_list" not in p and "collect_set" not in p
+    # the (conv, idx)-keyed dedup aggregate exists (distinct pairs, not rows)
+    assert re.search(r"Keys \[2\]: \[conv_id.*turn_idx", p)
