@@ -228,6 +228,31 @@ def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trailing_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window categorical drift (drift.categorical_psi_trailing):
+    each day's event_type distribution vs the pooled previous 3 days — the
+    run-over-run drift monitor (the whole-table reference dilutes a regime
+    change as history grows). Raw rows shuffle once into the (day, value)
+    grid; windows and roll-ups run on pre-aggregated counts. 4 dp so both
+    engines' float sums compare stably."""
+    ensure_shipped(spark)
+    from lyra_spark.drift import categorical_psi_trailing
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "part_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = categorical_psi_trailing(events, "event_type", partition_col="part_date", k=3)
+    return out.select(
+        F.col("partition").alias("day"),
+        F.round("psi", 4).alias("psi"),
+        F.round("js", 4).alias("js"),
+        "n_rows",
+        "ref_rows",
+        "n_ref_parts",
+        "n_categories",
+    )
+
+
 def q_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-index density check (checks.contiguity_violations): lineitem's
     l_linenumber is naturally dense from 1, so deleting line 3 of every 7th
@@ -1198,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation": q_correlation,
         "percentiles": q_percentiles,
         "contiguity": q_contiguity,
+        "trailing_drift": q_trailing_drift,
     }
 
 
@@ -1350,6 +1376,49 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
                    COUNT(*) FILTER (event_type = 'signup') AS n_signup
             FROM events GROUP BY 1
+        """,
+        "trailing_drift": """
+            WITH vals AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS p,
+                       COALESCE(event_type, '<NULL>') AS v
+                FROM events
+            ),
+            grid AS (SELECT p, v, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+            cats AS (SELECT DISTINCT v FROM grid),
+            kc AS (SELECT COUNT(*) AS kcat FROM cats),
+            parts AS (SELECT p, SUM(n) AS pn FROM grid GROUP BY 1),
+            dense AS (
+                SELECT parts.p, parts.pn, cats.v, COALESCE(grid.n, 0) AS n
+                FROM parts CROSS JOIN cats
+                LEFT JOIN grid ON grid.p = parts.p AND grid.v = cats.v
+            ),
+            trail AS (
+                SELECT p, pn, v, n,
+                       COALESCE(SUM(n) OVER (PARTITION BY v ORDER BY p
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS ref_n,
+                       COUNT(*) OVER (PARTITION BY v ORDER BY p
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_ref_parts
+                FROM dense
+            ),
+            t2 AS (
+                SELECT *, SUM(ref_n) OVER (PARTITION BY p) AS ref_pn
+                FROM trail WHERE n_ref_parts > 0
+            ),
+            terms AS (
+                SELECT p, pn, ref_pn, n_ref_parts,
+                       (n + 0.5) / (pn + 0.5 * kcat) AS pr,
+                       (ref_n + 0.5) / (ref_pn + 0.5 * kcat) AS qr
+                FROM t2, kc
+            )
+            SELECT p AS day,
+                   ROUND(SUM((pr - qr) * LN(pr / qr)), 4) AS psi,
+                   ROUND(SUM((pr * LN(pr / ((pr + qr) / 2))
+                              + qr * LN(qr / ((pr + qr) / 2))) / 2), 4) AS js,
+                   CAST(MAX(pn) AS BIGINT) AS n_rows,
+                   CAST(MAX(ref_pn) AS BIGINT) AS ref_rows,
+                   CAST(MAX(n_ref_parts) AS BIGINT) AS n_ref_parts,
+                   COUNT(*) AS n_categories
+            FROM terms GROUP BY 1
         """,
         "contiguity": """
             WITH planted AS (

@@ -159,6 +159,79 @@ def categorical_psi(
     )
 
 
+def categorical_psi_trailing(
+    df: DataFrame,
+    col: str,
+    partition_col: str = "part_date",
+    k: int = 7,
+    alpha: float = 0.5,
+    null_token: str = "<NULL>",
+) -> DataFrame:
+    """Per-partition PSI + Jensen–Shannon of a categorical column vs the
+    TRAILING ``k`` partitions — the production drift monitor shape
+    (categorical_psi compares against the whole table, which dilutes a
+    regime change the longer history grows; a trailing reference flags it
+    the day it lands, the same pattern row_count_anomaly uses for counts).
+
+    Returns (partition, psi, js, n_rows, ref_rows, n_ref_parts,
+    n_categories); partitions with no preceding partition emit nothing
+    (no reference to compare against), and ``n_ref_parts`` < k marks a
+    still-warming window for the caller's threshold logic. Partitions
+    order lexicographically — ISO dates sort correctly by construction.
+
+    Scale shape: raw rows shuffle ONCE into the (partition, value) count
+    grid; the dense grid (every partition × the GLOBAL category set, absent
+    combos at n=0 so the trailing frame is positionally exact), the
+    per-value trailing window, the per-partition reference total, and the
+    final roll-up all operate on that pre-aggregated grid — ~#partitions ×
+    #categories rows, never raw data. Laplace smoothing ``alpha`` on both
+    sides over the global category set, exactly as categorical_psi.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.coalesce(F.col(col).cast("string"), F.lit(null_token)).alias("__v"),
+        F.col(partition_col).alias("partition"),
+    )
+    grid = vals.groupBy("partition", "__v").agg(F.count(F.lit(1)).alias("n"))
+    grid = grid.localCheckpoint(eager=False)
+    glob = grid.select("__v").distinct()
+    kcat = glob.count()  # global category count (small by contract)
+    parts = grid.groupBy("partition").agg(F.sum("n").alias("pn"))
+    dense = parts.crossJoin(F.broadcast(glob)).join(
+        grid, ["partition", "__v"], "left"
+    ).select("partition", "pn", "__v", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+
+    w_val = Window.partitionBy("__v").orderBy("partition").rowsBetween(-int(k), -1)
+    trail = dense.select(
+        "partition",
+        "pn",
+        "__v",
+        "n",
+        F.coalesce(F.sum("n").over(w_val), F.lit(0)).alias("ref_n"),
+        F.count(F.lit(1)).over(w_val).alias("n_ref_parts"),
+    )
+    w_part = Window.partitionBy("partition")
+    trail = trail.withColumn("ref_pn", F.sum("ref_n").over(w_part)).filter(
+        F.col("n_ref_parts") > 0
+    )
+
+    a = float(alpha)
+    p = (F.col("n") + F.lit(a)) / (F.col("pn") + F.lit(a) * kcat)
+    q = (F.col("ref_n") + F.lit(a)) / (F.col("ref_pn") + F.lit(a) * kcat)
+    term = (p - q) * F.log(p / q)
+    m = (p + q) / 2
+    js_term = (p * F.log(p / m) + q * F.log(q / m)) / 2
+    return trail.groupBy("partition").agg(
+        F.sum(term).alias("psi"),
+        F.sum(js_term).alias("js"),
+        F.max("pn").alias("n_rows"),
+        F.max("ref_pn").alias("ref_rows"),
+        F.max("n_ref_parts").alias("n_ref_parts"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+
+
 # --- drift metrics (numpy on digests) -------------------------------------
 def ks_statistic(a: TDigest, b: TDigest, grid_points: int = 256) -> float:
     """max |CDF_a − CDF_b| on a shared quantile-union grid."""

@@ -167,3 +167,61 @@ def test_categorical_psi_null_token_and_absent_category(spark):
     # finite PSI (smoothing), and both see the GLOBAL category count
     assert rows["d1"].n_categories == 2 and rows["d2"].n_categories == 2
     assert np.isfinite(rows["d1"].psi) and np.isfinite(rows["d2"].psi)
+
+
+def test_categorical_psi_trailing_matches_numpy_reference(spark):
+    """Trailing-window categorical PSI == the straightforward numpy
+    computation (reference = previous k partitions' pooled counts, same
+    Laplace smoothing over the global category set); the first partition
+    emits nothing, warm-up windows report their true n_ref_parts, and a
+    regime change scores high the partition it LANDS, not diluted later."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from lyra_spark.drift import categorical_psi_trailing
+
+    rng = np.random.default_rng(23)
+    days = [f"2024-01-{d:02d}" for d in range(1, 9)]
+    probs = {d: [0.5, 0.3, 0.2, 0.0] for d in days[:6]}
+    probs[days[6]] = [0.05, 0.05, 0.3, 0.6]   # regime change on day 7
+    probs[days[7]] = [0.05, 0.05, 0.3, 0.6]
+    parts, vals = [], []
+    for d in days:
+        draw = rng.choice(["a", "b", "c", "zz"], size=1500, p=probs[d])
+        parts += [d] * 1500
+        vals += list(draw)
+    pdf = pd.DataFrame({"part_date": parts, "role": vals})
+    K = 3
+    got = {
+        r.partition: r
+        for r in categorical_psi_trailing(
+            spark.createDataFrame(pdf), "role", k=K
+        ).collect()
+    }
+    assert days[0] not in got  # no reference yet
+    assert set(got) == set(days[1:])
+
+    cats = sorted(set(vals))
+    kc, a = len(cats), 0.5
+    for i, d in enumerate(days):
+        if i == 0:
+            continue
+        ref_days = days[max(0, i - K):i]
+        cur = pdf.loc[pdf.part_date == d, "role"]
+        ref = pdf.loc[pdf.part_date.isin(ref_days), "role"]
+        pc, rc = cur.value_counts(), ref.value_counts()
+        p = np.array([(pc.get(c, 0) + a) / (len(cur) + a * kc) for c in cats])
+        q = np.array([(rc.get(c, 0) + a) / (len(ref) + a * kc) for c in cats])
+        want = float(np.sum((p - q) * np.log(p / q)))
+        m = (p + q) / 2
+        want_js = float(np.sum(p * np.log(p / m) + q * np.log(q / m)) / 2)
+        assert got[d].psi == pytest.approx(want, rel=1e-9), d
+        assert got[d].js == pytest.approx(want_js, rel=1e-9), d
+        assert got[d].n_ref_parts == len(ref_days)
+        assert got[d].ref_rows == 1500 * len(ref_days)
+    # the regime change fires on day 7 against its conforming trailing window
+    conforming = max(got[d].psi for d in days[1:6])
+    assert got[days[6]].psi > 10 * conforming
+    # by day 8 the drifted day is inside the window, so the score relaxes
+    assert got[days[7]].psi < got[days[6]].psi
