@@ -265,6 +265,72 @@ def q_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.contiguity_violations(planted, "l_orderkey", "l_linenumber", base=1)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup (asof.asof_join): each event joined to the most
+    recent order at-or-before its ts by the same user — the union+window
+    construction: ONE exchange + ONE sort of |events|+|orders|, no join node
+    (plan-pinned in tests); ties on o_orderdate break to the greatest
+    o_orderkey, carried as one struct so the match is always a whole row."""
+    ensure_shipped(spark)
+    from lyra_spark.asof import asof_join
+
+    events = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _read(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(
+        events,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols={
+            "o_orderkey": "asof_orderkey",
+            "o_orderdate": "asof_orderdate",
+            "o_totalprice": "asof_totalprice",
+        },
+        right_order_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "asof_orderkey",
+        F.unix_micros("asof_orderdate").alias("asof_odate_us"),
+        F.round("asof_totalprice", 6).alias("asof_totalprice"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (ranges.interval_join): for every purchase, the
+    events by the same user inside [ts, ts+1h] — the attribution-window
+    shape. Time-bucketed equi-join on (user, bucket) with the range predicate
+    as a join residual: never a nested loop (plan-pinned), candidates bounded
+    by bucket collisions, AQE can split hot users."""
+    ensure_shipped(spark)
+    from lyra_spark.ranges import interval_join
+
+    events = _read(spark, sf_dir, "events")
+    points = events.select("event_id", "user_id", "ts", "value")
+    anchors = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    joined = interval_join(
+        points,
+        anchors,
+        on=["user_id"],
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bucket_width_sec=3600,
+    )
+    return joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1224,6 +1290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "contiguity": q_contiguity,
         "trailing_drift": q_trailing_drift,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1419,6 +1487,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_ref_parts) AS BIGINT) AS n_ref_parts,
                    COUNT(*) AS n_categories
             FROM terms GROUP BY 1
+        """,
+        "asof_join": """
+            WITH cand AS (
+                SELECT e.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   c.o_orderkey AS asof_orderkey,
+                   epoch_us(c.o_orderdate) AS asof_odate_us,
+                   ROUND(c.o_totalprice, 6) AS asof_totalprice
+            FROM events e
+            LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+        """,
+        "range_join": """
+            SELECT p.event_id AS anchor_id,
+                   COUNT(*) AS n_follow,
+                   ROUND(SUM(e.value), 6) AS sum_value
+            FROM events p
+            JOIN events e ON e.user_id = p.user_id
+               AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
+            GROUP BY 1
         """,
         "contiguity": """
             WITH planted AS (

@@ -1,0 +1,145 @@
+"""As-of join (point-in-time lookup): attach to each left row the payload of
+the temporally nearest right row — the greatest right ts <= left ts
+("backward", the default) or the smallest right ts >= left ts ("forward") —
+within the same key. The canonical uses in a transcript/validation pipeline:
+join each turn to the dimension snapshot that was live when the turn
+happened, or each event to the most recent prior order/config/deploy by the
+same user.
+
+Spark has no ASOF JOIN primitive, and the naive formulation (inequality
+theta-join + per-left-row argmax) plans as a broadcast-nested-loop or a
+cartesian product — quadratic per key. The scalable construction is the
+classic union-and-carry-forward:
+
+    1. tag right rows src=0 carrying a payload struct, left rows src=1
+       carrying NULL payload, and UNION them;
+    2. one window — partitionBy(key), orderBy(ts, src, tiebreak) — computes
+       last(payload, ignorenulls=True) over rowsBetween(unboundedPreceding,
+       currentRow): for every left row that is exactly the most recent right
+       payload at-or-before it;
+    3. filter src=1 and unpack the struct.
+
+Cost: ONE exchange and ONE sort of |left| + |right| rows — the same price as
+any per-key ordering, and strictly cheaper than the sort-merge join + window
+dedup a hand-rolled candidate join would need. The payload rides in a single
+STRUCT column so the carried match is always one whole right row — per-column
+last() would stitch fields from different right rows whenever a payload field
+is NULL.
+
+Skew: a hot key is one sorted task, same exposure as sessionize/monotone
+(SURVEY.md §2 rows 29/48). When a tolerance bounds how far back a match may
+reach, the fix is the interval-join construction in :mod:`lyra_spark.ranges`
+(bucket both sides by a tolerance-width time bucket) — this module keeps the
+unbounded-lookback semantics, which no bucketing can express.
+
+Determinism: ties on right ts are broken by ``right_order_cols`` (greatest
+wins, both directions); callers pass the right table's unique id. NULL-key or
+NULL-ts right rows are dropped (a NULL key matches nothing — SQL join
+semantics, unlike Spark windows where NULL partition keys group together);
+NULL-key/NULL-ts LEFT rows are kept with a NULL match (left-join semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts__"
+_SRC = "__asof_src__"
+_PAY = "__asof_payload__"
+_MATCHED = "__matched_ts__"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: dict[str, str],
+    right_order_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row survives, gaining one output column per
+    ``payload_cols`` entry ({right_col: out_col}), NULL when no right row
+    qualifies. ``on`` names the equi-key columns (same names on both sides —
+    rename beforehand). ``tolerance_sec`` NULLs out matches farther than the
+    bound (|left ts - matched ts| > tolerance), matching pandas
+    ``merge_asof(tolerance=...)``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    for c, out in payload_cols.items():
+        if out in left.columns:
+            raise ValueError(f"output column {out!r} already exists on the left side")
+
+    order_cols = list(right_order_cols or [])
+    # The carried match is ONE struct: the right ts first (tolerance + the
+    # deterministic tie-break below), then the requested payload columns.
+    pay_struct = F.struct(
+        F.col(right_ts).alias(_MATCHED),
+        *[F.col(c).alias(c) for c in payload_cols],
+        *[F.col(c).alias(f"__ord_{c}") for c in order_cols if c not in payload_cols],
+    )
+    key_not_null = F.col(right_ts).isNotNull()
+    for k in on:
+        key_not_null = key_not_null & F.col(k).isNotNull()
+    rsel = (
+        right.filter(key_not_null)
+        .select(
+            *[F.col(k) for k in on],
+            F.col(right_ts).alias(_TS),
+            F.lit(0).alias(_SRC),
+            pay_struct.alias(_PAY),
+        )
+    )
+    lsel = left.select(
+        "*",
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SRC),
+        F.lit(None).cast(rsel.schema[_PAY].dataType).alias(_PAY),
+    )
+    unioned = lsel.unionByName(rsel, allowMissingColumns=True)
+
+    # Tie-break: among right rows with equal ts the GREATEST right_order_cols
+    # wins in both directions. last() picks the final frame row with a
+    # non-NULL payload, so ascending order on the tie-break columns yields
+    # the max. src orders right (0) before left (1) at equal ts — that is
+    # what makes the bound inclusive (ts <= / >=).
+    tie = [
+        (F.col(_PAY)[f"__ord_{c}"] if c not in payload_cols else F.col(_PAY)[c]).asc_nulls_first()
+        for c in order_cols
+    ]
+    if direction == "backward":
+        order = [F.col(_TS).asc_nulls_first(), F.col(_SRC).asc(), *tie]
+    else:
+        order = [F.col(_TS).desc_nulls_first(), F.col(_SRC).asc(), *tie]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(_PAY, ignorenulls=True).over(w)
+
+    # A NULL-ts left row must not inherit a match (desc ordering sorts its
+    # NULL first by the explicit nulls_first — but guard regardless: no
+    # defined position in time means no as-of match).
+    matched = F.when(F.col(_TS).isNull(), F.lit(None)).otherwise(matched)
+
+    if tolerance_sec is not None:
+        tol_us = int(float(tolerance_sec) * 1_000_000)
+        lus = F.unix_micros(F.col(_TS).cast("timestamp"))
+        mus = F.unix_micros(matched[_MATCHED].cast("timestamp"))
+        gap = (lus - mus) if direction == "backward" else (mus - lus)
+        matched = F.when(gap <= F.lit(tol_us), matched)
+
+    # Materialize the match BEFORE dropping the right rows: a window column
+    # is computed where it is referenced, so selecting it after the src
+    # filter would run last() over the left rows alone.
+    enriched = unioned.withColumn(_MATCHED, matched)
+    out = enriched.filter(F.col(_SRC) == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(_MATCHED)[c].alias(outn) for c, outn in payload_cols.items()],
+    )
+    return out

@@ -1,0 +1,262 @@
+"""As-of join + interval join: semantics vs pandas/naive references, and the
+plan shapes that make them scale (one exchange for asof; equi-join with a
+range residual — never a nested loop — for interval_join)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyra_spark.asof import asof_join
+from lyra_spark.ranges import interval_join
+
+from test_plan_shapes import plan_str
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b", "b", "c", None, "a"],
+                "lts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:05",
+                        "2024-01-01 00:00:10",
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 00:00:07",
+                        "2024-01-01 00:00:01",
+                        "2024-01-01 00:00:05",
+                        "2024-01-01 00:00:05",
+                        None,
+                    ]
+                ),
+                "lid": [1, 2, 3, 4, 5, 6, 7, 8],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b", "b", "c", "a", None],
+                "rts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:03",
+                        "2024-01-01 00:00:08",
+                        "2024-01-01 00:00:02",
+                        "2024-01-01 00:00:07",
+                        "2024-01-01 00:00:09",
+                        "2024-01-01 00:00:03",  # tie with rid=10 at :03
+                        None,
+                    ]
+                ),
+                "rid": [10, 11, 12, 13, 14, 15, 16],
+                "val": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+            }
+        )
+    )
+    return left, right
+
+
+def test_asof_backward(spark, asof_frames):
+    left, right = asof_frames
+    res = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols={"rid": "asof_rid", "val": "asof_val"},
+        right_order_cols=["rid"],
+    )
+    rows = {r.lid: (r.asof_rid, r.asof_val) for r in res.collect()}
+    assert rows == {
+        1: (15, 6.0),  # tie at :03 → greatest rid wins, whole row carried
+        2: (11, 2.0),
+        3: (None, None),  # nothing at-or-before
+        4: (13, 4.0),  # equal ts is inclusive
+        5: (None, None),
+        6: (None, None),  # right row at :09 is after
+        7: (None, None),  # NULL key matches nothing (SQL semantics)
+        8: (None, None),  # NULL ts has no position in time
+    }
+
+
+def test_asof_forward_and_tolerance(spark, asof_frames):
+    left, right = asof_frames
+    fwd = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols={"rid": "asof_rid"}, right_order_cols=["rid"],
+        direction="forward",
+    )
+    assert {r.lid: r.asof_rid for r in fwd.collect()} == {
+        1: 11, 2: None, 3: 15, 4: 13, 5: 12, 6: 14, 7: None, 8: None
+    }
+    tol = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols={"rid": "asof_rid"}, right_order_cols=["rid"],
+        tolerance_sec=2,
+    )
+    assert {r.lid: r.asof_rid for r in tol.collect()} == {
+        1: 15, 2: 11, 3: None, 4: 13, 5: None, 6: None, 7: None, 8: None
+    }
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Random corpus with per-key-unique timestamps (ties carry engine-specific
+    tie-breaks; the dedicated test above pins ours) must reproduce
+    pandas.merge_asof exactly, both directions."""
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l).astype(str),
+            "lts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.choice(10**6, n_l, replace=False), unit="s"),
+            "lid": np.arange(n_l),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_r).astype(str),
+            "rts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.choice(10**6, n_r, replace=False) + 10**6, unit="s"),
+            "rid": np.arange(n_r),
+        }
+    )
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(
+                spark.createDataFrame(lpd),
+                spark.createDataFrame(rpd),
+                on=["k"], left_ts="lts", right_ts="rts",
+                payload_cols={"rid": "m_rid"}, right_order_cols=["rid"],
+                direction=direction,
+            )
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            lpd.sort_values("lts"),
+            rpd.sort_values("rts").rename(columns={"rid": "m_rid"}),
+            left_on="lts", right_on="rts", by="k", direction=direction,
+        ).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["m_rid"].astype("float64"),
+            exp["m_rid"].astype("float64"),
+            check_names=False,
+        )
+
+
+def test_asof_plan_is_single_exchange(spark, asof_frames):
+    """The whole operator must cost ONE hash exchange (the window's), like
+    sessionize — no join node, no second shuffle."""
+    left, right = asof_frames
+    p = plan_str(
+        asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            payload_cols={"rid": "asof_rid"}, right_order_cols=["rid"],
+        )
+    )
+    # formatted mode prints each physical node once in the details section as
+    # "(<n>) Exchange" — count those, not the arg-less tree lines
+    assert p.count(") Exchange") == 1
+    assert "Join" not in p
+
+
+def test_interval_join_semantics(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b", "b", None],
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-05", "2024-01-10", "2024-01-03", "2024-01-20", None]
+                ),
+                "pid": [1, 2, 3, 4, 5, 6],
+            }
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b", "b", "a"],
+                "s": pd.to_datetime(
+                    ["2024-01-01", "2024-01-04", "2024-01-01", "2024-01-25", "2024-01-09"]
+                ),
+                "e": pd.to_datetime(
+                    ["2024-01-05", "2024-01-06", "2024-01-04", "2024-01-02", "2024-01-08"]
+                ),
+                "iid": [100, 101, 102, 103, 104],  # 104: end < start → dropped
+            }
+        )
+    )
+    out = interval_join(pts, iv, on=["k"], point_ts="ts", start_ts="s", end_ts="e",
+                        bucket_width_sec=86400 * 3)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (2, 101), (4, 102)]
+
+
+def test_interval_join_matches_naive_at_any_width(spark):
+    """Bucketing is an execution detail: the result set must be identical at
+    wildly different widths, and must equal the quadratic reference join."""
+    rng = np.random.default_rng(11)
+    n_p, n_i = 500, 120
+    ppd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_p).astype(str),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n_p), unit="s"),
+            "pid": np.arange(n_p),
+        }
+    )
+    starts = rng.integers(0, 10**6, n_i)
+    ipd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_i).astype(str),
+            "s": pd.to_datetime("2024-01-01") + pd.to_timedelta(starts, unit="s"),
+            "e": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(starts + rng.integers(0, 5 * 10**4, n_i), unit="s"),
+            "iid": np.arange(n_i),
+        }
+    )
+    merged = ppd.merge(ipd, on="k")
+    exp = sorted(
+        (int(r.pid), int(r.iid))
+        for r in merged[(merged.ts >= merged.s) & (merged.ts <= merged.e)].itertuples()
+    )
+    pdf, idf = spark.createDataFrame(ppd), spark.createDataFrame(ipd)
+    for width in (3600, 50_000, 10**6):
+        out = interval_join(pdf, idf, on=["k"], point_ts="ts", start_ts="s",
+                            end_ts="e", bucket_width_sec=width)
+        got = sorted((r.pid, r.iid) for r in out.collect())
+        assert got == exp, f"width={width}"
+
+
+def test_interval_join_plan_is_equi_join_never_nested_loop(spark):
+    """The join must be an equi hash/sort-merge join on (key, bucket) with the
+    range predicate as a residual — BroadcastNestedLoopJoin (what the naive
+    theta-join plans) is the quadratic cliff this operator exists to avoid."""
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 7).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 1000).alias("ts"),
+    )
+    iv = spark.range(200).select(
+        F.col("id").alias("iid"),
+        (F.col("id") % 7).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 5000).alias("s"),
+        F.timestamp_seconds(F.col("id") * 5000 + 40_000).alias("e"),
+    )
+    with_bcast = plan_str(
+        interval_join(pts, iv, on=["k"], point_ts="ts", start_ts="s", end_ts="e")
+    )
+    assert "BroadcastNestedLoopJoin" not in with_bcast
+    assert "CartesianProduct" not in with_bcast
+    # at scale neither side broadcasts: must degrade to SMJ/shuffled-hash on
+    # (k, bucket), still no nested loop
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = plan_str(
+            interval_join(pts, iv, on=["k"], point_ts="ts", start_ts="s", end_ts="e")
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastNestedLoopJoin" not in big
+    assert "SortMergeJoin" in big or "ShuffledHashJoin" in big
