@@ -331,6 +331,25 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling
+    (sample.weighted_sample_poisson): include each document with probability
+    min(1, k·w/Σw) keyed on the md5 uniform — map-only, zero shuffles, and
+    bit-reproducible across engines (only correctly-rounded IEEE ops after
+    the hash, so the DuckDB oracle rebuilds the exact row set). The exact-k
+    Efraimidis–Spirakis variant is pinned in-repo (pow() ulp caveat in its
+    docstring)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.sample import weighted_sample_poisson
+
+    docs = _read(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    out = weighted_sample_poisson(
+        docs, expected=100, weight_col="n_chars", total_weight=float(total), salt="wps"
+    )
+    return out.select("doc_id", "n_chars")
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1292,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_drift": q_trailing_drift,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1512,6 +1532,15 @@ def oracle_sql() -> dict[str, str]:
                AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
             GROUP BY 1
+        """,
+        "weighted_sample": """
+            WITH tw AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS t FROM documents)
+            SELECT d.doc_id, d.n_chars
+            FROM documents d, tw
+            WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL AND d.n_chars > 0
+              AND ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'wps'), 1, 8))::BIGINT
+                      / 4294967296.0
+                  < LEAST(1.0, 100.0 * CAST(d.n_chars AS DOUBLE) / tw.t)
         """,
         "contiguity": """
             WITH planted AS (

@@ -104,3 +104,68 @@ def stratified_sample(
             raise ValueError(f"fraction for {value!r} must be in [0, 1]")
         rate = F.when(F.col(strata_col) == F.lit(value), F.lit(float(frac))).otherwise(rate)
     return df.filter(hash_fraction(id_col, salt) < rate)
+
+
+def weighted_sample_topk(
+    df: DataFrame, k: int, weight_col: str, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement: the Efraimidis–
+    Spirakis (2006) A-Res construction — per-row key u^(1/w) with u the
+    deterministic id-hash uniform, keep the k largest keys. Inclusion
+    probability is proportional-to-size without replacement, and the draw is
+    repartition-/rerun-stable like every sampler here.
+
+    Scale shape: the key is a map-only codegen projection; "k largest" is a
+    global top-k, which Spark executes as per-partition TakeOrderedAndProject
+    partials (each task ships only k rows) — no full sort, no full shuffle.
+    Rows with NULL/non-positive weight or NULL id are excluded (they have no
+    defined inclusion probability).
+
+    Cross-engine caveat (why the driver oracle uses the Poisson variant
+    below): pow() is a libm call correct to ~1 ulp, not bit-specified, so two
+    engines could in principle disagree about a boundary row whose key ties
+    the k-th key within rounding — the in-repo test pins this function
+    against a numpy reference instead.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("double")
+    key = F.pow(hash_fraction(id_col, salt), F.lit(1.0) / w)
+    return (
+        df.filter(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+        .withColumn("__wkey__", key)
+        .orderBy(F.col("__wkey__").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__wkey__")
+    )
+
+
+def weighted_sample_poisson(
+    df: DataFrame,
+    expected: int,
+    weight_col: str,
+    total_weight: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling: include each row
+    independently with probability min(1, expected * w / total_weight). The
+    sample SIZE is random (mean ``expected``); inclusion is exactly
+    proportional to weight, and — unlike the top-k variant — the decision is
+    a pure per-row comparison of the md5 uniform against a product/quotient
+    of doubles, all correctly-rounded IEEE ops, so any engine reproduces the
+    row set bit-for-bit (the DuckDB driver oracle does).
+
+    ``total_weight`` is passed in rather than computed so the operator stays
+    map-only (zero shuffles, zero scans beyond the caller's); at scale it
+    comes from table statistics or one cheap agg the caller already runs.
+    """
+    if expected <= 0:
+        raise ValueError("expected must be positive")
+    if total_weight <= 0:
+        raise ValueError("total_weight must be positive")
+    w = F.col(weight_col).cast("double")
+    p = F.least(F.lit(1.0), F.lit(float(expected)) * w / F.lit(float(total_weight)))
+    return df.filter(
+        F.col(id_col).isNotNull() & w.isNotNull() & (w > 0) & (hash_fraction(id_col, salt) < p)
+    )

@@ -127,3 +127,73 @@ def test_split_null_id_gets_null_split(spark):
     ).collect()}
     assert got[None] is None
     assert got[1] in ("train", "test") and got[2] in ("train", "test")
+
+
+def _md5_uniform(ids, salt=""):
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5((str(i) + salt).encode()).hexdigest()[:8], 16) / 2**32 for i in ids]
+    )
+
+
+def test_weighted_topk_matches_numpy_reference(spark):
+    """A-Res: top-k by u^(1/w) — the selected id SET must match an independent
+    numpy computation of the same construction (deterministic corpus, so the
+    assertion is exact and flake-free)."""
+    from lyra_spark.pipeline.sample import weighted_sample_topk
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(1000), "w": rng.integers(1, 5000, 1000).astype("int64")}
+    )
+    # plant excluded rows: NULL, zero and negative weights
+    pdf.loc[5, "w"] = 0
+    pdf.loc[6, "w"] = -3
+    pdf["w"] = pdf["w"].astype("float64")
+    pdf.loc[7, "w"] = np.nan
+    df = spark.createDataFrame(pdf)
+    got = sorted(r.doc_id for r in weighted_sample_topk(df, 50, "w").collect())
+    mask = pdf["w"].fillna(0) > 0
+    u = _md5_uniform(pdf["doc_id"])
+    key = np.where(mask, u ** (1.0 / pdf["w"].fillna(1.0)), -1.0)
+    exp = sorted(np.argsort(-key)[:50].tolist())
+    assert got == exp
+    # heavier rows must actually be favored: mean selected weight >> corpus mean
+    sel_w = pdf.loc[pdf.doc_id.isin(got), "w"].mean()
+    assert sel_w > pdf.loc[mask, "w"].mean() * 1.15
+
+
+def test_weighted_topk_plan_is_takeordered(spark):
+    """The global top-k must plan as TakeOrderedAndProject (per-task k-row
+    partials) — a full Sort + global Exchange is the scale bug this shape
+    avoids."""
+    from test_plan_shapes import plan_str
+
+    from lyra_spark.pipeline.sample import weighted_sample_topk
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).cast("double").alias("w")
+    )
+    p = plan_str(weighted_sample_topk(df, 25, "w"))
+    assert "TakeOrderedAndProject" in p
+    assert ") Sort" not in p
+
+
+def test_weighted_poisson_matches_python_and_is_proportional(spark):
+    from lyra_spark.pipeline.sample import weighted_sample_poisson
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(5000), "w": rng.integers(1, 1000, 5000).astype("float64")}
+    )
+    total = float(pdf["w"].sum())
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        r.doc_id for r in weighted_sample_poisson(df, 200, "w", total, salt="s").collect()
+    )
+    u = _md5_uniform(pdf["doc_id"], salt="s")
+    p = np.minimum(1.0, 200.0 * pdf["w"].to_numpy() / total)
+    exp = sorted(np.flatnonzero(u < p).tolist())
+    assert got == exp
+    assert 120 <= len(got) <= 300  # mean 200, deterministic draw within bounds
