@@ -350,6 +350,39 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+def q_cms_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (sketch.cms): build a 4x64 grid over user_id (ONE
+    scan, constant-size shuffle), estimate every distinct user's frequency,
+    and assert the CMS contract per value — estimate >= exact always,
+    estimate <= exact + e*N/width (deterministic here: fixed data + fixed
+    xxhash seeds). Mirrors the hll_tolerance pattern: the oracle recomputes
+    the exact counts and expects every bound check TRUE."""
+    ensure_shipped(spark)
+    import math
+
+    from lyra_spark.sketch.cms import cms_build, cms_estimate
+
+    depth, width = 4, 64
+    events = _read(spark, sf_dir, "events")
+    grid = cms_build(events, "user_id", depth, width)
+    est = cms_estimate(grid, events.select("user_id"), "user_id", depth, width)
+    exact = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("value"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    n_total = events.filter(F.col("user_id").isNotNull()).count()
+    bound = math.e * n_total / width
+    return est.join(exact, "value").select(
+        "value",
+        "exact_n",
+        (
+            (F.col("estimate") >= F.col("exact_n"))
+            & (F.col("estimate") <= F.col("exact_n") + F.lit(bound))
+        ).alias("ok"),
+    )
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1312,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "weighted_sample": q_weighted_sample,
+        "cms_tolerance": q_cms_tolerance,
     }
 
 
@@ -1541,6 +1575,10 @@ def oracle_sql() -> dict[str, str]:
               AND ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'wps'), 1, 8))::BIGINT
                       / 4294967296.0
                   < LEAST(1.0, 100.0 * CAST(d.n_chars AS DOUBLE) / tw.t)
+        """,
+        "cms_tolerance": """
+            SELECT user_id AS value, COUNT(*) AS exact_n, TRUE AS ok
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
         """,
         "contiguity": """
             WITH planted AS (
