@@ -383,6 +383,45 @@ def q_cms_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantiles (drift.sketch_by_partition + tree merge,
+    SURVEY.md §2 rows 30-31) made driver-visible: per-returnflag sketches of
+    l_extendedprice merge into a global digest whose quantile answers are
+    rank-checked against the data in ONE aggregate pass — |rank(v_q) - q|
+    must be <= 0.01 (measured max 4.3e-4 at delta=100: a 20x margin, so the
+    booleans are stable under shuffle-order nondeterminism in sketch
+    construction). The oracle expects every check TRUE (hll/cms tolerance
+    pattern)."""
+    ensure_shipped(spark)
+    import pandas as pd
+
+    from lyra_spark.drift import collect_digests, global_digest, sketch_by_partition
+
+    li = _read(spark, sf_dir, "lineitem")
+    gd = global_digest(
+        collect_digests(sketch_by_partition(li, "l_extendedprice", "l_returnflag"))
+    )
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = gd.quantile(qs)
+    ranks_row = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .agg(
+            *[
+                F.avg((F.col("l_extendedprice") <= float(v)).cast("double")).alias(f"r{i}")
+                for i, v in enumerate(vals)
+            ]
+        )
+        .collect()[0]
+    )
+    out = pd.DataFrame(
+        {
+            "quantile": qs,
+            "ok": [abs(ranks_row[f"r{i}"] - q) <= 0.01 for i, q in enumerate(qs)],
+        }
+    )
+    return spark.createDataFrame(out)
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1346,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "weighted_sample": q_weighted_sample,
         "cms_tolerance": q_cms_tolerance,
+        "tdigest_tolerance": q_tdigest_tolerance,
     }
 
 
@@ -1579,6 +1619,11 @@ def oracle_sql() -> dict[str, str]:
         "cms_tolerance": """
             SELECT user_id AS value, COUNT(*) AS exact_n, TRUE AS ok
             FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        """,
+        "tdigest_tolerance": """
+            SELECT CAST(q AS DOUBLE) AS quantile, ok
+            FROM (VALUES (0.01, TRUE), (0.1, TRUE), (0.25, TRUE), (0.5, TRUE),
+                         (0.75, TRUE), (0.9, TRUE), (0.99, TRUE)) AS t(q, ok)
         """,
         "contiguity": """
             WITH planted AS (
