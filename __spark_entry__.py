@@ -422,6 +422,37 @@ def q_tdigest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
+def q_ks_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift (drift.ks_statistic over merged t-digests, §2 row 32) made
+    driver-visible: digest KS vs drift.ks_exact (distinct-grid ECDF ground
+    truth) on a no-drift pair (returnflag A vs N, both ~same distribution)
+    and a PLANTED drift pair (A vs A-prices-scaled-1.15). Gates per pair:
+    |digest − exact| <= 0.01 (measured ~8e-4: >12x margin) AND the 0.05
+    drift threshold classifies correctly (no-drift ~0.005, planted ~0.131).
+    Oracle expects every boolean TRUE (tolerance pattern)."""
+    ensure_shipped(spark)
+    import pandas as pd
+
+    from lyra_spark.drift import collect_digests, ks_exact, ks_statistic, sketch_by_partition
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_returnflag").isin("A", "N")).select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("x")
+    )
+    shifted = li.filter(F.col("l_returnflag") == "A").select(
+        F.lit("S").alias("g"), (F.col("l_extendedprice") * 1.15).alias("x")
+    )
+    comp = base.unionByName(shifted)
+    digs = collect_digests(sketch_by_partition(comp, "x", "g"))
+    rows = []
+    for name, pa, pb, drifted in [("same", "A", "N", False), ("shifted", "A", "S", True)]:
+        approx = ks_statistic(digs[pa], digs[pb])
+        exact = ks_exact(comp, "x", "g", pa, pb)
+        ok = abs(approx - exact) <= 0.01 and (approx >= 0.05) == drifted
+        rows.append({"pair": name, "ok": ok})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1386,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cms_tolerance": q_cms_tolerance,
         "tdigest_tolerance": q_tdigest_tolerance,
+        "ks_tolerance": q_ks_tolerance,
     }
 
 
@@ -1624,6 +1656,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS quantile, ok
             FROM (VALUES (0.01, TRUE), (0.1, TRUE), (0.25, TRUE), (0.5, TRUE),
                          (0.75, TRUE), (0.9, TRUE), (0.99, TRUE)) AS t(q, ok)
+        """,
+        "ks_tolerance": """
+            SELECT * FROM (VALUES ('same', TRUE), ('shifted', TRUE)) AS t(pair, ok)
         """,
         "contiguity": """
             WITH planted AS (

@@ -240,6 +240,44 @@ def ks_statistic(a: TDigest, b: TDigest, grid_points: int = 256) -> float:
     return float(np.max(np.abs(a.cdf(grid) - b.cdf(grid))))
 
 
+def ks_exact(
+    df: DataFrame, value_col: str, group_col: str, group_a: str, group_b: str
+) -> float:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between two groups'
+    value distributions: max over the distinct-value grid of |ECDF_a −
+    ECDF_b|. This is the ground-truth gate the digest-based
+    :func:`ks_statistic` is tolerance-checked against (driver query
+    `ks_tolerance`); the digests (rows 30-31) are the 10¹²-row path.
+
+    Shape: one hash-agg collapses the data to the distinct-value grid
+    (per-value counts for each side — constant buffers), then ONE
+    unpartitioned window walks the grid for the running counts. The global
+    window is a single task over DISTINCT VALUES — honest for a gate/sample
+    mode (same stance as percentile_stats, row 60), and exactly the part the
+    sketch path exists to avoid at full scale.
+    """
+    from pyspark.sql import Window
+
+    v = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isin(group_a, group_b)
+    ).select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    counts = {r["g"]: r["n"] for r in v.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    na, nb = counts.get(group_a, 0), counts.get(group_b, 0)
+    if na == 0 or nb == 0:
+        raise ValueError(f"both groups need rows: {group_a}={na}, {group_b}={nb}")
+    grid = v.groupBy("x").agg(
+        F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),
+        F.count(F.when(F.col("g") == group_b, 1)).alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps = grid.select(
+        F.abs(
+            F.sum("ca").over(w) / F.lit(float(na)) - F.sum("cb").over(w) / F.lit(float(nb))
+        ).alias("gap")
+    )
+    return float(gaps.agg(F.max("gap")).collect()[0][0])
+
+
 def psi(reference: TDigest, current: TDigest, bins: int = 10, eps: float = 1e-6) -> float:
     """Population Stability Index over equi-probable bins from the reference."""
     edges = reference.quantile(np.linspace(0.0, 1.0, bins + 1))

@@ -225,3 +225,25 @@ def test_categorical_psi_trailing_matches_numpy_reference(spark):
     assert got[days[6]].psi > 10 * conforming
     # by day 8 the drifted day is inside the window, so the score relaxes
     assert got[days[7]].psi < got[days[6]].psi
+
+
+def test_ks_exact_matches_numpy_ecdf(spark):
+    """drift.ks_exact (distinct-grid running counts) must equal the direct
+    two-sample ECDF computation, including tied values across groups."""
+    import numpy as np
+    import pandas as pd
+
+    from lyra_spark.drift import ks_exact
+
+    rng = np.random.default_rng(13)
+    a = np.round(rng.normal(0, 1, 800), 2)  # rounding plants cross-group ties
+    b = np.round(rng.normal(0.35, 1.2, 600), 2)
+    pdf = pd.DataFrame(
+        {"g": ["a"] * len(a) + ["b"] * len(b), "x": np.concatenate([a, b])}
+    )
+    got = ks_exact(spark.createDataFrame(pdf), "x", "g", "a", "b")
+    grid = np.unique(np.concatenate([a, b]))
+    ecdf_a = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    ecdf_b = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    exp = float(np.max(np.abs(ecdf_a - ecdf_b)))
+    assert abs(got - exp) < 1e-12
