@@ -175,3 +175,33 @@ def _write_shaped(shaped: DataFrame, out_dir: str, partition_col: str, key_cols:
         .partitionBy(partition_col)
         .parquet(out_dir)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on the join key —
+    Spark's co-location primitive. Two tables bucketed on the same key with
+    the same bucket count join WITHOUT ANY EXCHANGE: each task reads bucket i
+    of both sides (plan-pinned in tests), which at 100 TB turns every
+    repeated fact⋈fact / fact⋈big-dim join on that key from a full shuffle
+    of both sides into a local merge. The write itself costs one shuffle
+    into the bucket layout — paid ONCE, amortized over every later join,
+    which is exactly the trade SURVEY.md §4 prescribes for repeated
+    co-located joins.
+
+    Uses ``saveAsTable`` (bucket metadata lives in the session catalog;
+    plain ``.parquet()`` paths cannot carry it). On Iceberg the equivalent is
+    a ``bucket(N, col)`` partition transform over the same column set.
+    """
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

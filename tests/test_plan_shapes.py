@@ -235,3 +235,29 @@ def test_contiguity_two_bounded_exchanges(spark, fixtures_sf0001):
     assert "collect_list" not in p and "collect_set" not in p
     # the (conv, idx)-keyed dedup aggregate exists (distinct pairs, not rows)
     assert re.search(r"Keys \[2\]: \[conv_id.*turn_idx", p)
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """io.write_bucketed: two tables bucketed on the same key + count must
+    sort-merge join with ZERO Exchange nodes — the write's one-time shuffle
+    buys every later join on that key (SURVEY.md §4 bucketing row). Also
+    pins that the scans actually read bucketed (SelectedBucketsCount)."""
+    from lyra_spark.io import write_bucketed
+
+    a = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bk_test_a", ["k"], 8, sort_cols=["k"])
+    write_bucketed(b, "bk_test_b", ["k"], 8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bk_test_a").join(spark.table("bk_test_b"), "k")
+        p = plan_str(j)
+        assert "Exchange" not in p
+        assert "SortMergeJoin" in p
+        assert "Bucketed: true" in p
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_test_a")
+        spark.sql("DROP TABLE IF EXISTS bk_test_b")
