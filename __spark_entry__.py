@@ -289,12 +289,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         right_order_cols=["o_orderkey"],
     )
+    # cast before unix_micros: some testdata tiers write TIMESTAMP_NTZ
+    # parquet (UTC session ⇒ the cast is a stable bijection — same contract
+    # as sessionize._us; caught by the sf0.1 cross-scale sweep)
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "asof_orderkey",
-        F.unix_micros("asof_orderdate").alias("asof_odate_us"),
+        F.unix_micros(F.col("asof_orderdate").cast("timestamp")).alias("asof_odate_us"),
         F.round("asof_totalprice", 6).alias("asof_totalprice"),
     )
 
@@ -364,8 +367,8 @@ def q_cms_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     depth, width = 4, 64
     events = _read(spark, sf_dir, "events")
-    grid = cms_build(events, "user_id", depth, width)
-    est = cms_estimate(grid, events.select("user_id"), "user_id", depth, width)
+    sketch = cms_build(events, "user_id", depth, width)
+    est = cms_estimate(sketch, events.select("user_id"), "user_id")
     exact = (
         events.filter(F.col("user_id").isNotNull())
         .groupBy(F.col("user_id").alias("value"))

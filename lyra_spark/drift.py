@@ -261,21 +261,31 @@ def ks_exact(
     v = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isin(group_a, group_b)
     ).select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
-    counts = {r["g"]: r["n"] for r in v.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
-    na, nb = counts.get(group_a, 0), counts.get(group_b, 0)
-    if na == 0 or nb == 0:
-        raise ValueError(f"both groups need rows: {group_a}={na}, {group_b}={nb}")
     grid = v.groupBy("x").agg(
         F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),
         F.count(F.when(F.col("g") == group_b, 1)).alias("cb"),
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # totals come from a full-frame window over the SAME sort as the running
+    # counts — one scan of the input, one sort of the distinct grid, one job
+    # (a separate groupBy-collect for the totals would re-scan the table)
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ta, tb = F.sum("ca").over(wtot), F.sum("cb").over(wtot)
     gaps = grid.select(
         F.abs(
-            F.sum("ca").over(w) / F.lit(float(na)) - F.sum("cb").over(w) / F.lit(float(nb))
-        ).alias("gap")
+            F.sum("ca").over(wcum) / ta.cast("double")
+            - F.sum("cb").over(wcum) / tb.cast("double")
+        ).alias("gap"),
+        ta.alias("ta"),
+        tb.alias("tb"),
     )
-    return float(gaps.agg(F.max("gap")).collect()[0][0])
+    row = gaps.agg(F.max("gap").alias("ks"), F.max("ta").alias("na"), F.max("tb").alias("nb")).collect()[0]
+    na, nb = row["na"] or 0, row["nb"] or 0
+    if na == 0 or nb == 0:
+        raise ValueError(f"both groups need rows: {group_a}={na}, {group_b}={nb}")
+    return float(row["ks"])
 
 
 def psi(reference: TDigest, current: TDigest, bins: int = 10, eps: float = 1e-6) -> float:

@@ -131,8 +131,11 @@ def weighted_sample_topk(
         raise ValueError("k must be positive")
     w = F.col(weight_col).cast("double")
     key = F.pow(hash_fraction(id_col, salt), F.lit(1.0) / w)
+    # NaN must be excluded EXPLICITLY: Spark orders NaN as the largest double
+    # and NaN > 0 is TRUE, so without the isnan filter every NaN-weight row
+    # would outrank all legitimate keys and capture the top-k outright.
     return (
-        df.filter(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+        df.filter(F.col(id_col).isNotNull() & w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("__wkey__", key)
         .orderBy(F.col("__wkey__").desc(), F.col(id_col).asc())
         .limit(int(k))
@@ -166,6 +169,13 @@ def weighted_sample_poisson(
         raise ValueError("total_weight must be positive")
     w = F.col(weight_col).cast("double")
     p = F.least(F.lit(1.0), F.lit(float(expected)) * w / F.lit(float(total_weight)))
+    # explicit NaN exclusion: NaN > 0 is TRUE in Spark and least(1.0, NaN)
+    # is 1.0 (NaN sorts largest), so a NaN weight would be included with
+    # probability 1 instead of being rejected as undefined
     return df.filter(
-        F.col(id_col).isNotNull() & w.isNotNull() & (w > 0) & (hash_fraction(id_col, salt) < p)
+        F.col(id_col).isNotNull()
+        & w.isNotNull()
+        & ~F.isnan(w)
+        & (w > 0)
+        & (hash_fraction(id_col, salt) < p)
     )

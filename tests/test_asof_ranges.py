@@ -104,19 +104,22 @@ def test_asof_matches_pandas_merge_asof(spark):
     pandas.merge_asof exactly, both directions."""
     rng = np.random.default_rng(7)
     n_l, n_r = 400, 300
+    # ONE replace=False pool for both sides: left and right timestamps
+    # interleave, so backward/forward matches genuinely depend on the
+    # window's carry-forward logic (disjoint ranges would make backward
+    # all-NULL and forward independent of the left ts — assertion-free)
+    pool = rng.choice(10**6, n_l + n_r, replace=False)
     lpd = pd.DataFrame(
         {
             "k": rng.integers(0, 8, n_l).astype(str),
-            "lts": pd.to_datetime("2024-01-01")
-            + pd.to_timedelta(rng.choice(10**6, n_l, replace=False), unit="s"),
+            "lts": pd.to_datetime("2024-01-01") + pd.to_timedelta(pool[:n_l], unit="s"),
             "lid": np.arange(n_l),
         }
     )
     rpd = pd.DataFrame(
         {
             "k": rng.integers(0, 8, n_r).astype(str),
-            "rts": pd.to_datetime("2024-01-01")
-            + pd.to_timedelta(rng.choice(10**6, n_r, replace=False) + 10**6, unit="s"),
+            "rts": pd.to_datetime("2024-01-01") + pd.to_timedelta(pool[n_l:], unit="s"),
             "rid": np.arange(n_r),
         }
     )

@@ -237,21 +237,27 @@ def test_contiguity_two_bounded_exchanges(spark, fixtures_sf0001):
     assert re.search(r"Keys \[2\]: \[conv_id.*turn_idx", p)
 
 
-def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+def test_bucketed_tables_join_without_exchange(spark):
     """io.write_bucketed: two tables bucketed on the same key + count must
     sort-merge join with ZERO Exchange nodes — the write's one-time shuffle
     buys every later join on that key (SURVEY.md §4 bucketing row). Also
-    pins that the scans actually read bucketed (SelectedBucketsCount)."""
+    pins that the scans actually read bucketed (SelectedBucketsCount).
+    Table names are uniqued per run so a failure between write and DROP
+    never collides with a concurrent session on the same checkout."""
+    import uuid
+
     from lyra_spark.io import write_bucketed
 
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_test_a_{suffix}", f"bk_test_b_{suffix}"
     a = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
     b = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
-    write_bucketed(a, "bk_test_a", ["k"], 8, sort_cols=["k"])
-    write_bucketed(b, "bk_test_b", ["k"], 8, sort_cols=["k"])
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = spark.table("bk_test_a").join(spark.table("bk_test_b"), "k")
+        write_bucketed(a, ta, ["k"], 8, sort_cols=["k"])
+        write_bucketed(b, tb, ["k"], 8, sort_cols=["k"])
+        j = spark.table(ta).join(spark.table(tb), "k")
         p = plan_str(j)
         assert "Exchange" not in p
         assert "SortMergeJoin" in p
@@ -259,5 +265,5 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         assert j.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bk_test_a")
-        spark.sql("DROP TABLE IF EXISTS bk_test_b")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

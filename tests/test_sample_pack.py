@@ -197,3 +197,23 @@ def test_weighted_poisson_matches_python_and_is_proportional(spark):
     exp = sorted(np.flatnonzero(u < p).tolist())
     assert got == exp
     assert 120 <= len(got) <= 300  # mean 200, deterministic draw within bounds
+
+
+def test_weighted_samplers_exclude_nan_weights(spark):
+    """Real NaN (parquet/expression NaN, not pandas-NaN-as-NULL): Spark
+    orders NaN as the LARGEST double and NaN > 0 is TRUE, so without the
+    explicit isnan filter the top-k would be captured entirely by NaN rows
+    and the Poisson sampler would include them with probability 1."""
+    from lyra_spark.pipeline.sample import weighted_sample_poisson, weighted_sample_topk
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, F.expr("CAST('NaN' AS DOUBLE)"))
+        .otherwise((F.col("id") + 1).cast("double"))
+        .alias("w"),
+    )
+    top = [r.doc_id for r in weighted_sample_topk(df, 20, "w").collect()]
+    assert len(top) == 20
+    assert all(i >= 10 for i in top)
+    pois = [r.doc_id for r in weighted_sample_poisson(df, 50, "w", 5000.0).collect()]
+    assert pois and all(i >= 10 for i in pois)
