@@ -456,6 +456,18 @@ def q_ks_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (stats.key_skew_profile): per-key count
+    grid (constant agg buffers — counting skew doesn't itself skew) rolled
+    into one summary row with an exact interpolated percentile and the salt
+    recommendation clamp(ceil(max/mean), 1, 256)."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import key_skew_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, ["l_partkey"], p=0.99)
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1421,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tolerance": q_cms_tolerance,
         "tdigest_tolerance": q_tdigest_tolerance,
         "ks_tolerance": q_ks_tolerance,
+        "key_skew": q_key_skew,
     }
 
 
@@ -1662,6 +1675,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ks_tolerance": """
             SELECT * FROM (VALUES ('same', TRUE), ('shifted', TRUE)) AS t(pair, ok)
+        """,
+        "key_skew": """
+            WITH g AS (
+                SELECT l_partkey, COUNT(*) AS n FROM lineitem
+                WHERE l_partkey IS NOT NULL GROUP BY 1
+            )
+            SELECT COUNT(*) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   MAX(n) AS max_count,
+                   ROUND(AVG(n), 6) AS mean_count,
+                   ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY n), 6) AS p_count,
+                   ROUND(MAX(n) / AVG(n), 6) AS skew_ratio,
+                   LEAST(256, GREATEST(1, CAST(CEIL(MAX(n) / AVG(n)) AS BIGINT)))
+                       AS recommended_buckets
+            FROM g
         """,
         "contiguity": """
             WITH planted AS (

@@ -408,3 +408,51 @@ def percentile_stats(
     return wide.select(*group, F.explode(per_p).alias("s")).select(
         *group, "s.percentile", "s.value"
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    p: float = 0.99,
+    max_buckets: int = 256,
+) -> DataFrame:
+    """Skew diagnosis for a prospective shuffle/window/join key: one row with
+    the key-count distribution summary and a salt-bucket recommendation —
+    the introspection that decides whether the salted two-phase machinery
+    (checks.with_salt, SURVEY.md §2 row 27) is worth its extra exchange.
+
+    Shape: groupBy(key).count() collapses the table to one row per distinct
+    key with constant-size buffers (a hot key partially aggregates map-side —
+    counting the skew does not ITSELF skew); the summary then aggregates the
+    key grid, whose cost is key cardinality, never row count. The percentile
+    over per-key counts is exact interpolated (same PERCENTILE_CONT rule as
+    percentile_stats, and the same honesty note: at 10^9+ distinct keys feed
+    the grid to the t-digest path instead).
+
+    recommended_buckets = clamp(ceil(max/mean), 1, max_buckets): enough salt
+    that the hottest key's expected per-bucket share matches the average
+    key's load. NULL keys are excluded (they never join/window together
+    semantically; their count is the null-rate stat's job).
+    """
+    key_not_null = F.lit(True)
+    for k in key_cols:
+        key_not_null = key_not_null & F.col(k).isNotNull()
+    grid = (
+        df.filter(key_not_null)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    mean = F.avg("__n")
+    mx = F.max("__n")
+    return grid.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        mx.alias("max_count"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(F.percentile(F.col("__n"), F.lit(float(p))), 6).alias("p_count"),
+        F.round(mx / mean, 6).alias("skew_ratio"),
+        F.least(
+            F.lit(int(max_buckets)),
+            F.greatest(F.lit(1).cast("long"), F.ceil(mx / mean)),
+        ).alias("recommended_buckets"),
+    )

@@ -4,6 +4,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from lyra_spark.stats import column_stats, hll_sketches, length_histogram, merge_hll
 
@@ -223,3 +224,29 @@ def test_percentile_stats_matches_numpy(spark):
     got = {r["percentile"]: r["value"] for r in percentile_stats(df, "v", pcts).collect()}
     for p in pcts:
         assert got[p] == pytest.approx(float(np.quantile(vals, p)), abs=1e-6)
+
+
+def test_key_skew_profile(spark):
+    """stats.key_skew_profile: summary of the per-key count grid with a salt
+    recommendation — checked against a direct pandas computation on a
+    planted hot-key corpus, and NULL keys excluded."""
+    import numpy as np
+    import pandas as pd
+
+    from lyra_spark.stats import key_skew_profile
+
+    keys = ["hot"] * 900 + [f"k{i}" for i in range(100) for _ in range(3)] + [None] * 7
+    df = spark.createDataFrame(pd.DataFrame({"k": keys, "v": range(len(keys))}))
+    row = key_skew_profile(df, ["k"], p=0.5).collect()[0]
+    assert row.n_keys == 101
+    assert row.n_rows == 1200
+    assert row.max_count == 900
+    assert row.mean_count == round(1200 / 101, 6)
+    assert row.p_count == 3.0  # median per-key count
+    assert row.skew_ratio == round(900 / (1200 / 101), 6)
+    # ceil(900 / 11.88) = 76 buckets recommended, below the 256 cap
+    assert row.recommended_buckets == int(np.ceil(900 / (1200 / 101)))
+    # uniform key → ratio 1, one bucket (salting not worth an exchange)
+    uni = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+    urow = key_skew_profile(uni, ["k"]).collect()[0]
+    assert urow.skew_ratio == 1.0 and urow.recommended_buckets == 1
