@@ -87,7 +87,7 @@ def main() -> None:
     )
 
     qs = entry_mod.queries()
-    for name in ["validate_events", "verdicts_events", "custom_rule", "hll_tolerance", "agg_lineitem", "broadcast_join", "window_topk", "uniqueness", "monotone", "contiguity", "column_entropy", "correlation", "percentiles", "asof_join", "range_join", "weighted_sample", "cms_tolerance"]:
+    for name in ["validate_events", "verdicts_events", "custom_rule", "hll_tolerance", "agg_lineitem", "broadcast_join", "window_topk", "uniqueness", "monotone", "contiguity", "column_entropy", "correlation", "percentiles", "asof_join", "range_join", "weighted_sample", "cms_tolerance", "key_skew"]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     # LLM-pipeline operators over documents/embeddings — the judge grades
