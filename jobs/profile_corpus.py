@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated metadata columns: add profile findings "
                          "(all-null/constant/complete/candidate-key, HLL distinct) "
                          "and exact top-5 frequent values per column to the report")
+    ap.add_argument("--skew-cols", default=None,
+                    help="comma-separated key columns: add a shuffle-skew "
+                         "diagnosis per column (per-key count summary + salt "
+                         "recommendation) to the report")
     ap.add_argument("--master", default=None)
     ap.add_argument("--report", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)
@@ -113,6 +117,18 @@ def main(argv: list[str] | None = None) -> int:
         for r in sorted(frequent_values(docs, cols, k=5).collect(), key=lambda r: (r.column, r.rank)):
             top_values.setdefault(r.column, []).append({"value": r.value, "count": r["count"]})
 
+    # job 5 (opt-in): shuffle-key skew diagnosis — per-key grid with constant
+    # buffers, summary cost = key cardinality (stats.key_skew_profile)
+    skew = None
+    if args.skew_cols:
+        from lyra_spark.stats import key_skew_profile
+
+        skew = {
+            c.strip(): key_skew_profile(docs, [c.strip()]).collect()[0].asDict()
+            for c in args.skew_cols.split(",")
+            if c.strip()
+        }
+
     report = {
         "n_docs": stats["n_docs"],
         "n_null_text": stats["n_null_text"],
@@ -127,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         "top_domains": top,
         **({"column_findings": findings} if findings is not None else {}),
         **({"frequent_values": top_values} if top_values is not None else {}),
+        **({"key_skew": skew} if skew is not None else {}),
         "sec": round(time.time() - t0, 3),
     }
     line = json.dumps(report)

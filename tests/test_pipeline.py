@@ -795,6 +795,15 @@ def test_profile_cli(tmp_path, spark):
     findings = {(f["column"], f["finding"]) for f in rep2["column_findings"]}
     assert ("doc_id", "complete") in findings and ("doc_id", "candidate_key") in findings
     assert rep2["frequent_values"]["source"][0] == {"value": "s1", "count": 2}
+    assert "key_skew" not in rep2  # opt-in only
+
+    # --skew-cols: shuffle-key diagnosis per named column
+    rpt3 = str(tmp_path / "profile3.json")
+    assert main(["--corpus", src, "--report", rpt3, "--skew-cols", "source"]) == 0
+    rep3 = json.loads(open(rpt3).read())
+    sk = rep3["key_skew"]["source"]
+    assert sk["n_keys"] == 2 and sk["n_rows"] == 4 and sk["max_count"] == 2
+    assert sk["skew_ratio"] == 1.0 and sk["recommended_buckets"] == 1
 
 
 def test_clean_cli_incremental_sig_store(tmp_path, spark):
