@@ -143,3 +143,97 @@ def asof_join(
         *[F.col(_MATCHED)[c].alias(outn) for c, outn in payload_cols.items()],
     )
     return out
+
+
+def asof_join_bounded(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_id_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: dict[str, str],
+    tolerance_sec: float,
+    right_order_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Skew-proof as-of join for BOUNDED lookback — same semantics as
+    :func:`asof_join` with ``tolerance_sec`` set (proven equal in tests),
+    different physics. The window construction sorts each key in one task, so
+    a hot key (one user with 10^8 events) is a straggler; this variant
+    trades that for two well-spread shuffles:
+
+      1. candidates via :func:`lyra_spark.ranges.interval_join` — right rows
+         become tolerance-wide intervals, the equi-join runs on (key, time
+         bucket), so even a hot key spreads across its time buckets;
+      2. per-left-row argmax with ``max_by`` over (right ts, tie-break) —
+         grouped on ``left_id_cols`` (the left table's unique key), which is
+         well-spread by definition;
+      3. one final left join on ``left_id_cols`` restores unmatched rows —
+         again a unique, splittable key.
+
+    Unbounded lookback cannot be expressed this way (no bucket width covers
+    it) — that is exactly what :func:`asof_join` is for. Requires
+    ``left_id_cols`` to uniquely identify left rows; ties on right ts break
+    to the GREATEST ``right_order_cols`` like asof_join.
+    """
+    from lyra_spark.ranges import interval_join
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    for c, outn in payload_cols.items():
+        if outn in left.columns:
+            raise ValueError(f"output column {outn!r} already exists on the left side")
+    order_cols = list(right_order_cols or [])
+    tol = float(tolerance_sec)
+
+    # Right rows as tolerance-wide intervals containing every left ts they
+    # could serve: backward ⇒ [rts, rts+tol], forward ⇒ [rts-tol, rts].
+    if direction == "backward":
+        start = F.col(right_ts)
+        end = F.col(right_ts) + F.expr(f"INTERVAL {tol} SECOND")
+    else:
+        start = F.col(right_ts) - F.expr(f"INTERVAL {tol} SECOND")
+        end = F.col(right_ts)
+    intervals = right.select(
+        *on,
+        start.alias("__w_start__"),
+        end.alias("__w_end__"),
+        F.col(right_ts).alias(_MATCHED),
+        *[F.col(c).alias(f"__pay_{c}") for c in payload_cols],
+        *[F.col(c).alias(f"__ord_{c}") for c in order_cols if c not in payload_cols],
+    )
+    points = left.select(*left_id_cols, *on, F.col(left_ts).alias("__lts__"))
+    cand = interval_join(
+        points,
+        intervals,
+        on=on,
+        point_ts="__lts__",
+        start_ts="__w_start__",
+        end_ts="__w_end__",
+        bucket_width_sec=tol if tol > 0 else 1.0,
+    )
+    # argmax per left row: nearest right ts wins (max rts backward, min rts
+    # forward — negate via the sort struct), ties to greatest order cols
+    sign = 1 if direction == "backward" else -1
+    rank = F.struct(
+        (F.unix_micros(F.col(_MATCHED).cast("timestamp")) * sign).alias("t"),
+        *[
+            (F.col(f"__pay_{c}") if c in payload_cols else F.col(f"__ord_{c}")).alias(f"o_{c}")
+            for c in order_cols
+        ],
+    )
+    best = cand.groupBy(*left_id_cols).agg(
+        F.max_by(
+            F.struct(
+                F.col(_MATCHED).alias(_MATCHED),
+                *[F.col(f"__pay_{c}").alias(c) for c in payload_cols],
+            ),
+            rank,
+        ).alias(_PAY)
+    )
+    out = left.join(best, on=left_id_cols, how="left").select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(_PAY)[c].alias(outn) for c, outn in payload_cols.items()],
+    )
+    return out

@@ -263,3 +263,51 @@ def test_interval_join_plan_is_equi_join_never_nested_loop(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "BroadcastNestedLoopJoin" not in big
     assert "SortMergeJoin" in big or "ShuffledHashJoin" in big
+
+
+def test_asof_bounded_equals_windowed_tolerance(spark):
+    """asof_join_bounded (interval-join + max_by argmax — the skew-proof
+    plan) must produce EXACTLY the rows of asof_join(tolerance_sec=...)
+    (the one-exchange window plan) on a random corpus, both directions:
+    same semantics, different physics."""
+    from lyra_spark.asof import asof_join_bounded
+
+    rng = np.random.default_rng(21)
+    n_l, n_r = 600, 400
+    pool = rng.choice(10**6, n_l + n_r, replace=False)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n_l).astype(str),
+            "lts": pd.to_datetime("2024-01-01") + pd.to_timedelta(pool[:n_l], unit="s"),
+            "lid": np.arange(n_l),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n_r).astype(str),
+            "rts": pd.to_datetime("2024-01-01") + pd.to_timedelta(pool[n_l:], unit="s"),
+            "rid": np.arange(n_r),
+        }
+    )
+    ldf, rdf = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+    for direction in ("backward", "forward"):
+        ref = {
+            r.lid: r.m_rid
+            for r in asof_join(
+                ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+                payload_cols={"rid": "m_rid"}, right_order_cols=["rid"],
+                direction=direction, tolerance_sec=40_000,
+            ).collect()
+        }
+        got = {
+            r.lid: r.m_rid
+            for r in asof_join_bounded(
+                ldf, rdf, on=["k"], left_id_cols=["lid"], left_ts="lts",
+                right_ts="rts", payload_cols={"rid": "m_rid"},
+                tolerance_sec=40_000, right_order_cols=["rid"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == ref, direction
+        assert any(v is not None for v in ref.values())  # corpus has matches
+        assert any(v is None for v in ref.values())  # and non-matches
