@@ -117,16 +117,17 @@ def main(argv: list[str] | None = None) -> int:
         for r in sorted(frequent_values(docs, cols, k=5).collect(), key=lambda r: (r.column, r.rank)):
             top_values.setdefault(r.column, []).append({"value": r.value, "count": r["count"]})
 
-    # job 5 (opt-in): shuffle-key skew diagnosis — per-key grid with constant
-    # buffers, summary cost = key cardinality (stats.key_skew_profile)
+    # job 5 (opt-in): shuffle-key skew diagnosis — ONE unpivot scan covers
+    # every listed column (stats.key_skew_profiles); a per-column loop would
+    # re-read the corpus K times
     skew = None
     if args.skew_cols:
-        from lyra_spark.stats import key_skew_profile
+        from lyra_spark.stats import key_skew_profiles
 
+        cols = [c.strip() for c in args.skew_cols.split(",") if c.strip()]
         skew = {
-            c.strip(): key_skew_profile(docs, [c.strip()]).collect()[0].asDict()
-            for c in args.skew_cols.split(",")
-            if c.strip()
+            r["column"]: {k: v for k, v in r.asDict().items() if k != "column"}
+            for r in key_skew_profiles(docs, cols).collect()
         }
 
     report = {

@@ -186,15 +186,19 @@ def asof_join_bounded(
             raise ValueError(f"output column {outn!r} already exists on the left side")
     order_cols = list(right_order_cols or [])
     tol = float(tolerance_sec)
+    tol_us = int(tol * 1_000_000)
 
     # Right rows as tolerance-wide intervals containing every left ts they
     # could serve: backward ⇒ [rts, rts+tol], forward ⇒ [rts-tol, rts].
+    # Bounds are built in MICROS through cast("timestamp") — the same
+    # normalization asof_join's tolerance uses — so numeric-epoch ts columns
+    # work (raw INTERVAL arithmetic only type-checks for TIMESTAMP) and the
+    # f-string/parser round-trip for tiny or huge tolerances is avoided.
+    rus = F.unix_micros(F.col(right_ts).cast("timestamp"))
     if direction == "backward":
-        start = F.col(right_ts)
-        end = F.col(right_ts) + F.expr(f"INTERVAL {tol} SECOND")
+        start, end = F.timestamp_micros(rus), F.timestamp_micros(rus + F.lit(tol_us))
     else:
-        start = F.col(right_ts) - F.expr(f"INTERVAL {tol} SECOND")
-        end = F.col(right_ts)
+        start, end = F.timestamp_micros(rus - F.lit(tol_us)), F.timestamp_micros(rus)
     intervals = right.select(
         *on,
         start.alias("__w_start__"),
@@ -203,7 +207,9 @@ def asof_join_bounded(
         *[F.col(c).alias(f"__pay_{c}") for c in payload_cols],
         *[F.col(c).alias(f"__ord_{c}") for c in order_cols if c not in payload_cols],
     )
-    points = left.select(*left_id_cols, *on, F.col(left_ts).alias("__lts__"))
+    points = left.select(
+        *left_id_cols, *on, F.col(left_ts).cast("timestamp").alias("__lts__")
+    )
     cand = interval_join(
         points,
         intervals,

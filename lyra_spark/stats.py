@@ -456,3 +456,45 @@ def key_skew_profile(
             F.greatest(F.lit(1).cast("long"), F.ceil(mx / mean)),
         ).alias("recommended_buckets"),
     )
+
+
+def key_skew_profiles(
+    df: DataFrame,
+    columns: list[str],
+    p: float = 0.99,
+    max_buckets: int = 256,
+) -> DataFrame:
+    """Multi-column variant of :func:`key_skew_profile` for single-column
+    keys, long format (column, n_keys, n_rows, ...): ONE scan unpivots every
+    profiled column into (column, value) pairs (the `column_entropy` /
+    `frequent_values` shape), one exchange builds the per-(column, value)
+    count grid with constant buffers, and each column's summary rolls up
+    from that grid — K columns for the price of one pass, where the
+    per-column loop would re-scan the table K times. Composite keys still go
+    through :func:`key_skew_profile`.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("value"))
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value").filter(F.col("value").isNotNull())
+    grid = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("__n"))
+    mean = F.avg("__n")
+    mx = F.max("__n")
+    return grid.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        mx.alias("max_count"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(F.percentile(F.col("__n"), F.lit(float(p))), 6).alias("p_count"),
+        F.round(mx / mean, 6).alias("skew_ratio"),
+        F.least(
+            F.lit(int(max_buckets)),
+            F.greatest(F.lit(1).cast("long"), F.ceil(mx / mean)),
+        ).alias("recommended_buckets"),
+    )

@@ -311,3 +311,73 @@ def test_asof_bounded_equals_windowed_tolerance(spark):
         assert got == ref, direction
         assert any(v is not None for v in ref.values())  # corpus has matches
         assert any(v is None for v in ref.values())  # and non-matches
+
+
+def test_asof_bounded_parity_with_timestamp_ties(spark):
+    """Quantized timestamps plant DUPLICATE right ts per key (and cross-side
+    equal ts), exercising the max_by rank tie-break against the window
+    plan's ordered last() — the path a distinct-ts corpus never touches."""
+    from lyra_spark.asof import asof_join_bounded
+
+    rng = np.random.default_rng(33)
+    n_l, n_r = 500, 500
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_l).astype(str),
+            "lts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 300, n_l) * 600, unit="s"),
+            "lid": np.arange(n_l),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_r).astype(str),
+            "rts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 300, n_r) * 600, unit="s"),
+            "rid": np.arange(n_r),
+        }
+    )
+    # duplicate rts within a key must exist for the test to mean anything
+    assert rpd.duplicated(["k", "rts"]).any()
+    ldf, rdf = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+    for direction in ("backward", "forward"):
+        ref = {
+            r.lid: r.m_rid
+            for r in asof_join(
+                ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+                payload_cols={"rid": "m_rid"}, right_order_cols=["rid"],
+                direction=direction, tolerance_sec=3600,
+            ).collect()
+        }
+        got = {
+            r.lid: r.m_rid
+            for r in asof_join_bounded(
+                ldf, rdf, on=["k"], left_id_cols=["lid"], left_ts="lts",
+                right_ts="rts", payload_cols={"rid": "m_rid"},
+                tolerance_sec=3600, right_order_cols=["rid"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == ref, direction
+
+
+def test_asof_bounded_accepts_numeric_epoch_ts(spark):
+    """Numeric epoch-seconds ts columns must work in BOTH asof plans (the
+    bounded variant once crashed at analysis on interval arithmetic)."""
+    from lyra_spark.asof import asof_join_bounded
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "lts": [100, 500], "lid": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "rts": [90, 480], "rid": [10, 11]})
+    )
+    got = {
+        r.lid: r.m_rid
+        for r in asof_join_bounded(
+            left, right, on=["k"], left_id_cols=["lid"], left_ts="lts",
+            right_ts="rts", payload_cols={"rid": "m_rid"}, tolerance_sec=15,
+            right_order_cols=["rid"],
+        ).collect()
+    }
+    assert got == {1: 10, 2: None}  # gap 10 <= 15; gap 20 > 15

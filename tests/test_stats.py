@@ -250,3 +250,25 @@ def test_key_skew_profile(spark):
     uni = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
     urow = key_skew_profile(uni, ["k"]).collect()[0]
     assert urow.skew_ratio == 1.0 and urow.recommended_buckets == 1
+
+
+def test_key_skew_profiles_matches_per_column(spark):
+    """The one-scan multi-column variant must agree with key_skew_profile run
+    per column (string-cast values count identically for skew purposes)."""
+    import pandas as pd
+
+    from lyra_spark.stats import key_skew_profile, key_skew_profiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": ["x"] * 50 + ["y"] * 10 + [None] * 5,
+                "b": [str(i % 13) for i in range(65)],
+            }
+        )
+    )
+    multi = {r["column"]: r.asDict() for r in key_skew_profiles(df, ["a", "b"]).collect()}
+    for c in ("a", "b"):
+        single = key_skew_profile(df, [c]).collect()[0].asDict()
+        got = {k: v for k, v in multi[c].items() if k != "column"}
+        assert got == single, c
