@@ -468,6 +468,18 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(li, ["l_partkey"], p=0.99)
 
 
+def q_uniform_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic uniform sample
+    (sample.deterministic_sample_exact_k): k smallest md5 draws — bit-exact
+    across engines (hash + comparison only; no pow), plans as
+    TakeOrderedAndProject (each task ships k rows, no full sort)."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.sample import deterministic_sample_exact_k
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample_exact_k(docs, 50, salt="uk").select("doc_id", "lang")
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1434,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_tolerance": q_tdigest_tolerance,
         "ks_tolerance": q_ks_tolerance,
         "key_skew": q_key_skew,
+        "uniform_exact_k": q_uniform_exact_k,
     }
 
 
@@ -1690,6 +1703,14 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(256, GREATEST(1, CAST(CEIL(MAX(n) / AVG(n)) AS BIGINT)))
                        AS recommended_buckets
             FROM g
+        """,
+        "uniform_exact_k": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id IS NOT NULL
+            ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'uk'), 1, 8))::BIGINT
+                         / 4294967296.0 ASC,
+                     doc_id ASC
+            LIMIT 50
         """,
         "contiguity": """
             WITH planted AS (

@@ -179,3 +179,31 @@ def weighted_sample_poisson(
         & (w > 0)
         & (hash_fraction(id_col, salt) < p)
     )
+
+
+def deterministic_sample_exact_k(
+    df: DataFrame, k: int, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """EXACTLY-k uniform sample, deterministic by id: order by the md5 draw,
+    keep the k smallest. Complements the siblings — `deterministic_sample`
+    is Bernoulli (size only ~n·fraction), `weighted_sample_topk` is
+    proportional-to-size but rides on pow() (ulp caveat in its docstring);
+    this one is uniform, exact-size, and bit-reproducible in any engine
+    (hash + comparison only), so the driver oracle rebuilds the row set
+    verbatim.
+
+    Scale shape: map-only key projection + global top-k, which Spark plans
+    as TakeOrderedAndProject (each task ships k rows, no full sort/shuffle).
+    NULL ids are excluded (no defined draw). Ties are impossible for
+    distinct ids (md5 collision on 8 hex chars would break them by id ASC,
+    kept as an explicit tiebreak for determinism anyway).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__draw__", hash_fraction(id_col, salt))
+        .orderBy(F.col("__draw__").asc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__draw__")
+    )

@@ -217,3 +217,23 @@ def test_weighted_samplers_exclude_nan_weights(spark):
     assert all(i >= 10 for i in top)
     pois = [r.doc_id for r in weighted_sample_poisson(df, 50, "w", 5000.0).collect()]
     assert pois and all(i >= 10 for i in pois)
+
+
+def test_deterministic_sample_exact_k(spark, ids_df):
+    """Exactly k rows, equal to the k smallest md5 draws computed in python,
+    stable under repartitioning, NULL ids excluded."""
+    from lyra_spark.pipeline.sample import deterministic_sample_exact_k
+
+    got = sorted(r.doc_id for r in deterministic_sample_exact_k(ids_df, 25, salt="x").collect())
+    u = _md5_uniform(range(2000), salt="x")
+    exp = sorted(np.argsort(u)[:25].tolist())
+    assert got == exp
+    again = sorted(
+        r.doc_id
+        for r in deterministic_sample_exact_k(ids_df.repartition(17), 25, salt="x").collect()
+    )
+    assert again == got
+    withnull = ids_df.unionByName(
+        spark.createDataFrame([(None,)], "doc_id long")
+    )
+    assert len(deterministic_sample_exact_k(withnull, 25, salt="x").collect()) == 25
