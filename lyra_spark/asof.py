@@ -28,9 +28,10 @@ is NULL.
 
 Skew: a hot key is one sorted task, same exposure as sessionize/monotone
 (SURVEY.md §2 rows 29/48). When a tolerance bounds how far back a match may
-reach, the fix is the interval-join construction in :mod:`lyra_spark.ranges`
-(bucket both sides by a tolerance-width time bucket) — this module keeps the
-unbounded-lookback semantics, which no bucketing can express.
+reach, use :func:`asof_join_bounded` below — the same semantics re-planned
+over the interval-join construction (every shuffle key well-spread); only
+the unbounded-lookback case, which no bucketing can express, needs this
+window plan.
 
 Determinism: ties on right ts are broken by ``right_order_cols`` (greatest
 wins, both directions); callers pass the right table's unique id. NULL-key or
@@ -73,6 +74,9 @@ def asof_join(
     for c, out in payload_cols.items():
         if out in left.columns:
             raise ValueError(f"output column {out!r} already exists on the left side")
+    reserved = {_TS, _SRC, _PAY, _MATCHED} & set(left.columns)
+    if reserved:
+        raise ValueError(f"left side uses reserved internal column names: {sorted(reserved)}")
 
     order_cols = list(right_order_cols or [])
     # The carried match is ONE struct: the right ts first (tolerance + the
