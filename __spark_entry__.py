@@ -861,6 +861,52 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, cents, k=10, nprobe=8)
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN plumbing, oracle-checked EXACTLY the
+    ivf_topk way: with probe_radius = n_planes every bucket is probed, so the
+    bucket join must reproduce brute-force top-k verbatim (buckets partition
+    the corpus — full probing loses and duplicates nothing). The approximate
+    regime (radius 1, recall + candidate bounds) is pinned in
+    tests/test_pipeline.py."""
+    ensure_shipped(spark)
+    import numpy as np
+
+    from lyra_spark.pipeline.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    planes = np.random.default_rng(11).standard_normal((6, dim))
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, planes, k=10, probe_radius=6)
+
+
+def q_dup_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded duplicate-id samples (dedup.duplicate_id_samples): up to k=3
+    smallest ids per duplicate group, capped by row_number BEFORE any list
+    aggregation (a 10⁸-copy group ships 3 rows, not 10⁸); same planted
+    duplicates as dedup_exact. sample_ids emitted as a joined string so both
+    engines hash the list identically."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import duplicate_id_samples
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    out = duplicate_id_samples(planted, k=3)
+    return out.select(
+        "content_hash",
+        "dup_count",
+        F.array_join("sample_ids", ",").alias("sample_ids"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above 0.45 (exact all-pairs at this sf;
     the LSH-bucketed variant covers scale — tested in-repo)."""
@@ -1447,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_tolerance": q_ks_tolerance,
         "key_skew": q_key_skew,
         "uniform_exact_k": q_uniform_exact_k,
+        "lsh_topk": q_lsh_topk,
+        "dup_samples": q_dup_samples,
     }
 
 
@@ -1711,6 +1759,30 @@ def oracle_sql() -> dict[str, str]:
                          / 4294967296.0 ASC,
                      doc_id ASC
             LIMIT 50
+        """,
+        "lsh_topk": _TOPK_ORACLE,
+        "dup_samples": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+                FROM corpus
+            ),
+            capped AS (
+                SELECT content_hash, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY content_hash) AS n
+                FROM hashed
+            )
+            SELECT content_hash,
+                   MAX(n) AS dup_count,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS sample_ids
+            FROM capped WHERE n > 1 AND rn <= 3
+            GROUP BY content_hash
         """,
         "contiguity": """
             WITH planted AS (
