@@ -108,6 +108,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="table snapshot / read-version this run validates (Iceberg "
                          "snapshot id in prod); recorded per partition in the manifest "
                          "for lineage")
+    ap.add_argument("--revalidate-changed", action="store_true",
+                    help="re-validate COMPLETED partitions whose metadata row count "
+                         "(or snapshot id, when both sides carry one) no longer "
+                         "matches the manifest — the late-arriving-data half of "
+                         "resume; detection is metadata-only, zero data files read")
     args = ap.parse_args(argv)
 
     # Shuffle partitions sized by DATA, not core count: each per-partition run
@@ -159,6 +164,31 @@ def main(argv: list[str] | None = None) -> int:
     all_parts = lio.list_partitions(spark, df)
     pending = manifest.pending(all_parts, ruleset)
     n_done = len(all_parts) - len(pending)
+    if args.revalidate_changed:
+        # late-arriving-data resume: completed partitions whose metadata row
+        # count (or snapshot id) moved since validation rejoin the queue —
+        # a metadata-only comparison, zero data files read
+        if meta_counts is None:
+            print("[lyra] WARNING: --revalidate-changed needs metadata counts; "
+                  "table layout does not expose them — skipping change detection")
+        else:
+            changed = manifest.changed(ruleset, meta_counts, args.snapshot_id)
+            if changed:
+                print(f"[lyra] revalidate-changed: {len(changed)} completed "
+                      f"partition(s) changed since validation: {sorted(changed)[:5]}")
+                # the session's file-listing caches may predate the new files
+                # (metadata counts read footers straight from storage, the
+                # scan does not), and the ALREADY-BUILT DataFrame pins its own
+                # file index from read time — refresh the path AND re-read,
+                # so the re-validation actually sees the late rows in a
+                # long-running driver
+                spark.catalog.refreshByPath(args.table)
+                df = lio.read_transcripts(spark, args.table)
+                # changed partitions go FIRST: their manifest rows are known
+                # stale, and --limit-partitions must not truncate them off the
+                # end behind never-validated ones
+                pending = sorted(changed) + pending
+                n_done -= len(changed)
     if args.limit_partitions:
         pending = pending[: args.limit_partitions]
     print(f"[lyra] partitions total={len(all_parts)} completed={n_done} this_run={len(pending)}")

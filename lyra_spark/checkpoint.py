@@ -45,6 +45,41 @@ class Manifest:
         done = self.completed(ruleset)
         return [p for p in all_partitions if p not in done]
 
+    def changed(
+        self,
+        ruleset: RuleSet,
+        current_counts: dict[str, int],
+        current_snapshot: str | None = None,
+    ) -> set[str]:
+        """Completed partitions whose DATA no longer matches what was
+        validated: recorded row count differs from the table's current
+        metadata count (parquet footers locally, Iceberg manifests in prod),
+        or — when both sides know a snapshot id — the snapshot moved. The
+        late-arriving-data half of resume: `pending()` alone would skip a
+        partition forever once validated, silently leaving new rows
+        unchecked. Row-count equality is necessary, not sufficient (an
+        in-place same-count rewrite passes it) — the snapshot id is the
+        sufficient signal where lineage exists.
+        """
+        fp = ruleset.fingerprint()
+        out: set[str] = set()
+        for pk, rec in self.records.items():
+            if rec.ruleset_fingerprint != fp:
+                continue  # already re-validated by the rule-version path
+            if pk in current_counts:
+                # per-partition counts are the finer signal: a table-level
+                # snapshot bump (any Iceberg commit) must NOT re-validate
+                # partitions whose counts prove them untouched
+                if current_counts[pk] != rec.rows:
+                    out.add(pk)
+            elif (
+                current_snapshot is not None
+                and rec.snapshot_id is not None
+                and current_snapshot != rec.snapshot_id
+            ):
+                out.add(pk)
+        return out
+
     def record(
         self,
         partition: str,

@@ -600,3 +600,54 @@ def test_cli_clean_out_excludes_transition_violations(tmp_path, spark, fixtures_
         assert not (clean_keys & tv_keys)
         checked += 1
     assert checked > 0  # the fixture's injected bad roles must exercise this
+
+
+def test_cli_revalidate_changed(tmp_path, spark, fixtures_sf0001, capsys):
+    """--revalidate-changed: late-arriving rows in a COMPLETED partition put
+    exactly that partition back in the queue (metadata-count comparison, no
+    data read); plain resume would skip it forever, and untouched partitions
+    stay skipped even with the flag."""
+    import shutil
+
+    from jobs.validate import main
+
+    table = str(tmp_path / "transcripts")
+    shutil.copytree(os.path.join(fixtures_sf0001, "transcripts"), table)
+    args = [
+        "--table", table,
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--limit-partitions", "4",
+    ]
+    assert main(args) == 0
+    capsys.readouterr()
+    mf = ckpt.load_manifest(str(tmp_path / "ck"), "r1")
+    pk = sorted(mf.records)[0]
+    old = mf.records[pk]
+
+    # 5 late rows land in the completed partition
+    extra = (
+        spark.read.parquet(table)
+        .filter(f"part_date = '{pk}'")
+        .drop("part_date")
+        .limit(5)
+    )
+    extra.write.mode("append").parquet(os.path.join(table, f"part_date={pk}"))
+
+    # plain resume: still skipped (the gap this flag exists to close)
+    assert main(args) == 0
+    assert "this_run=4" in capsys.readouterr().out  # 4 NEW partitions, not pk
+    mf2 = ckpt.load_manifest(str(tmp_path / "ck"), "r1")
+    assert mf2.records[pk].completed_at == old.completed_at
+
+    # with the flag: exactly the changed partition rejoins the queue
+    assert main(args + ["--revalidate-changed"]) == 0
+    out = capsys.readouterr().out
+    assert "revalidate-changed: 1 completed partition(s) changed" in out
+    mf3 = ckpt.load_manifest(str(tmp_path / "ck"), "r1")
+    assert mf3.records[pk].rows == old.rows + 5
+    assert mf3.records[pk].completed_at > old.completed_at
+    for k in mf2.records:
+        if k != pk and k in mf.records:
+            assert mf3.records[k].completed_at == mf2.records[k].completed_at
