@@ -1421,6 +1421,40 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export
+    (pipeline.export.shuffle_index): shard = md5-uint32 mod N (map-only),
+    position = rank within shard by (hash, id) — ONE exchange on the uniform
+    shard key. The full (doc_id, shard, position) permutation is a pure
+    function of the ids, reproduced bit-for-bit by the DuckDB oracle."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.export import shuffle_index
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_index(docs, n_shards=16).select("doc_id", "shard", "position")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (pipeline.sample.mixture_sample): per-source
+    keep-rates min(1, share·budget/tokens) from ONE tiny aggregate, then a
+    map-only deterministic Bernoulli filter. Shares 0.5/0.25/0.25 sum exactly
+    in binary and src0 saturates at rate 1.0, so both the fractional and the
+    capped path are exercised; the oracle recomputes rates from the same
+    totals with the same left-associated IEEE arithmetic."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.sample import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, budget_tokens=20000
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("tok_sum"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -1469,6 +1503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_strip": q_markup_strip,
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
+        "shuffle_shards": q_shuffle_shards,
+        "mixture_sample": q_mixture_sample,
         "incremental_neardup": q_incremental_neardup,
         "functional_dep": q_functional_dep,
         "rowcount_anomaly": q_rowcount_anomaly,
@@ -1997,6 +2033,36 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
             FROM f GROUP BY 1, 2
+        """,
+        "shuffle_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 8))::BIGINT AS hu
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+            SELECT doc_id, hu % 16 AS shard,
+                   ROW_NUMBER() OVER (PARTITION BY hu % 16 ORDER BY hu, doc_id) - 1 AS position
+            FROM h
+        """,
+        "mixture_sample": """
+            WITH tot AS (
+                SELECT source AS s, SUM(COALESCE(CAST(n_chars AS DOUBLE), 0.0)) AS t
+                FROM documents WHERE source IN ('src0','src1','src2') GROUP BY 1
+            ), rates AS (
+                SELECT s,
+                       LEAST(CAST(1.0 AS DOUBLE),
+                             CAST(share AS DOUBLE) * CAST(20000 AS DOUBLE) / t) AS rate
+                FROM tot
+                JOIN (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)) AS m(s2, share)
+                  ON s = s2
+            )
+            SELECT d.source, COUNT(*) AS n_docs, SUM(d.n_chars) AS tok_sum,
+                   SUM(d.doc_id) AS id_sum
+            FROM documents d JOIN rates r ON d.source = r.s
+            WHERE d.doc_id IS NOT NULL
+              AND ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0 < r.rate
+            GROUP BY 1
         """,
         "pack_chunks": """
             WITH c AS (

@@ -1,0 +1,99 @@
+"""Deterministic global shuffle + sharded training export.
+
+The last hop of every training-data pipeline: the cleaned corpus must reach
+the trainer in (a) a pseudo-random order — SGD degrades measurably on
+source-/time-clustered data — that is (b) exactly reproducible across reruns,
+engines, and repartitioning, and (c) laid out as N similarly-sized shard
+files the data loader can stream independently.
+
+Construction: the shuffle key is the md5 draw already used by the samplers in
+``pipeline.sample`` (TFX `hash_buckets`-style), so the permutation is a pure
+function of the document id — no `rand()`, no per-partition seeds, no global
+sort of arrival order. Shard = hash mod N (map-only); position within shard =
+rank by the hash (one exchange on the shard key). Reading shards
+0..N-1 each in position order replays one fixed global permutation.
+
+Scale shape: assignment is map-only whole-stage codegen; the ONLY exchange is
+the repartition on `shard` that the sharded write needs anyway, and its key is
+uniform by construction (md5), so no skew handling is required. Shard count is
+chosen so one shard ≈ one output file (e.g. 100 TB / 1 GB → 10^5 shards);
+within-shard rank sorts corpus/N rows per task — the same work any sorted
+file write does. No driver-side data, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lyra_spark.pipeline.sample import hash_fraction  # noqa: F401  (same family)
+
+# 8 hex chars of md5 → uniform 32-bit uint; DuckDB renders the identical
+# value as ('0x' || substring(md5(id || salt), 1, 8))::BIGINT — the oracle
+# reproduces shard AND order bit-for-bit.
+def hash_uint32(id_col: str, salt: str = "") -> Column:
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def shuffle_index(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    position_col: str = "position",
+) -> DataFrame:
+    """Add (``shard``, ``position``): the deterministic global-shuffle
+    address of each row. shard = md5-uint32 mod ``n_shards`` (map-only);
+    position = 0-based rank within the shard by (md5-uint32, id) — the id
+    tiebreak makes the permutation total even under 32-bit hash collisions
+    (~n²/2³³ pairs: guaranteed at corpus scale).
+
+    NULL ids are excluded — they have no defined draw, and silently routing
+    them all to one shard would both skew it and hide the broken identity.
+
+    One exchange (on the uniform shard key), one within-shard sort. The
+    single-task-per-shard sort is the scale dial: pick ``n_shards`` from
+    target file size, never from cluster size.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = hash_uint32(id_col, salt)
+    out = (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__h", h)
+        .withColumn(shard_col, F.pmod(F.col("__h"), F.lit(int(n_shards))))
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return out.withColumn(position_col, F.row_number().over(w) - F.lit(1)).drop("__h")
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> None:
+    """Materialize the shuffled corpus as ``path/shard=K/`` parquet dirs,
+    rows inside each shard stored in permutation order (parquet preserves
+    write order, so a loader streaming one shard replays its slice of the
+    permutation without sorting).
+
+    The repartition targets `n_shards` tasks keyed on the shard id; hash
+    collisions may co-locate a few shards per task (and leave some tasks
+    empty) — harmless, since `partitionBy` still splits them into their own
+    directories and `sortWithinPartitions(shard, position)` keeps each dir
+    internally ordered. Rewriting with the same inputs is byte-stable: every
+    row's (shard, position, bytes) is a pure function of the data.
+    """
+    out = shuffle_index(df, n_shards, id_col=id_col, salt=salt)
+    (
+        out.repartition(int(n_shards), "shard")
+        .sortWithinPartitions("shard", "position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

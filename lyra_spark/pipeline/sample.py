@@ -181,6 +181,71 @@ def weighted_sample_poisson(
     )
 
 
+def mixture_rates(
+    totals: dict[str, float], targets: dict[str, float], budget_tokens: float
+) -> dict[str, float]:
+    """Per-source keep-rates that hit a token-budget mixture: rate_s =
+    min(1, target_share_s * budget / tokens_s). A source whose corpus is
+    smaller than its target allocation saturates at 1.0 (you cannot sample
+    more than exists — the shortfall is reported, not silently shifted onto
+    other sources). Shares are normalized; arithmetic is the same
+    left-associated (share * budget) / total in both engines, so the DuckDB
+    oracle reproduces every rate — and therefore every kept row — exactly.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    share_total = float(sum(targets.values()))
+    if share_total <= 0:
+        raise ValueError("targets must sum to a positive value")
+    rates: dict[str, float] = {}
+    for src, share in targets.items():
+        tok = float(totals.get(src, 0.0))
+        if tok <= 0:
+            rates[src] = 0.0
+        else:
+            rates[src] = min(1.0, (share / share_total) * float(budget_tokens) / tok)
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    token_col: str = "n_chars",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget data mixing: down-sample each source so the corpus hits
+    ``budget_tokens`` total with per-source token shares ≈ ``targets`` (the
+    Pile/LLaMA-style mixture step, done by sampling whole documents — the
+    achieved share is the Bernoulli expectation, exact only in mean).
+
+    Two stages: (1) ONE tiny aggregate — per-source token totals, constant
+    agg buffers with map-side partials, O(#sources) rows to the driver (at
+    10¹² rows this is the same cheap pass any mixture design already needs);
+    (2) a map-only deterministic Bernoulli filter (md5 draw vs the source's
+    rate), repartition-/rerun-/engine-stable like every sampler here.
+
+    Sources not named in ``targets`` (and NULL sources) are dropped — a
+    mixture is a whitelist. NULL token counts count 0 toward totals but
+    their rows still draw normally.
+    """
+    tok = F.coalesce(F.col(token_col).cast("double"), F.lit(0.0))
+    totals = {
+        r["s"]: r["t"]
+        for r in df.filter(F.col(source_col).isin(*targets))
+        .groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(tok).alias("t"))
+        .collect()
+    }
+    rates = mixture_rates(totals, targets, float(budget_tokens))
+    rate = F.lit(0.0)
+    for src, r in rates.items():
+        rate = F.when(F.col(source_col) == F.lit(src), F.lit(r)).otherwise(rate)
+    return df.filter(F.col(id_col).isNotNull() & (hash_fraction(id_col, salt) < rate))
+
+
 def deterministic_sample_exact_k(
     df: DataFrame, k: int, id_col: str = "doc_id", salt: str = ""
 ) -> DataFrame:

@@ -267,3 +267,16 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_shuffle_index_single_exchange(spark):
+    """The global-shuffle address (pipeline.export.shuffle_index) costs ONE
+    exchange — the hash-partition on the uniform shard key that the sharded
+    write needs anyway; hash, shard, and the rank window all ride it."""
+    from lyra_spark.pipeline.export import shuffle_index
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    p = plan_str(shuffle_index(df, n_shards=8))
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 1

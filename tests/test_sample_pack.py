@@ -237,3 +237,107 @@ def test_deterministic_sample_exact_k(spark, ids_df):
         spark.createDataFrame([(None,)], "doc_id long")
     )
     assert len(deterministic_sample_exact_k(withnull, 25, salt="x").collect()) == 25
+
+
+def test_shuffle_index_is_total_permutation(spark, ids_df):
+    """Every row gets exactly one (shard, position); positions within a shard
+    are contiguous 0..k-1; assignment is repartition-stable."""
+    from lyra_spark.pipeline.export import shuffle_index
+
+    out = shuffle_index(ids_df, n_shards=8).collect()
+    assert len(out) == 2000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    again = {
+        (r.doc_id, r.shard, r.position)
+        for r in shuffle_index(ids_df.repartition(13), n_shards=8).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.position) for r in out}
+
+
+def test_shuffle_index_order_is_hash_not_id(spark, ids_df):
+    """The permutation must actually shuffle: within a shard, position order
+    is the hash order, not ascending id (source/time declustering is the
+    operator's whole point)."""
+    from lyra_spark.pipeline.export import shuffle_index
+
+    rows = [
+        r.doc_id
+        for r in shuffle_index(ids_df, n_shards=4)
+        .filter("shard = 0")
+        .orderBy("position")
+        .collect()
+    ]
+    assert rows != sorted(rows)
+
+
+def test_shuffle_index_excludes_null_ids(spark):
+    from lyra_spark.pipeline.export import shuffle_index
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], "doc_id: long")
+    assert shuffle_index(df, n_shards=2).filter("doc_id IS NULL").count() == 0
+    assert shuffle_index(df, n_shards=2).count() == 2
+
+
+def test_write_shards_layout_and_order(spark, ids_df, tmp_path):
+    """write_shards: one shard=K/ dir per non-empty shard; rows inside each
+    dir replay the permutation (read order == position order); re-running is
+    byte-stable."""
+    import glob
+    import os
+
+    from lyra_spark.pipeline.export import shuffle_index, write_shards
+
+    path = str(tmp_path / "shards")
+    write_shards(ids_df, path, n_shards=8)
+    dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert len(dirs) == 8
+    idx = shuffle_index(ids_df, n_shards=8).collect()
+    by_shard = {}
+    for r in idx:
+        by_shard.setdefault(r.shard, []).append((r.position, r.doc_id))
+    for d in dirs:
+        k = int(os.path.basename(d).split("=")[1])
+        got = [r.doc_id for r in spark.read.parquet(d).collect()]
+        assert got == [doc for _, doc in sorted(by_shard[k])]
+
+
+def test_mixture_rates_saturation_and_whitelist():
+    from lyra_spark.pipeline.sample import mixture_rates
+
+    rates = mixture_rates(
+        {"a": 100.0, "b": 1000.0}, {"a": 0.5, "b": 0.5, "c": 0.25}, 500.0
+    )
+    # shares normalize over 1.25; a: 0.4*500/100 = 2.0 -> saturates
+    assert rates["a"] == 1.0
+    assert rates["b"] == pytest.approx(0.4 * 500 / 1000)
+    assert rates["c"] == 0.0  # no corpus for c
+
+
+def test_mixture_sample_hits_budget_in_expectation(spark):
+    """Achieved per-source token mass ≈ share × budget (Bernoulli mean);
+    unlisted sources are dropped entirely; assignment is deterministic."""
+    from lyra_spark.pipeline.sample import mixture_sample
+
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.concat(F.lit("s"), F.pmod("doc_id", F.lit(3))))
+        .withColumn("n_chars", F.lit(100) + F.pmod("doc_id", F.lit(7)))
+    )
+    out = mixture_sample(df, {"s0": 0.5, "s1": 0.5}, budget_tokens=60000)
+    got = {
+        r.source: r.tok
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()
+    }
+    assert set(got) == {"s0", "s1"}  # s2 dropped: mixture is a whitelist
+    assert got["s0"] == pytest.approx(30000, rel=0.15)
+    assert got["s1"] == pytest.approx(30000, rel=0.15)
+    again = mixture_sample(
+        df.repartition(11), {"s0": 0.5, "s1": 0.5}, budget_tokens=60000
+    )
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
