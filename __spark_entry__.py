@@ -1421,6 +1421,48 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_numeric_trailing_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window NUMERIC drift (drift.numeric_drift_trailing): each
+    ship-year's price t-digest KS-compared against the pooled digest of the
+    previous 3 years — ONE distributed sketch pass, O(P·k) driver pooling —
+    plus a planted partition '9999' (prices ×1.3) that must flag. Gates per
+    partition: |digest KS − exact trailing KS| ≤ 0.015 (measured ≤ 0.0013:
+    >10× margin) AND the sample-size-aware cut classifies exactly the
+    planted partition as drift (organic years ≤ 0.017 vs cut 0.10, planted
+    0.23). Oracle expects every boolean TRUE (tolerance pattern)."""
+    ensure_shipped(spark)
+    import pandas as pd
+
+    from lyra_spark.drift import ks_exact, numeric_drift_trailing
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.year("l_shipdate").cast("string").alias("p"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    planted = li.filter(F.year("l_shipdate") == 2001).select(
+        F.lit("9999").alias("p"), (F.col("l_extendedprice") * 1.3).alias("x")
+    )
+    comp = base.unionByName(planted)
+    digest = numeric_drift_trailing(comp, "x", "p", k=3)
+    keys = list(digest["part_key"])
+    rows = []
+    for i, rec in digest.iterrows():
+        p = rec["part_key"]
+        if rec["n_ref_parts"] == 0:
+            rows.append({"part_key": p, "ok": bool(rec["pass"])})
+            continue
+        win = keys[max(0, i - 3) : i]
+        lab = comp.withColumn(
+            "g",
+            F.when(F.col("p") == p, "cur").when(F.col("p").isin(win), "ref"),
+        ).filter(F.col("g").isNotNull())
+        exact = ks_exact(lab, "x", "g", "cur", "ref")
+        ok = abs(rec["ks"] - exact) <= 0.015 and bool(rec["pass"]) == (p != "9999")
+        rows.append({"part_key": p, "ok": ok})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training export
     (pipeline.export.shuffle_index): shard = md5-uint32 mod N (map-only),
@@ -1504,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
         "shuffle_shards": q_shuffle_shards,
+        "numeric_trailing_drift": q_numeric_trailing_drift,
         "mixture_sample": q_mixture_sample,
         "incremental_neardup": q_incremental_neardup,
         "functional_dep": q_functional_dep,
@@ -2033,6 +2076,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
             FROM f GROUP BY 1, 2
+        """,
+        "numeric_trailing_drift": """
+            SELECT * FROM (VALUES ('1995', TRUE), ('1996', TRUE), ('1997', TRUE),
+                                  ('1998', TRUE), ('1999', TRUE), ('2000', TRUE),
+                                  ('2001', TRUE), ('9999', TRUE)) AS t(part_key, ok)
         """,
         "shuffle_shards": """
             WITH h AS (

@@ -247,3 +247,40 @@ def test_ks_exact_matches_numpy_ecdf(spark):
     ecdf_b = np.searchsorted(np.sort(b), grid, side="right") / len(b)
     exp = float(np.max(np.abs(ecdf_a - ecdf_b)))
     assert abs(got - exp) < 1e-12
+
+
+def test_numeric_drift_trailing_flags_regime_change(spark):
+    """Partitions a..e share one distribution; partition f is shifted. The
+    trailing-k gate must flag exactly f, pass the organic partitions, report
+    NaN/pass for the history-less first partition, and bound the window at k
+    partitions."""
+    from lyra_spark.drift import numeric_drift_trailing
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i, p in enumerate("abcde"):
+        rows += [(p, float(v)) for v in rng.normal(0.0, 1.0, 4000)]
+    rows += [("f", float(v)) for v in rng.normal(1.2, 1.0, 4000)]
+    df = spark.createDataFrame(rows, "p: string, x: double")
+    out = numeric_drift_trailing(df, "x", "p", k=3)
+    assert list(out["part_key"]) == list("abcdef")
+    assert np.isnan(out.iloc[0]["ks"]) and bool(out.iloc[0]["pass"])
+    assert list(out["n_ref_parts"]) == [0, 1, 2, 3, 3, 3]  # window bounded at k
+    assert list(out["pass"]) == [True, True, True, True, True, False]
+    # organic KS is sampling noise; the planted shift is far above the cut
+    assert out.iloc[4]["ks"] < 0.05 and out.iloc[5]["ks"] > 0.3
+
+
+def test_numeric_drift_trailing_small_partitions_noise_guard(spark):
+    """Tiny partitions from ONE distribution must not flag: the sample-size-
+    aware cut (c·sqrt((n+m)/nm)) dominates the fixed threshold at small n."""
+    from lyra_spark.drift import numeric_drift_trailing
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for p in "abcd":
+        rows += [(p, float(v)) for v in rng.normal(0.0, 1.0, 60)]
+    df = spark.createDataFrame(rows, "p: string, x: double")
+    out = numeric_drift_trailing(df, "x", "p", k=3)
+    assert all(out["pass"])
+    assert (out["threshold"].iloc[1:] > 0.10).all()  # noise-aware cut engaged
