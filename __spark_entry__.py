@@ -1421,6 +1421,45 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition freshness gate (stats.freshness_report): max event ts
+    per day vs the table's freshest timestamp, stale when the lag exceeds
+    36 h. One constant-buffer MAX aggregate (the metadata path — parquet
+    footer / Iceberg manifest bounds, zero data read — is exercised by the
+    in-repo test); ts cast to TIMESTAMP first per the NTZ note."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import freshness_report
+
+    events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = events.withColumn(
+        "part", F.to_date(F.col("ts").cast("timestamp")).cast("string")
+    )
+    return freshness_report(ev, ts_col="ts", partition_col="part", max_lag_hours=36.0)
+
+
+def q_misplaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-placement integrity (checks.misplaced_violations): rows
+    whose event time does not belong to their storage partition — the rows
+    every partition-pruned query silently skips. Planted: event_id % 97 == 0
+    stored one day late; event_id % 997 == 0 has its ts NULLed (no defined
+    home). One map-only codegen filter, zero shuffles."""
+    ensure_shipped(spark)
+    from lyra_spark.checks import misplaced_violations
+
+    events = _read(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    synth = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 997 == 0, F.lit(None)).otherwise(ts).alias("ts"),
+        F.when(
+            F.col("event_id") % 97 == 0, F.date_add(F.to_date(ts), 1)
+        ).otherwise(F.to_date(ts)).alias("part"),
+    )
+    return misplaced_violations(
+        synth, ts_col="ts", partition_col="part", key_cols=["event_id"]
+    )
+
+
 def q_numeric_trailing_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window NUMERIC drift (drift.numeric_drift_trailing): each
     ship-year's price t-digest KS-compared against the pooled digest of the
@@ -1547,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "shuffle_shards": q_shuffle_shards,
         "numeric_trailing_drift": q_numeric_trailing_drift,
+        "freshness": q_freshness,
+        "misplaced_rows": q_misplaced,
         "mixture_sample": q_mixture_sample,
         "incremental_neardup": q_incremental_neardup,
         "functional_dep": q_functional_dep,
@@ -2076,6 +2117,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
             FROM f GROUP BY 1, 2
+        """,
+        "freshness": """
+            WITH p AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part, MAX(ts) AS max_ts
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), a AS (SELECT MAX(max_ts) AS anchor FROM p)
+            SELECT part, max_ts,
+                   (epoch_us(anchor) - epoch_us(max_ts)) / 1000000.0 AS lag_seconds,
+                   (epoch_us(anchor) - epoch_us(max_ts)) / 1000000.0 > 129600.0 AS stale
+            FROM p, a
+        """,
+        "misplaced_rows": """
+            WITH synth AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 997 = 0 THEN NULL ELSE ts END AS ts,
+                       CASE WHEN event_id % 97 = 0 THEN CAST(ts AS DATE) + 1
+                            ELSE CAST(ts AS DATE) END AS part
+                FROM events
+            )
+            SELECT event_id, part, 'partition_placement' AS rule_id,
+                   COALESCE(CAST(ts AS VARCHAR), 'NULL') AS observed_value
+            FROM synth
+            WHERE ts IS NULL OR part IS NULL OR CAST(ts AS DATE) <> part
         """,
         "numeric_trailing_drift": """
             SELECT * FROM (VALUES ('1995', TRUE), ('1996', TRUE), ('1997', TRUE),

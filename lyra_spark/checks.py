@@ -38,6 +38,7 @@ REF_RULE = "tool_ref"
 MONO_RULE = "ts_monotone"
 TRANSITION_RULE = "role_transition"
 CONTIG_RULE = "turn_contiguity"
+PLACEMENT_RULE = "partition_placement"
 
 
 def with_salt(df: DataFrame, buckets: int = 32, col: str = "__salt__") -> DataFrame:
@@ -299,4 +300,39 @@ def contiguity_violations(
         "max_idx",
         (F.col("max_idx") - b + 1 - F.col("n_turns")).alias("n_missing"),
         F.lit(rule_id).alias("rule_id"),
+    )
+
+
+def misplaced_violations(
+    df: DataFrame,
+    ts_col: str = "ts",
+    partition_col: str = "part_date",
+    key_cols: list[str] = KEY_COLS,
+    rule_id: str = PLACEMENT_RULE,
+) -> DataFrame:
+    """Partition-placement integrity: every row's event time must belong to
+    the partition directory it is stored in (``date(ts) = partition value``).
+    A misplaced row is worse than an invalid one at scale — every
+    partition-pruned query (which at 10^12 rows is EVERY query) silently
+    excludes it, so no downstream check ever sees it again; and the
+    per-partition validation loop itself scopes by partition, so this is the
+    one check that must compare the two columns explicitly rather than trust
+    the layout.
+
+    Rows with a NULL timestamp are also violations here: a time-partitioned
+    table gives them no defined home, and whichever directory they landed in
+    is unprovable either way.
+
+    Scale shape: ONE map-only codegen filter on the scan — zero shuffles,
+    zero Python; the filter sits beside the row rules and costs nothing
+    beyond the scan the suite already pays.
+    """
+    placed = F.to_date(F.col(partition_col).cast("string"))
+    actual = F.to_date(F.col(ts_col))
+    bad = F.col(ts_col).isNull() | placed.isNull() | (actual != placed)
+    return df.filter(bad).select(
+        *key_cols,
+        partition_col,
+        F.lit(rule_id).alias("rule_id"),
+        F.coalesce(F.col(ts_col).cast("string"), F.lit("NULL")).alias("observed_value"),
     )

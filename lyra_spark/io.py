@@ -205,3 +205,51 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def partition_ts_range(
+    path: str, ts_col: str, partition_col: str = PARTITION_COLUMN
+) -> dict[str, tuple] | None:
+    """Per-partition (min, max) of ``ts_col`` from TABLE METADATA — zero data
+    files read. Parquet footers carry per-row-group column statistics; the
+    Iceberg equivalents are the manifest's lower_bounds/upper_bounds. The
+    freshness gate (stats.freshness_report) runs on this dict, so checking
+    "did yesterday's data arrive, and is it current?" costs footer reads
+    only — the same stance as partition_row_counts above.
+
+    Returns None when the layout isn't Hive-partitioned local parquet or any
+    footer lacks statistics (caller falls back to a scan aggregation).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    dirs = sorted(_glob.glob(os.path.join(path, f"{partition_col}=*")))
+    if not dirs:
+        return None
+    out: dict[str, tuple] = {}
+    try:
+        for d in dirs:
+            raw = os.path.basename(d).split("=", 1)[1]
+            if raw == HIVE_DEFAULT_PARTITION:
+                return None
+            key = urllib.parse.unquote(raw)
+            lo = hi = None
+            for f in _glob.glob(os.path.join(d, "*.parquet")):
+                md = pq.read_metadata(f)
+                idx = md.schema.names.index(ts_col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                continue  # empty partition dir: no range, freshness reports absent
+            out[key] = (lo, hi)
+    except Exception:
+        # metadata is an optimization, never a correctness dependency
+        return None
+    return out

@@ -498,3 +498,82 @@ def key_skew_profiles(
             F.greatest(F.lit(1).cast("long"), F.ceil(mx / mean)),
         ).alias("recommended_buckets"),
     )
+
+
+def freshness_report(
+    df: DataFrame,
+    ts_col: str = "ts",
+    partition_col: str = "part_date",
+    as_of=None,
+    max_lag_hours: float = 24.0,
+    ranges: dict | None = None,
+) -> DataFrame:
+    """Per-partition data freshness: (max_ts, lag_seconds, stale) — the
+    "did today's data actually arrive, and is it current?" gate. ``as_of``
+    is the evaluation instant; None uses the freshest timestamp in the table
+    (self-referential mode: lag is then "behind the newest partition", and
+    the newest partition's lag is 0 by construction). A partition is
+    ``stale`` when its newest row lags ``as_of`` by more than
+    ``max_lag_hours``.
+
+    Scale shape, two paths exactly like row_count_anomaly's:
+      * ``ranges`` (from lyra_spark.io.partition_ts_range — parquet footer
+        statistics locally, Iceberg manifest bounds in prod): ZERO data files
+        read; the report is assembled driver-side from O(P) metadata and
+        shipped through the Arrow local-relation path.
+      * else one distributed MAX aggregate — constant buffers, map-side
+        partials, a single exchange of one row per partition.
+
+    ``ts_col`` is cast to TIMESTAMP explicitly: some writers produce
+    TIMESTAMP_NTZ parquet, and unix_micros on the raw column would
+    type-error there (SEMANTICS.md NTZ note).
+    """
+    if ranges is not None:
+        import pandas as pd
+
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        spark = df.sparkSession
+        schema = StructType(
+            [
+                StructField(partition_col, StringType()),
+                StructField("max_ts", TimestampType()),
+                StructField("lag_seconds", DoubleType()),
+                StructField("stale", BooleanType()),
+            ]
+        )
+        keys = sorted(ranges)
+        maxes = {k: ranges[k][1] for k in keys}
+        anchor = as_of if as_of is not None else max(maxes.values())
+        rows = [
+            {
+                partition_col: k,
+                "max_ts": maxes[k],
+                "lag_seconds": (anchor - maxes[k]).total_seconds(),
+                "stale": (anchor - maxes[k]).total_seconds() > max_lag_hours * 3600.0,
+            }
+            for k in keys
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows, columns=schema.fieldNames()), schema)
+
+    from pyspark.sql import Window
+
+    agg = df.groupBy(partition_col).agg(
+        F.max(F.col(ts_col).cast("timestamp")).alias("max_ts")
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    anchor = F.lit(as_of).cast("timestamp") if as_of is not None else F.max("max_ts").over(wtot)
+    lag = (F.unix_micros(anchor) - F.unix_micros(F.col("max_ts"))) / F.lit(1e6)
+    return agg.select(
+        partition_col,
+        "max_ts",
+        lag.alias("lag_seconds"),
+        (lag > F.lit(max_lag_hours * 3600.0)).alias("stale"),
+    )

@@ -272,3 +272,89 @@ def test_key_skew_profiles_matches_per_column(spark):
         single = key_skew_profile(df, [c]).collect()[0].asDict()
         got = {k: v for k, v in multi[c].items() if k != "column"}
         assert got == single, c
+
+
+def test_freshness_report_metadata_matches_distributed(spark, fixtures_sf0001):
+    """The footer-statistics path (partition_ts_range → freshness_report
+    ranges=) must agree with the distributed MAX aggregate partition for
+    partition — same max_ts, same lag, same verdicts — while reading zero
+    data files."""
+    import os as _os
+
+    from lyra_spark.io import partition_ts_range
+    from lyra_spark.stats import freshness_report
+
+    table = _os.path.join(fixtures_sf0001, "transcripts")
+    tdf = spark.read.parquet(table).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dist = {
+        r["part_date"]: (r["max_ts"], round(r["lag_seconds"], 6), r["stale"])
+        for r in freshness_report(
+            tdf.withColumn("part_date", F.col("part_date").cast("string")),
+            ts_col="ts", partition_col="part_date", max_lag_hours=24.0,
+        ).collect()
+    }
+    ranges = partition_ts_range(table, "ts")
+    assert ranges is not None and set(ranges) == set(dist)
+    meta = {
+        r["part_date"]: (r["max_ts"], round(r["lag_seconds"], 6), r["stale"])
+        for r in freshness_report(
+            tdf, ts_col="ts", partition_col="part_date",
+            max_lag_hours=24.0, ranges=ranges,
+        ).collect()
+    }
+    assert meta == dist
+    # self-referential anchor: the freshest partition lags 0 and is fresh
+    freshest = max(dist, key=lambda k: dist[k][0])
+    assert dist[freshest][1] == 0.0 and not dist[freshest][2]
+    # with a 24h gate over a many-day table, old partitions must be stale
+    assert any(v[2] for v in dist.values())
+
+
+def test_freshness_report_explicit_as_of(spark):
+    from datetime import datetime
+
+    from lyra_spark.stats import freshness_report
+
+    df = spark.range(0, 10).select(
+        F.lit("d1").alias("p"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    out = freshness_report(
+        df, ts_col="ts", partition_col="p",
+        as_of=datetime(2024, 1, 3, 0, 0, 0), max_lag_hours=24.0,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["lag_seconds"] == 2 * 86400.0 and out[0]["stale"]
+
+
+def test_misplaced_violations_unit(spark):
+    """Rows in the wrong partition dir, NULL ts, and NULL partition all
+    flag; correctly placed rows (any time of day) pass."""
+    from lyra_spark.checks import misplaced_violations
+
+    rows = [
+        ("c1", 0, "2024-01-01", "2024-01-01 00:00:01"),   # ok
+        ("c1", 1, "2024-01-01", "2024-01-01 23:59:59"),   # ok: same day
+        ("c1", 2, "2024-01-01", "2024-01-02 00:00:00"),   # misplaced
+        ("c1", 3, "2024-01-02", None),                     # NULL ts
+        ("c1", 4, None, "2024-01-02 10:00:00"),            # NULL partition
+    ]
+    df = spark.createDataFrame(
+        __import__("pandas").DataFrame(
+            rows, columns=["conv_id", "turn_idx", "part_date", "ts_raw"]
+        )
+    ).withColumn("ts", F.to_timestamp("ts_raw")).drop("ts_raw")
+    out = misplaced_violations(df, ts_col="ts", partition_col="part_date")
+    got = {(r["conv_id"], r["turn_idx"]): r["observed_value"] for r in out.collect()}
+    assert set(got) == {("c1", 2), ("c1", 3), ("c1", 4)}
+    assert got[("c1", 3)] == "NULL"
+    # map-only: no Exchange in the plan
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
