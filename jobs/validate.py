@@ -42,10 +42,12 @@ DEFAULT_TRANSITIONS = {
 }
 
 
-def rule_ids(ruleset, check_transitions: bool = False) -> list[str]:
+def rule_ids(
+    ruleset, check_transitions: bool = False, check_placement: bool = False
+) -> list[str]:
     """Suite rule ids: the row rules plus the dataset checks (the same grid
-    run_suite uses); + the transition rule when --check-transitions is on."""
-    from lyra_spark.checks import MONO_RULE, TRANSITION_RULE, UNIQ_RULE
+    run_suite uses); + the transition/placement rules when their flags are on."""
+    from lyra_spark.checks import MONO_RULE, PLACEMENT_RULE, TRANSITION_RULE, UNIQ_RULE
     from lyra_spark.fused import REF_RULE
 
     ids = [r.rule_id for r in ruleset.checks]
@@ -54,6 +56,8 @@ def rule_ids(ruleset, check_transitions: bool = False) -> list[str]:
             ids.append(extra)
     if check_transitions:
         ids.append(TRANSITION_RULE)
+    if check_placement:
+        ids.append(PLACEMENT_RULE)
     return ids
 
 
@@ -89,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(default: the standard transcript grammar; see "
                          "--allowed-transitions). Violations merge into the sink and "
                          "the verdict grid under rule_id=role_transition")
+    ap.add_argument("--check-placement", action="store_true",
+                    help="also run the partition-placement check: date(ts) must equal "
+                         "the row's part_date (a misplaced row silently escapes every "
+                         "partition-pruned query — including this loop's own scoped "
+                         "scans). Map-only on the scan; violations merge into the sink "
+                         "and the verdict grid under rule_id=partition_placement")
     ap.add_argument("--allowed-transitions", default=None,
                     help="comma-separated prev>cur pairs overriding the default "
                          "grammar, e.g. 'system>user,user>assistant'")
@@ -222,6 +232,11 @@ def main(argv: list[str] | None = None) -> int:
 
             tv = transition_violations(scoped, transitions, partition_col="part_date")
             result.violations = result.violations.unionByName(tv)
+        if args.check_placement:
+            from lyra_spark.checks import misplaced_violations
+
+            pv = misplaced_violations(scoped, ts_col="ts", partition_col="part_date")
+            result.violations = result.violations.unionByName(pv)
         if args.out:
             # write-then-reuse: violations compute once into the sink; the
             # verdict roll-up aggregates the WRITTEN files (never recomputes)
@@ -236,26 +251,39 @@ def main(argv: list[str] | None = None) -> int:
                 from lyra_spark.presets import verdicts_from_metadata
 
                 verd = verdicts_from_metadata(
-                    scoped, viol, rule_ids(ruleset, args.check_transitions), "part_date", {pk: meta_counts[pk]}
+                    scoped, viol,
+                    rule_ids(ruleset, args.check_transitions, args.check_placement),
+                    "part_date", {pk: meta_counts[pk]}
                 )
             else:
                 from lyra_spark.engine import compute_verdicts
 
-                verd = compute_verdicts(scoped, viol, rule_ids(ruleset, args.check_transitions), "part_date")
-        elif args.check_transitions:
-            # result.verdicts predates the transition union — rebuild the grid
-            # from the merged violation frame
+                verd = compute_verdicts(
+                    scoped, viol,
+                    rule_ids(ruleset, args.check_transitions, args.check_placement),
+                    "part_date",
+                )
+        elif args.check_transitions or args.check_placement:
+            # result.verdicts predates the transition/placement unions —
+            # rebuild the grid from the merged violation frame
             from lyra_spark.engine import compute_verdicts
 
             verd = compute_verdicts(
-                scoped, result.violations, rule_ids(ruleset, True), "part_date"
+                scoped, result.violations,
+                rule_ids(ruleset, args.check_transitions, args.check_placement),
+                "part_date",
             )
         else:
             verd = result.verdicts
         if args.clean_out:
             from pyspark.sql import functions as F
 
-            from lyra_spark.checks import MONO_RULE, TRANSITION_RULE, UNIQ_RULE
+            from lyra_spark.checks import (
+                MONO_RULE,
+                PLACEMENT_RULE,
+                TRANSITION_RULE,
+                UNIQ_RULE,
+            )
             from lyra_spark.engine import clean_rows
             from lyra_spark.fused import inline_referential_rule
             from lyra_spark.rules import RuleSet
@@ -265,8 +293,10 @@ def main(argv: list[str] | None = None) -> int:
             # (tiny read), else from the result frame (recompute of the
             # windowed branch — still ≪ a second full suite)
             src = viol if args.out else result.violations
-            ds_rules = [UNIQ_RULE, MONO_RULE] + (
-                [TRANSITION_RULE] if args.check_transitions else []
+            ds_rules = (
+                [UNIQ_RULE, MONO_RULE]
+                + ([TRANSITION_RULE] if args.check_transitions else [])
+                + ([PLACEMENT_RULE] if args.check_placement else [])
             )
             ds_keys = (
                 src.filter(F.col("rule_id").isin(*ds_rules))

@@ -651,3 +651,49 @@ def test_cli_revalidate_changed(tmp_path, spark, fixtures_sf0001, capsys):
     for k in mf2.records:
         if k != pk and k in mf.records:
             assert mf3.records[k].completed_at == mf2.records[k].completed_at
+
+
+def test_cli_check_placement(tmp_path, spark, fixtures_sf0001):
+    """--check-placement: rows stored under the wrong part_date dir are
+    reported as partition_placement violations in the sink and fail the
+    verdict grid for exactly that partition; a clean run stays clean."""
+    import shutil
+
+    from jobs.validate import main
+
+    table = str(tmp_path / "transcripts")
+    shutil.copytree(os.path.join(fixtures_sf0001, "transcripts"), table)
+    dates = sorted(
+        d.split("=", 1)[1] for d in os.listdir(table) if d.startswith("part_date=")
+    )
+    src, dst = dates[0], dates[1]
+    planted = (
+        spark.read.parquet(table)
+        .filter(f"part_date = '{src}'")
+        .drop("part_date")
+        .limit(4)
+    )
+    planted_keys = {(r.conv_id, r.turn_idx) for r in planted.collect()}
+    planted.write.mode("append").parquet(os.path.join(table, f"part_date={dst}"))
+
+    out = str(tmp_path / "viol")
+    args = [
+        "--table", table,
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--out", out,
+        "--check-placement",
+        "--limit-partitions", "2",
+    ]
+    assert main(args) == 0
+    viol = spark.read.parquet(out).filter("rule_id = 'partition_placement'")
+    got = {(r.conv_id, r.turn_idx) for r in viol.collect()}
+    assert got == planted_keys
+    assert {str(r.part_date) for r in viol.collect()} == {dst}
+    verd = spark.read.parquet(os.path.join(str(tmp_path / "ck"), "r1", "verdicts"))
+    grid = {
+        (str(r.part_date), r["pass"]): r.violation_count
+        for r in verd.filter("rule_id = 'partition_placement'").collect()
+    }
+    assert grid == {(src, True): 0, (dst, False): 4}
