@@ -327,7 +327,9 @@ def misplaced_violations(
     zero Python; the filter sits beside the row rules and costs nothing
     beyond the scan the suite already pays.
     """
-    placed = F.to_date(F.col(partition_col).cast("string"))
+    # try_cast, not to_date: under ANSI (Spark 4 default) a malformed
+    # partition value would RAISE mid-job; the contract is to FLAG it
+    placed = F.col(partition_col).cast("string").try_cast("date")
     actual = F.to_date(F.col(ts_col))
     bad = F.col(ts_col).isNull() | placed.isNull() | (actual != placed)
     return df.filter(bad).select(

@@ -340,6 +340,7 @@ def test_misplaced_violations_unit(spark):
         ("c1", 2, "2024-01-01", "2024-01-02 00:00:00"),   # misplaced
         ("c1", 3, "2024-01-02", None),                     # NULL ts
         ("c1", 4, None, "2024-01-02 10:00:00"),            # NULL partition
+        ("c1", 5, "not-a-date", "2024-01-02 10:00:00"),    # malformed partition
     ]
     df = spark.createDataFrame(
         __import__("pandas").DataFrame(
@@ -348,7 +349,7 @@ def test_misplaced_violations_unit(spark):
     ).withColumn("ts", F.to_timestamp("ts_raw")).drop("ts_raw")
     out = misplaced_violations(df, ts_col="ts", partition_col="part_date")
     got = {(r["conv_id"], r["turn_idx"]): r["observed_value"] for r in out.collect()}
-    assert set(got) == {("c1", 2), ("c1", 3), ("c1", 4)}
+    assert set(got) == {("c1", 2), ("c1", 3), ("c1", 4), ("c1", 5)}
     assert got[("c1", 3)] == "NULL"
     # map-only: no Exchange in the plan
     import contextlib
