@@ -118,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="table snapshot / read-version this run validates (Iceberg "
                          "snapshot id in prod); recorded per partition in the manifest "
                          "for lineage")
+    ap.add_argument("--rules", default=None,
+                    help="JSON ruleset config (lyra_spark.rules.ruleset_from_json "
+                         "format) replacing the built-in transcript preset — rules "
+                         "ship as reviewed config, not code changes. Fingerprints "
+                         "match the equivalent code-built ruleset, so moving rules "
+                         "to config does not invalidate existing checkpoints")
     ap.add_argument("--revalidate-changed", action="store_true",
                     help="re-validate COMPLETED partitions whose metadata row count "
                          "(or snapshot id, when both sides carry one) no longer "
@@ -163,7 +169,14 @@ def main(argv: list[str] | None = None) -> int:
                   f"(expected {d['expected_type']}, got {d['actual_type']})")
         assert_schema(df.schema, TRANSCRIPTS_SCHEMA)
     dim = spark.read.parquet(args.tools_dim)
-    ruleset = transcript_ruleset()
+    if args.rules:
+        from lyra_spark.rules import ruleset_from_json
+
+        ruleset = ruleset_from_json(args.rules)
+        print(f"[lyra] rules: {len(ruleset.rules)} loaded from {args.rules} "
+              f"(fingerprint {ruleset.fingerprint()})")
+    else:
+        ruleset = transcript_ruleset()
     hll_cols = [c.strip() for c in args.hll_cols.split(",") if c.strip()] if args.hll_cols else []
     # Per-partition row counts from table metadata (parquet footers locally,
     # Iceberg manifests in prod): computed once, reused by every --out verdict
@@ -226,7 +239,7 @@ def main(argv: list[str] | None = None) -> int:
     def validate_partition(pk: str) -> tuple[str, int, int, float]:
         t0 = time.perf_counter()
         scoped = lio.partition_scope(df, pk)
-        result = validate_transcripts(scoped, dim)
+        result = validate_transcripts(scoped, dim, ruleset=ruleset)
         if args.check_transitions:
             from lyra_spark.checks import transition_violations
 

@@ -227,3 +227,148 @@ class RuleSet:
 
     def versions(self) -> dict[str, str]:
         return {r.rule_id: f"{r.version}:{r.fingerprint()}" for r in self.rules}
+
+
+# --- config-file (de)serialization --------------------------------------------
+def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
+    """Serialize a RuleSet to the JSON config format ``ruleset_from_json``
+    reads. Round-trips every engine-agnostic field — including ``version``,
+    which feeds the checkpoint fingerprint, so a saved-and-reloaded ruleset
+    resumes the same run instead of invalidating it. ``custom`` rules
+    serialize by rule_id only (the predicate is code, not config — loading
+    requires it registered under the same id)."""
+    out = []
+    for r in ruleset.rules:
+        d: dict[str, Any] = {"kind": r.kind, "column": r.column, "rule_id": r.rule_id}
+        d.update({k: (list(v) if isinstance(v, tuple) else v) for k, v in r.params})
+        if r.when is not None:
+            d["when"] = list(r.when)
+        if r.severity != "error":
+            d["severity"] = r.severity
+        if r.version != "1":
+            d["version"] = r.version
+        out.append(d)
+    return json.dumps(out, indent=indent)
+
+
+_CONFIG_KINDS = {
+    "required", "nonempty", "forbidden", "enum", "deny", "pattern", "length",
+    "range", "integer", "multiple_of", "cast", "default", "transform", "custom",
+}
+_META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version"}
+
+
+def ruleset_from_json(source: str) -> RuleSet:
+    """Build a RuleSet from a JSON config — the deploy surface: rules ship as
+    reviewed config files, not code changes. ``source`` is a JSON string or a
+    path to one; the format is a list of objects::
+
+        [{"kind": "required", "column": "text", "rule_id": "text_required"},
+         {"kind": "range", "column": "turn_idx", "min": 0},
+         {"kind": "enum", "column": "role", "values": ["user", "assistant"]},
+         {"kind": "pattern", "column": "conv_id", "regex": "c[0-9]+",
+          "when": ["role", "==", "tool"]}]
+
+    Unknown kinds and unknown parameter names raise immediately (a typo'd
+    rule silently checking nothing is the classic config failure). ``custom``
+    rules must already be registered in code under the same rule_id
+    (rules.custom) — the config references them, it cannot define them.
+    Fingerprints are identical to the equivalently-built in-code ruleset, so
+    moving a ruleset from code to config does not invalidate checkpoints.
+    """
+    import os
+
+    text = source
+    if "\n" not in source and not source.lstrip().startswith("["):
+        if not os.path.exists(source):
+            raise FileNotFoundError(f"rules config not found: {source}")
+        with open(source) as f:
+            text = f.read()
+    items = json.loads(text)
+    if not isinstance(items, list):
+        raise ValueError("rules config must be a JSON LIST of rule objects")
+    rules: list[RuleSpec] = []
+    for i, d in enumerate(items):
+        kind = d.get("kind")
+        if kind not in _CONFIG_KINDS:
+            raise ValueError(f"rule #{i}: unknown kind {kind!r} (known: {sorted(_CONFIG_KINDS)})")
+        if "column" not in d:
+            raise ValueError(f"rule #{i} ({kind}): 'column' is required")
+        params = {k: v for k, v in d.items() if k not in _META_KEYS}
+        allowed = _KIND_PARAMS[kind]
+        unknown = set(params) - allowed
+        if unknown:
+            raise ValueError(
+                f"rule #{i} ({kind}/{d['column']}): unknown parameter(s) {sorted(unknown)}"
+                f" — allowed: {sorted(allowed)}"
+            )
+        when = tuple(d["when"]) if d.get("when") is not None else None
+        if when is not None and (len(when) != 3 or when[1] not in ("==", "!=", "in", "notin", "isnull", "notnull")):
+            raise ValueError(f"rule #{i}: 'when' must be [column, op, value] with a known op")
+        rid = d.get("rule_id") or f"{d['column']}_{kind}"
+        if kind == "custom" and rid not in _CUSTOM_REGISTRY:
+            raise ValueError(
+                f"rule #{i}: custom rule {rid!r} is not registered — custom predicates "
+                "are code; register with lyra_spark.rules.custom(...) before loading"
+            )
+        # Dispatch through the BUILDER functions, never raw RuleSpec: the
+        # builders own parameter normalization (defaults recorded, falsy
+        # flags dropped, lists→tuples), and fingerprint parity between
+        # code-built and config-built rules depends on it.
+        try:
+            if kind == "custom":
+                spec = custom(d["column"], _CUSTOM_REGISTRY[rid], rid, when)
+            elif kind in ("default", "transform"):
+                if when is not None:
+                    raise ValueError("coercion rules take no 'when'")
+                spec = _BUILDERS[kind](d["column"], rule_id=d.get("rule_id"), **params)
+            else:
+                spec = _BUILDERS[kind](d["column"], rule_id=d.get("rule_id"), when=when, **params)
+        except TypeError as e:
+            raise ValueError(f"rule #{i} ({kind}/{d['column']}): {e}") from None
+        if "severity" in d or "version" in d:
+            import dataclasses
+
+            spec = dataclasses.replace(
+                spec,
+                severity=d.get("severity", spec.severity),
+                version=str(d.get("version", spec.version)),
+            )
+        rules.append(spec)
+    return RuleSet(rules)
+
+
+_BUILDERS: dict[str, Callable] = {
+    "required": required,
+    "nonempty": nonempty,
+    "forbidden": forbidden,
+    "enum": enum,
+    "deny": deny,
+    "pattern": pattern,
+    "length": length,
+    "range": range_rule,
+    "integer": integer,
+    "multiple_of": multiple_of,
+    "cast": cast,
+    "default": default,
+    "transform": transform,
+}
+
+# Per-kind legal parameter names, mirroring the builder signatures above — the
+# loader's typo guard. Keep in sync when adding a builder.
+_KIND_PARAMS: dict[str, set[str]] = {
+    "required": set(),
+    "nonempty": set(),
+    "forbidden": set(),
+    "enum": {"values"},
+    "deny": {"values"},
+    "pattern": {"regex", "full"},
+    "length": {"min", "max"},
+    "range": {"min", "max", "strict_min", "strict_max"},
+    "integer": set(),
+    "multiple_of": {"k"},
+    "cast": {"to", "strict"},
+    "default": {"value"},
+    "transform": {"fn"},
+    "custom": set(),
+}

@@ -697,3 +697,40 @@ def test_cli_check_placement(tmp_path, spark, fixtures_sf0001):
         for r in verd.filter("rule_id = 'partition_placement'").collect()
     }
     assert grid == {(src, True): 0, (dst, False): 4}
+
+
+def test_cli_rules_config(tmp_path, spark, fixtures_sf0001, capsys):
+    """--rules: a JSON config replaces the preset ruleset end-to-end — the
+    configured rule ids appear in the verdict grid, the preset-only ids do
+    not, and the manifest fingerprints the CONFIG ruleset (a different
+    config is a different run version)."""
+    from jobs.validate import main
+
+    cfg = tmp_path / "rules.json"
+    cfg.write_text(
+        '[{"kind": "required", "column": "text", "rule_id": "cfg_text_required"},'
+        ' {"kind": "length", "column": "text", "max": 3, "rule_id": "cfg_text_short"}]'
+    )
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--rules", str(cfg),
+        "--limit-partitions", "1",
+    ]
+    assert main(args) == 0
+    assert "rules: 2 loaded" in capsys.readouterr().out
+    verd = spark.read.parquet(os.path.join(str(tmp_path / "ck"), "r1", "verdicts"))
+    ids = {r.rule_id for r in verd.select("rule_id").distinct().collect()}
+    assert "cfg_text_short" in ids and "cfg_text_required" in ids
+    assert "role_enum" not in ids  # preset rules replaced, not merged
+    # max-3-chars over real text: the configured rule must actually fail rows
+    short = [r for r in verd.collect() if r.rule_id == "cfg_text_short"]
+    assert short and any(not r["pass"] for r in short)
+
+    from lyra_spark.rules import ruleset_from_json
+
+    mf = ckpt.load_manifest(str(tmp_path / "ck"), "r1")
+    fp = ruleset_from_json(str(cfg)).fingerprint()
+    assert all(rec.ruleset_fingerprint == fp for rec in mf.records.values())

@@ -250,3 +250,85 @@ def test_contiguity_violations(spark):
     df2 = spark.createDataFrame([("x", 1), ("x", 2), ("y", 2)], "conv_id string, turn_idx int")
     got2 = {r.conv_id for r in contiguity_violations(df2, base=1).collect()}
     assert got2 == {"y"}
+
+
+def test_ruleset_json_roundtrip_preserves_fingerprint():
+    """Code-built → to_json → from_json must fingerprint identically —
+    moving a ruleset from code to config must not invalidate checkpoints."""
+    rs = RuleSet(
+        [
+            R.required("text", rule_id="text_required"),
+            R.nonempty("text", rule_id="text_nonempty"),
+            R.enum("role", ["user", "assistant", "tool", "system"], rule_id="role_enum"),
+            R.range_rule("turn_idx", min=0, rule_id="turn_idx_range"),
+            R.pattern("conv_id", "c[0-9]+", rule_id="conv_pat"),
+            R.length("text", min=1, max=100000, rule_id="text_len"),
+            R.cast("turn_idx", "int", rule_id="idx_cast"),
+            R.transform("role", "lower", rule_id="role_lower"),
+            R.conditional(R.required("tool", rule_id="tool_iff"), ("role", "==", "tool")),
+            R.multiple_of("turn_idx", 1, rule_id="idx_mult"),
+        ]
+    )
+    text = R.ruleset_to_json(rs)
+    back = R.ruleset_from_json(text)
+    assert back.fingerprint() == rs.fingerprint()
+    assert [r.rule_id for r in back] == [r.rule_id for r in rs]
+
+
+def test_ruleset_json_matches_preset():
+    from lyra_spark.presets import transcript_ruleset
+
+    rs = transcript_ruleset()
+    assert R.ruleset_from_json(R.ruleset_to_json(rs)).fingerprint() == rs.fingerprint()
+
+
+def test_ruleset_from_json_rejects_typos():
+    with pytest.raises(ValueError, match="unknown kind"):
+        R.ruleset_from_json('[{"kind": "requird", "column": "text"}]')
+    with pytest.raises(ValueError, match="unknown parameter"):
+        R.ruleset_from_json('[{"kind": "range", "column": "x", "mim": 0}]')
+    with pytest.raises(ValueError, match="not registered"):
+        R.ruleset_from_json('[{"kind": "custom", "column": "x", "rule_id": "nope"}]')
+    with pytest.raises(ValueError, match="known op"):
+        R.ruleset_from_json('[{"kind": "required", "column": "x", "when": ["y", "===", 1]}]')
+    with pytest.raises(ValueError, match="column"):
+        R.ruleset_from_json('[{"kind": "required"}]')
+
+
+def test_ruleset_from_json_compiles_and_validates(spark, tmp_path):
+    """A config-file ruleset must actually validate: load from a PATH,
+    run row_violations, check the conditional fires only where 'when' holds."""
+    cfg = tmp_path / "rules.json"
+    cfg.write_text(
+        """
+        [
+          {"kind": "required", "column": "text", "rule_id": "text_required"},
+          {"kind": "required", "column": "tool", "rule_id": "tool_required",
+           "when": ["role", "==", "tool"]}
+        ]
+        """
+    )
+    rs = R.ruleset_from_json(str(cfg))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1", "c1"],
+                "turn_idx": [0, 1, 2],
+                "role": ["user", "tool", "tool"],
+                "text": ["hi", "ok", None],
+                "tool": [None, None, "search"],
+            }
+        )
+    )
+    out = row_violations(df, rs, key_cols=["conv_id", "turn_idx"], partition_col=None)
+    got = {(r.turn_idx, r.rule_id) for r in out.collect()}
+    assert got == {(1, "tool_required"), (2, "text_required")}
+
+
+def test_ruleset_custom_from_config(spark):
+    """custom rules load from config when the predicate is pre-registered."""
+    R.custom("value", lambda s: s < 50, rule_id="under50")
+    rs = R.ruleset_from_json('[{"kind": "custom", "column": "value", "rule_id": "under50"}]')
+    assert rs.fingerprint() == RuleSet(
+        [R.custom("value", lambda s: s < 50, rule_id="under50")]
+    ).fingerprint()
