@@ -30,9 +30,11 @@ TOPANDAS_ALLOWED = {"dedup.py"}
 # convergence signature, similarity.py's IVF quantizer training sample —
 # bounded by max_train by construction — and pack.py's per-partition token
 # totals: O(num_partitions) rows, the driver half of the two-phase prefix
-# sum)
+# sum, and sample.py's mixture-rate per-source token totals: O(#sources)
+# rows from a constant-buffer aggregate)
 COLLECT_ALLOWED = {
-    "drift.py", "io.py", "fused.py", "presets.py", "dedup.py", "similarity.py", "pack.py",
+    "drift.py", "io.py", "fused.py", "presets.py", "dedup.py", "similarity.py",
+    "pack.py", "sample.py",
 }
 
 # Per-row iteration inside Arrow batches is the hidden flavor of the same
