@@ -52,14 +52,29 @@ class Manifest:
         current_snapshot: str | None = None,
     ) -> set[str]:
         """Completed partitions whose DATA no longer matches what was
-        validated: recorded row count differs from the table's current
-        metadata count (parquet footers locally, Iceberg manifests in prod),
-        or — when both sides know a snapshot id — the snapshot moved. The
-        late-arriving-data half of resume: `pending()` alone would skip a
-        partition forever once validated, silently leaving new rows
-        unchecked. Row-count equality is necessary, not sufficient (an
-        in-place same-count rewrite passes it) — the snapshot id is the
-        sufficient signal where lineage exists.
+        validated. Detection precedence, per partition:
+
+        1. When a current metadata count exists (parquet footers locally,
+           Iceberg manifests in prod), a count that differs from the
+           recorded one re-queues the partition. Counts are per-partition,
+           so this is the FINE signal — and it deliberately wins over the
+           snapshot id, because the snapshot is TABLE-level and bumps on
+           every commit to any partition; snapshot-first would re-validate
+           the whole table on each ingest.
+        2. Only when no count is available does a moved snapshot id (both
+           sides knowing one) re-queue the partition — the coarse fallback.
+
+        Known limit: an in-place SAME-COUNT rewrite of a partition that
+        still exposes metadata counts is not detected (its count matches and
+        rule 1 short-circuits the snapshot comparison). Closing that needs a
+        per-partition content signal — on Iceberg, the partition's data-file
+        set/digests from the manifest — which this local layout cannot
+        provide; callers who suspect such rewrites should bump the ruleset
+        version or use a fresh run-id.
+
+        This is the late-arriving-data half of resume: `pending()` alone
+        would skip a partition forever once validated, silently leaving new
+        rows unchecked.
         """
         fp = ruleset.fingerprint()
         out: set[str] = set()

@@ -43,8 +43,46 @@ def list_partitions(spark: SparkSession, df: DataFrame, partition_col: str = PAR
 
 def partition_scope(df: DataFrame, partition_key: str, partition_col: str = PARTITION_COLUMN) -> DataFrame:
     """Filter on the partition column — Catalyst turns this into partition
-    pruning, so a per-partition validation run scans ONLY that directory."""
-    return df.filter(F.col(partition_col).cast("string") == partition_key)
+    pruning, so a per-partition validation run scans ONLY that directory.
+
+    The key "None" (how list_partitions renders a NULL partition value)
+    ALSO scopes `partition_col IS NULL`: rows written to the NULL partition
+    (Hive's __HIVE_DEFAULT_PARTITION__) would otherwise match no scope and
+    silently skip every check in the per-partition loop — the exact
+    escapes-all-pruned-queries failure the placement check exists to flag.
+    For a date-typed partition column "None" can only mean NULL; a
+    string-typed column whose literal value is "None" shares the scope
+    (and both deserve the scrutiny).
+    """
+    cond = F.col(partition_col).cast("string") == partition_key
+    if partition_key == "None":
+        cond = cond | F.col(partition_col).isNull()
+    return df.filter(cond)
+
+
+def _partition_dirs(path: str, partition_col: str) -> list[tuple[str, list[str]]] | None:
+    """(partition key, parquet files) per Hive partition directory — the
+    shared walk under every footer-metadata reader. Returns None when the
+    layout doesn't qualify: not a local dir, no partition dirs, or a NULL
+    partition dir (__HIVE_DEFAULT_PARTITION__ — its string key can never
+    match str(partition value) downstream, so metadata-backed consumers must
+    fall back to the distributed scan rather than silently report zeros).
+    Hive URL-encodes special characters in dir names; keys are unescaped
+    because downstream matches are against str(partition VALUE)."""
+    import glob as _glob
+
+    if not os.path.isdir(path):
+        return None
+    dirs = sorted(_glob.glob(os.path.join(path, f"{partition_col}=*")))
+    if not dirs:
+        return None
+    out: list[tuple[str, list[str]]] = []
+    for d in dirs:
+        raw = os.path.basename(d).split("=", 1)[1]
+        if raw == HIVE_DEFAULT_PARTITION:
+            return None
+        out.append((urllib.parse.unquote(raw), _glob.glob(os.path.join(d, "*.parquet"))))
+    return out
 
 
 def partition_row_counts(path: str, partition_col: str = PARTITION_COLUMN) -> dict[str, int] | None:
@@ -57,37 +95,20 @@ def partition_row_counts(path: str, partition_col: str = PARTITION_COLUMN) -> di
     Returns None when ``path`` is not a local Hive-partitioned parquet dir
     (caller falls back to a scan aggregation).
     """
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
-    if not os.path.isdir(path):
+    dirs = _partition_dirs(path, partition_col)
+    if dirs is None:
         return None
-    dirs = sorted(_glob.glob(os.path.join(path, f"{partition_col}=*")))
-    if not dirs:
-        return None
-    counts: dict[str, int] = {}
     try:
-        for d in dirs:
-            raw = os.path.basename(d).split("=", 1)[1]
-            if raw == HIVE_DEFAULT_PARTITION:
-                # NULL partition value: the string key can never match
-                # str(partition value) downstream, so a metadata-backed
-                # verdict would silently report violation_count=0 for it —
-                # fall back to the distributed roll-up instead
-                return None
-            # Hive URL-encodes special characters in directory names; the
-            # downstream match is against str(partition VALUE), so unescape
-            key = urllib.parse.unquote(raw)
-            counts[key] = sum(
-                pq.read_metadata(f).num_rows for f in _glob.glob(os.path.join(d, "*.parquet"))
-            )
+        return {
+            key: sum(pq.read_metadata(f).num_rows for f in files) for key, files in dirs
+        }
     except Exception:
         # a corrupt footer / in-flight write / non-parquet stray: metadata is
         # an optimization, never a correctness dependency — fall back to the
         # distributed scan roll-up rather than fail the run
         return None
-    return counts
 
 
 def write_violations(
@@ -220,24 +241,16 @@ def partition_ts_range(
     Returns None when the layout isn't Hive-partitioned local parquet or any
     footer lacks statistics (caller falls back to a scan aggregation).
     """
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
-    if not os.path.isdir(path):
-        return None
-    dirs = sorted(_glob.glob(os.path.join(path, f"{partition_col}=*")))
-    if not dirs:
+    dirs = _partition_dirs(path, partition_col)
+    if dirs is None:
         return None
     out: dict[str, tuple] = {}
     try:
-        for d in dirs:
-            raw = os.path.basename(d).split("=", 1)[1]
-            if raw == HIVE_DEFAULT_PARTITION:
-                return None
-            key = urllib.parse.unquote(raw)
+        for key, files in dirs:
             lo = hi = None
-            for f in _glob.glob(os.path.join(d, "*.parquet")):
+            for f in files:
                 md = pq.read_metadata(f)
                 idx = md.schema.names.index(ts_col)
                 for rg in range(md.num_row_groups):

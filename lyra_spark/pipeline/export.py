@@ -23,18 +23,13 @@ file write does. No driver-side data, no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lyra_spark.pipeline.sample import hash_fraction  # noqa: F401  (same family)
-
-# 8 hex chars of md5 → uniform 32-bit uint; DuckDB renders the identical
-# value as ('0x' || substring(md5(id || salt), 1, 8))::BIGINT — the oracle
-# reproduces shard AND order bit-for-bit.
-def hash_uint32(id_col: str, salt: str = "") -> Column:
-    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+# The md5-uint32 construction is defined ONCE in pipeline.sample (every
+# sampler's draw divides the same integer); the oracle rendering lives there.
+from lyra_spark.pipeline.sample import hash_uint32
 
 
 def shuffle_index(

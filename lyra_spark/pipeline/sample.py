@@ -24,20 +24,25 @@ from pyspark.sql import functions as F
 _DENOM = float(1 << 32)
 
 
+def hash_uint32(id_col: str, salt: str = "") -> Column:
+    """Deterministic uniform 32-bit uint keyed on (id, salt) — the single
+    source of the md5 construction every sampler and the shuffle-export
+    build on. DuckDB renders the identical value as
+    ``('0x' || substring(md5(CAST(id AS VARCHAR) || salt), 1, 8))::BIGINT``,
+    so oracles reproduce draws, shards, and orderings bit-for-bit."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
 def hash_fraction(id_col: str, salt: str = "") -> Column:
-    """Deterministic uniform draw in [0, 1) keyed on (id, salt).
-
-    DuckDB-equivalent (the oracle):::
-
-        ('0x' || substring(md5(CAST(id AS VARCHAR) || salt), 1, 8))::BIGINT
-            / 4294967296.0
+    """Deterministic uniform draw in [0, 1) keyed on (id, salt):
+    ``hash_uint32 / 2^32`` (exact division of an integer-valued double).
 
     Changing ``salt`` re-draws every id independently — use one salt per
     decision (split vs sample vs shard) so the same doc is not systematically
     co-selected by unrelated passes.
     """
-    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(_DENOM)
+    return hash_uint32(id_col, salt) / F.lit(_DENOM)
 
 
 def split_by_hash(
@@ -240,10 +245,10 @@ def mixture_sample(
         .collect()
     }
     rates = mixture_rates(totals, targets, float(budget_tokens))
-    rate = F.lit(0.0)
-    for src, r in rates.items():
-        rate = F.when(F.col(source_col) == F.lit(src), F.lit(r)).otherwise(rate)
-    return df.filter(F.col(id_col).isNotNull() & (hash_fraction(id_col, salt) < rate))
+    # the filter stage IS stratified sampling with computed rates: unlisted
+    # and NULL sources keep default=0.0 (dropped), NULL ids never satisfy
+    # NULL < rate — one Bernoulli-dispatch implementation, not two
+    return stratified_sample(df, rates, source_col, id_col=id_col, salt=salt)
 
 
 def deterministic_sample_exact_k(

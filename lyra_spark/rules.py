@@ -289,6 +289,8 @@ def ruleset_from_json(source: str) -> RuleSet:
         raise ValueError("rules config must be a JSON LIST of rule objects")
     rules: list[RuleSpec] = []
     for i, d in enumerate(items):
+        if not isinstance(d, dict):
+            raise ValueError(f"rule #{i}: expected a JSON object, got {type(d).__name__}")
         kind = d.get("kind")
         if kind not in _CONFIG_KINDS:
             raise ValueError(f"rule #{i}: unknown kind {kind!r} (known: {sorted(_CONFIG_KINDS)})")

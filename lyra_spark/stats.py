@@ -550,6 +550,10 @@ def freshness_report(
             ]
         )
         keys = sorted(ranges)
+        if not keys:
+            # every partition dir was empty: an empty report, not a crash
+            # (mirrors the distributed path's output on an empty table)
+            return spark.createDataFrame(pd.DataFrame(columns=schema.fieldNames()), schema)
         maxes = {k: ranges[k][1] for k in keys}
         anchor = as_of if as_of is not None else max(maxes.values())
         rows = [

@@ -734,3 +734,44 @@ def test_cli_rules_config(tmp_path, spark, fixtures_sf0001, capsys):
     mf = ckpt.load_manifest(str(tmp_path / "ck"), "r1")
     fp = ruleset_from_json(str(cfg)).fingerprint()
     assert all(rec.ruleset_fingerprint == fp for rec in mf.records.values())
+
+
+def test_cli_validates_null_partition_rows(tmp_path, spark, fixtures_sf0001):
+    """Rows in the NULL partition dir (__HIVE_DEFAULT_PARTITION__) must NOT
+    escape the loop: they validate under the 'None' scope, and with
+    --check-placement every one of them flags partition_placement."""
+    import shutil
+
+    from jobs.validate import main
+
+    table = str(tmp_path / "transcripts")
+    shutil.copytree(os.path.join(fixtures_sf0001, "transcripts"), table)
+    stray = (
+        spark.read.parquet(table)
+        .filter("part_date IS NOT NULL")
+        .drop("part_date")
+        .limit(3)
+    )
+    stray_keys = {(r.conv_id, r.turn_idx) for r in stray.collect()}
+    stray.write.mode("append").parquet(
+        os.path.join(table, "part_date=__HIVE_DEFAULT_PARTITION__")
+    )
+
+    out = str(tmp_path / "viol")
+    # scope 'None' sorts after every ISO date, so pin the loop to it directly
+    assert lio.partition_scope(spark.read.parquet(table), "None").count() == 3
+    args = [
+        "--table", table,
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--out", out,
+        "--check-placement",
+    ]
+    assert main(args) == 0
+    mf = ckpt.load_manifest(str(tmp_path / "ck"), "r1")
+    assert "None" in mf.records
+    assert mf.records["None"].rows == 3
+    viol = spark.read.parquet(out).filter("rule_id = 'partition_placement'")
+    got = {(r.conv_id, r.turn_idx) for r in viol.collect()}
+    assert stray_keys <= got  # every stray row flags placement

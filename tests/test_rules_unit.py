@@ -332,3 +332,8 @@ def test_ruleset_custom_from_config(spark):
     assert rs.fingerprint() == RuleSet(
         [R.custom("value", lambda s: s < 50, rule_id="under50")]
     ).fingerprint()
+
+
+def test_ruleset_from_json_rejects_non_object_items():
+    with pytest.raises(ValueError, match="expected a JSON object"):
+        R.ruleset_from_json('["required"]')

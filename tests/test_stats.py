@@ -359,3 +359,14 @@ def test_misplaced_violations_unit(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_freshness_report_empty_ranges(spark):
+    """All-empty partition dirs (ranges={}) yield an empty report, not a
+    max()-of-nothing crash."""
+    from lyra_spark.stats import freshness_report
+
+    df = spark.range(0)
+    out = freshness_report(df, ts_col="ts", partition_col="p", ranges={})
+    assert out.count() == 0
+    assert out.columns == ["p", "max_ts", "lag_seconds", "stale"]
