@@ -107,8 +107,26 @@ def main() -> None:
         "pii_scrub",
         "line_dedup",
         "url_stats",
+        "shuffle_shards",
+        "mixture_sample",
+        "freshness",
+        "misplaced_rows",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    # Trailing numeric drift benched as the OPERATOR (one sketch pass +
+    # driver pooling), not the driver query — that one also runs the 7
+    # exact-KS oracle jobs that exist purely to verify the digests.
+    from pyspark.sql import functions as F
+
+    from lyra_spark.drift import numeric_drift_trailing as _ndt
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    prices = li.select(
+        F.year("l_shipdate").cast("string").alias("p"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    timed("numeric_trailing_drift", lambda: _ndt(prices, "x", "p", k=3))
 
     # Clustering benched on its scale path (MinHash-LSH pairs → connected
     # components), NOT the driver query's exact-ngram pair stage — that one
