@@ -1460,6 +1460,33 @@ def q_misplaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (pipeline.sample.split_leakage_safe):
+    the split key is the duplicate-cluster representative (min id over the
+    normalized-content sha256 group), so planted copies (doc_id%7, re-ided
+    +1e6 — the dedup_exact corpus) can never straddle the train/test
+    boundary. One digest exchange + map-only hash split; the oracle
+    reproduces clusters, draws, and the per-split roll-up exactly."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.sample import split_leakage_safe
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    out = split_leakage_safe(corpus, {"train": 0.75, "test": 0.25})
+    dig = F.sha2(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.countDistinct(F.coalesce(dig, F.col("doc_id").cast("string"))).alias("n_clusters"),
+    )
+
+
 def q_numeric_trailing_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window NUMERIC drift (drift.numeric_drift_trailing): each
     ship-year's price t-digest KS-compared against the pooled digest of the
@@ -1586,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "shuffle_shards": q_shuffle_shards,
         "numeric_trailing_drift": q_numeric_trailing_drift,
+        "leakage_safe_split": q_leakage_safe_split,
         "freshness": q_freshness,
         "misplaced_rows": q_misplaced,
         "mixture_sample": q_mixture_sample,
@@ -2140,6 +2168,34 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(ts AS VARCHAR), 'NULL') AS observed_value
             FROM synth
             WHERE ts IS NULL OR part IS NULL OR CAST(ts AS DATE) <> part
+        """,
+        "leakage_safe_split": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+            ),
+            h AS (
+                SELECT doc_id, text,
+                       sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+                FROM corpus
+            ),
+            r AS (
+                SELECT doc_id, ch,
+                       CASE WHEN ch IS NULL THEN doc_id
+                            ELSE MIN(doc_id) OVER (PARTITION BY ch) END AS rep
+                FROM h
+            ),
+            s AS (
+                SELECT doc_id, ch, rep,
+                       CASE WHEN ('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+                                 / 4294967296.0 < 0.75
+                            THEN 'train' ELSE 'test' END AS split
+                FROM r
+            )
+            SELECT split, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum,
+                   COUNT(DISTINCT COALESCE(ch, CAST(doc_id AS VARCHAR))) AS n_clusters
+            FROM s GROUP BY 1
         """,
         "numeric_trailing_drift": """
             SELECT * FROM (VALUES ('1995', TRUE), ('1996', TRUE), ('1997', TRUE),

@@ -277,3 +277,50 @@ def deterministic_sample_exact_k(
         .limit(int(k))
         .drop("__draw__")
     )
+
+
+def split_leakage_safe(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Train/val/test split that CANNOT leak duplicates across splits: the
+    split is keyed on the duplicate-cluster REPRESENTATIVE, not the doc id,
+    so every copy of the same content draws the same uniform and lands in
+    the same split. Splitting by doc id — what `split_by_hash` does, and
+    what naive pipelines do — puts ~w_train·w_test of each duplicate pair's
+    mass across the train/test boundary, and memorized duplicates inflate
+    eval scores exactly there.
+
+    Default clustering is exact content identity: representative = min id
+    over the normalized-content sha256 group (the `exact_duplicates`
+    digest). Pass ``cluster_col`` (e.g. the component id from
+    `dedup_clusters`) to make NEAR-duplicates split-atomic too — then this
+    function is a zero-shuffle map-only relabel.
+
+    Docs with a NULL digest (NULL text) are NOT mutual duplicates: each is
+    its own cluster (keyed by its id) rather than one giant shared-split
+    blob. NULL ids get a NULL split, as in `split_by_hash`.
+
+    Scale shape: ONE exchange on the digest (the same shuffle exact dedup
+    pays; window groups are duplicate clusters — bounded by a content's copy
+    count), then the map-only hash split.
+    """
+    from pyspark.sql import Window
+
+    from lyra_spark.pipeline.dedup import _norm
+
+    if cluster_col is None:
+        digest = F.sha2(_norm(text_col), 256)
+        w = Window.partitionBy(digest)
+        rep = F.when(digest.isNull(), F.col(id_col)).otherwise(F.min(id_col).over(w))
+    else:
+        rep = F.col(cluster_col)
+    out = split_by_hash(
+        df.withColumn("__rep__", rep), weights, id_col="__rep__", salt=salt, out_col=out_col
+    )
+    return out.drop("__rep__")

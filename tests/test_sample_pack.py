@@ -341,3 +341,57 @@ def test_mixture_sample_hits_budget_in_expectation(spark):
         df.repartition(11), {"s0": 0.5, "s1": 0.5}, budget_tokens=60000
     )
     assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_split_leakage_safe_no_cluster_straddles(spark):
+    """Every duplicate cluster lands wholly in one split; the naive id-keyed
+    split leaks on the same corpus (negative control proving the test bites);
+    NULL-text docs each form their own cluster instead of one shared blob."""
+    from lyra_spark.pipeline.sample import split_by_hash, split_leakage_safe
+
+    base = spark.range(0, 1200).selectExpr(
+        "id AS doc_id", "concat('document number ', CAST(id AS STRING)) AS text"
+    )
+    copies = base.filter("doc_id % 3 = 0").selectExpr("doc_id + 100000 AS doc_id", "text")
+    nulls = spark.range(2000, 2050).selectExpr("id AS doc_id", "CAST(NULL AS STRING) AS text")
+    corpus = base.unionByName(copies).unionByName(nulls)
+
+    out = split_leakage_safe(corpus, {"train": 0.8, "test": 0.2})
+    dig = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256)
+    straddlers = (
+        out.filter("text IS NOT NULL")
+        .groupBy(dig.alias("d"))
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert straddlers == 0
+    # NULL-text docs spread over BOTH splits (own-cluster semantics)
+    null_splits = {r.split for r in out.filter("text IS NULL").select("split").distinct().collect()}
+    assert null_splits == {"train", "test"}
+    # negative control: id-keyed split DOES leak pairs across the boundary
+    naive = split_by_hash(corpus, {"train": 0.8, "test": 0.2})
+    leaked = (
+        naive.filter("text IS NOT NULL")
+        .groupBy(dig.alias("d"))
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert leaked > 0
+
+
+def test_split_leakage_safe_cluster_col_near_dups(spark):
+    """cluster_col path: members of a caller-supplied (near-dup) cluster id
+    split atomically, map-only (no digest window)."""
+    from lyra_spark.pipeline.sample import split_leakage_safe
+
+    df = spark.range(0, 900).selectExpr(
+        "id AS doc_id", "CAST(id % 300 AS LONG) AS comp"
+    )
+    out = split_leakage_safe(df, {"a": 0.5, "b": 0.5}, cluster_col="comp")
+    bad = (
+        out.groupBy("comp").agg(F.countDistinct("split").alias("k")).filter("k > 1").count()
+    )
+    assert bad == 0
+    assert out.select("split").distinct().count() == 2
