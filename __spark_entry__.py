@@ -1460,6 +1460,50 @@ def q_misplaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan multi-column drift sketching (drift.sketch_columns_by_
+    partition): t-digests for THREE lineitem measures built in a single
+    pass (the per-column path re-reads the table k times — the scan is the
+    cost at 10¹² rows). Each column's merged global digest is rank-checked
+    in ONE aggregate: |rank(v_q) − q| ≤ 0.01 (tdigest_tolerance pattern).
+    Oracle expects every boolean TRUE."""
+    ensure_shipped(spark)
+    import pandas as pd
+
+    from lyra_spark.drift import collect_digests, global_digest, sketch_columns_by_partition
+
+    li = _read(spark, sf_dir, "lineitem")
+    # the TPC-H Q1 revenue measures: continuous by construction (discrete
+    # columns like l_quantity put quantiles on atom boundaries where a rank
+    # gate is ill-posed)
+    cols = [
+        "l_extendedprice",
+        "l_extendedprice * (1 - l_discount)",
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+    ]
+    multi = sketch_columns_by_partition(li, cols, "l_returnflag")
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    checks = []  # (column, quantile, value)
+    for c in cols:
+        gd = global_digest(collect_digests(multi.filter(F.col("column") == c).drop("column")))
+        for q, v in zip(qs, gd.quantile(qs)):
+            checks.append((c, q, float(v)))
+    ranks_row = li.agg(
+        *[
+            F.avg((F.expr(c).cast("double") <= F.lit(v)).cast("double")).alias(f"r{i}")
+            for i, (c, _, v) in enumerate(checks)
+        ]
+    ).collect()[0]
+    out = pd.DataFrame(
+        {
+            "column": [c for c, _, _ in checks],
+            "quantile": [q for _, q, _ in checks],
+            "ok": [abs(ranks_row[f"r{i}"] - q) <= 0.01 for i, (_, q, _) in enumerate(checks)],
+        }
+    )
+    return spark.createDataFrame(out)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split (pipeline.sample.split_leakage_safe):
     the split key is the duplicate-cluster representative (min id over the
@@ -1614,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "numeric_trailing_drift": q_numeric_trailing_drift,
         "leakage_safe_split": q_leakage_safe_split,
+        "multi_sketch": q_multi_sketch,
         "freshness": q_freshness,
         "misplaced_rows": q_misplaced,
         "mixture_sample": q_mixture_sample,
@@ -2168,6 +2213,25 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(ts AS VARCHAR), 'NULL') AS observed_value
             FROM synth
             WHERE ts IS NULL OR part IS NULL OR CAST(ts AS DATE) <> part
+        """,
+        "multi_sketch": """
+            SELECT * FROM (VALUES
+                ('l_extendedprice', CAST(0.05 AS DOUBLE), TRUE),
+                ('l_extendedprice', CAST(0.25 AS DOUBLE), TRUE),
+                ('l_extendedprice', CAST(0.5 AS DOUBLE), TRUE),
+                ('l_extendedprice', CAST(0.75 AS DOUBLE), TRUE),
+                ('l_extendedprice', CAST(0.95 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount)', CAST(0.05 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount)', CAST(0.25 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount)', CAST(0.5 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount)', CAST(0.75 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount)', CAST(0.95 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount) * (1 + l_tax)', CAST(0.05 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount) * (1 + l_tax)', CAST(0.25 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount) * (1 + l_tax)', CAST(0.5 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount) * (1 + l_tax)', CAST(0.75 AS DOUBLE), TRUE),
+                ('l_extendedprice * (1 - l_discount) * (1 + l_tax)', CAST(0.95 AS DOUBLE), TRUE)
+            ) AS t("column", quantile, ok)
         """,
         "leakage_safe_split": """
             WITH corpus AS (

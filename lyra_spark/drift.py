@@ -60,6 +60,63 @@ def sketch_by_partition(
     return batch_blobs.groupBy("part_key").applyInPandas(merge_group, schema=SKETCH_SCHEMA)
 
 
+MULTI_SKETCH_SCHEMA = "part_key string, column string, sketch binary, n long"
+
+
+def sketch_columns_by_partition(
+    df: DataFrame,
+    value_cols: list,
+    partition_col: str = "part_date",
+    delta: int = 200,
+) -> DataFrame:
+    """Per-(partition, column) t-digest blobs for SEVERAL columns from ONE
+    scan. At 10¹²-row scale the scan IS the cost of drift monitoring —
+    sketch_by_partition per column re-reads the table k times for a k-column
+    dashboard; this builds all k digests per Arrow batch in a single pass
+    (k× less IO, identical digests up to merge order).
+
+    ``value_cols``: list of column names or expression strings; each names
+    its output slice (the expression string itself for expressions).
+    Output rows are (part_key, column, sketch, n); slice one column with
+    ``.filter(col==c).drop("column")`` and every SKETCH_SCHEMA consumer
+    (collect_digests, drift_verdicts, save_reference) works unchanged.
+    """
+    exprs = [(c, F.expr(c).cast("double").alias(f"v{i}")) for i, c in enumerate(value_cols)]
+    src = df.select(
+        F.col(partition_col).cast("string").alias("part_key"), *[e for _, e in exprs]
+    )
+    names = [c for c, _ in exprs]
+
+    def batch_sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, g in pdf.groupby("part_key", sort=False):
+                for i, name in enumerate(names):
+                    v = g[f"v{i}"].dropna()
+                    if len(v):
+                        d = TDigest.from_values(v.to_numpy(dtype=np.float64), delta)
+                        rows.append((key, name, d.to_bytes(), len(v)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["part_key", "column", "sketch", "n"])
+
+    blobs = src.mapInPandas(batch_sketch, schema=MULTI_SKETCH_SCHEMA)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = merge_all([TDigest.from_bytes(b) for b in pdf["sketch"]])
+        return pd.DataFrame(
+            {
+                "part_key": [pdf["part_key"].iloc[0]],
+                "column": [pdf["column"].iloc[0]],
+                "sketch": [merged.to_bytes()],
+                "n": [int(pdf["n"].sum())],
+            }
+        )
+
+    return blobs.groupBy("part_key", "column").applyInPandas(
+        merge_group, schema=MULTI_SKETCH_SCHEMA
+    )
+
+
 def collect_digests(sketches: DataFrame) -> dict[str, TDigest]:
     """Driver-side: part_key → TDigest. Input is one small row per partition."""
     return {r["part_key"]: TDigest.from_bytes(r["sketch"]) for r in sketches.collect()}

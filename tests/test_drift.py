@@ -284,3 +284,34 @@ def test_numeric_drift_trailing_small_partitions_noise_guard(spark):
     out = numeric_drift_trailing(df, "x", "p", k=3)
     assert all(out["pass"])
     assert (out["threshold"].iloc[1:] > 0.10).all()  # noise-aware cut engaged
+
+
+def test_sketch_columns_single_scan_matches_per_column(spark, fixtures_sf0001):
+    """One-scan multi-column sketching agrees with the per-column path
+    (CDF gap ≤ 0.005 — merge order may shuffle centroids, distributions
+    must not move) and its plan reads the table ONCE."""
+    from lyra_spark.drift import (
+        collect_digests,
+        ks_statistic,
+        sketch_by_partition,
+        sketch_columns_by_partition,
+    )
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    cols = ["cast(length(text) as double)", "cast(turn_idx as double)"]
+    multi = sketch_columns_by_partition(tdf, cols, "part_date")
+    for c in cols:
+        single = collect_digests(sketch_by_partition(tdf, c, "part_date"))
+        sliced = collect_digests(multi.filter(F.col("column") == c).drop("column"))
+        assert set(single) == set(sliced)
+        for k in single:
+            assert ks_statistic(single[k], sliced[k]) <= 0.005
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        multi.explain("formatted")
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.MULTILINE)) == 1
