@@ -881,3 +881,79 @@ def test_clean_corpus_preserves_input_feature_named_columns(spark):
     got = {r.doc_id: r.n_chars for r in out.collect()}
     assert got == {0: 777, 1: 888}
     assert out.columns[:3] == ["doc_id", "text", "n_chars"]
+
+
+def test_export_cli_end_to_end(tmp_path, spark, capsys):
+    """jobs/export.py: mixture → leakage-safe split → pack → shards. Layout
+    is split=*/shard=*, splits are disjoint, no duplicate cluster straddles
+    train/test, pack columns present, report totals consistent, and a rerun
+    is byte-identical."""
+    import glob
+    import json as _json
+    import os
+
+    from jobs.export import main
+
+    corpus = str(tmp_path / "corpus")
+    (
+        spark.range(0, 1200)
+        .selectExpr(
+            "id AS doc_id",
+            "concat('doc number ', CAST(id % 400 AS STRING)) AS text",  # planted dups
+            "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'books' END AS source",
+            "CAST(50 + id % 100 AS LONG) AS n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(corpus)
+    )
+    out = str(tmp_path / "export")
+    args = [
+        "--corpus", corpus,
+        "--out", out,
+        "--shards", "4",
+        "--mixture", "web=0.5,books=0.5",
+        "--mixture-budget", "60000",
+        "--split-weights", "train=0.8,test=0.2",
+        "--leakage-safe",
+        "--pack-budget", "512",
+    ]
+    assert main(args) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(report["splits"]) == {"train", "test"}
+
+    train = spark.read.parquet(os.path.join(out, "split=train"))
+    test = spark.read.parquet(os.path.join(out, "split=test"))
+    assert {"shard", "position", "pack_id", "pack_offset"} <= set(train.columns)
+    assert len(glob.glob(os.path.join(out, "split=train", "shard=*"))) == 4
+    # disjoint splits; totals match the report
+    ids_train = {r.doc_id for r in train.select("doc_id").collect()}
+    ids_test = {r.doc_id for r in test.select("doc_id").collect()}
+    assert not (ids_train & ids_test)
+    assert report["splits"]["train"]["docs"] == len(ids_train)
+    assert report["splits"]["test"]["docs"] == len(ids_test)
+    # leakage-safety: no normalized-content digest spans both splits
+    both = train.select("doc_id", "text").unionByName(test.select("doc_id", "text"))
+    labeled = both.withColumn(
+        "s", F.col("doc_id").isin(list(ids_train)).cast("int")
+    )
+    dig = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256)
+    straddle = (
+        labeled.groupBy(dig.alias("d"))
+        .agg(F.countDistinct("s").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert straddle == 0
+    # deterministic rerun: same bytes per shard dir
+    import hashlib
+
+    def dir_hash(d):
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    h1 = dir_hash(out)
+    assert main(args) == 0
+    capsys.readouterr()
+    assert dir_hash(out) == h1
