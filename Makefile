@@ -1,3 +1,5 @@
+.PHONY: dist test bench oracle
+
 dist:
 	mkdir -p dist && python -c "import shutil; shutil.make_archive('dist/lyra_spark', 'zip', root_dir='.', base_dir='lyra_spark')"
 
