@@ -1460,6 +1460,48 @@ def q_misplaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-sink reconciliation (checks.reconcile_tables): events vs a
+    'migrated' copy with planted damage — 3 dropped rows on one day
+    (count+content mismatch) and one value changed on another (count MATCH,
+    content mismatch — the silent-corruption verdict row counts alone
+    bless). Per-partition order-independent md5-sum checksums, map-side
+    partials, one constant-buffer exchange per side."""
+    ensure_shipped(spark)
+    from lyra_spark.checks import reconcile_tables
+
+    events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = events.select(
+        "event_id", "event_type", "value",
+        F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("day"),
+    )
+    damaged = ev.filter(
+        ~((F.col("day") == "2024-01-03") & (F.col("event_id") % 500 == 0))
+    ).withColumn(
+        "value",
+        F.when(
+            (F.col("day") == "2024-01-05") & (F.col("event_id") % 777 == 0),
+            F.col("value") + 1.0,
+        ).otherwise(F.col("value")),
+    )
+
+    # checksum floats as scaled integers: double→string rendering differs
+    # across engines (scientific-notation thresholds), floor(v*1e6) doesn't
+    def scaled(df):
+        return df.select(
+            "event_id", "event_type",
+            F.floor(F.col("value") * 1e6).cast("long").alias("value_u"), "day",
+        )
+
+    out = reconcile_tables(
+        scaled(ev), scaled(damaged), key_cols=["event_id"],
+        value_cols=["event_type", "value_u"], partition_col="day",
+    )
+    return out.select(
+        "partition", "n_left", "n_right", "count_match", "content_match"
+    )
+
+
 def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan multi-column drift sketching (drift.sketch_columns_by_
     partition): t-digests for THREE lineitem measures built in a single
@@ -1659,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_trailing_drift": q_numeric_trailing_drift,
         "leakage_safe_split": q_leakage_safe_split,
         "multi_sketch": q_multi_sketch,
+        "reconcile": q_reconcile,
         "freshness": q_freshness,
         "misplaced_rows": q_misplaced,
         "mixture_sample": q_mixture_sample,
@@ -2213,6 +2256,43 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(ts AS VARCHAR), 'NULL') AS observed_value
             FROM synth
             WHERE ts IS NULL OR part IS NULL OR CAST(ts AS DATE) <> part
+        """,
+        "reconcile": """
+            WITH ev AS (
+                SELECT event_id, event_type, value,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+                FROM events WHERE ts IS NOT NULL
+            ),
+            dam AS (
+                SELECT event_id, event_type,
+                       CASE WHEN day = '2024-01-05' AND event_id % 777 = 0
+                            THEN value + 1.0 ELSE value END AS value,
+                       day
+                FROM ev
+                WHERE NOT (day = '2024-01-03' AND event_id % 500 = 0)
+            ),
+            lh AS (
+                SELECT day, COUNT(*) AS n_left,
+                       SUM(('0x' || substring(md5(
+                           COALESCE(CAST(event_id AS VARCHAR), '<NULL>') || chr(31) ||
+                           COALESCE(event_type, '<NULL>') || chr(31) ||
+                           COALESCE(CAST(CAST(FLOOR(value * 1000000.0) AS BIGINT) AS VARCHAR), '<NULL>')
+                       ), 1, 15))::BIGINT) AS c_left
+                FROM ev GROUP BY 1
+            ),
+            rh AS (
+                SELECT day, COUNT(*) AS n_right,
+                       SUM(('0x' || substring(md5(
+                           COALESCE(CAST(event_id AS VARCHAR), '<NULL>') || chr(31) ||
+                           COALESCE(event_type, '<NULL>') || chr(31) ||
+                           COALESCE(CAST(CAST(FLOOR(value * 1000000.0) AS BIGINT) AS VARCHAR), '<NULL>')
+                       ), 1, 15))::BIGINT) AS c_right
+                FROM dam GROUP BY 1
+            )
+            SELECT COALESCE(lh.day, rh.day) AS partition, n_left, n_right,
+                   n_left IS NOT DISTINCT FROM n_right AS count_match,
+                   c_left IS NOT DISTINCT FROM c_right AS content_match
+            FROM lh FULL OUTER JOIN rh ON lh.day = rh.day
         """,
         "multi_sketch": """
             SELECT * FROM (VALUES

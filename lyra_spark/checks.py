@@ -338,3 +338,62 @@ def misplaced_violations(
         F.lit(rule_id).alias("rule_id"),
         F.coalesce(F.col(ts_col).cast("string"), F.lit("NULL")).alias("observed_value"),
     )
+
+
+RECONCILE_RULE = "reconcile"
+
+
+def reconcile_tables(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Source-vs-sink reconciliation: did the copy / migration / export
+    preserve the data? Per partition (or one global row), each side reduces
+    to (row count, content checksum) where the checksum is the SUM of a
+    per-row md5-derived 60-bit integer over ``key_cols + value_cols`` —
+    order-independent and associative, so it map-side partial-aggregates
+    and never shuffles raw rows; each side's cost is one scan + one
+    constant-buffer exchange. A count match with a checksum mismatch is the
+    interesting verdict: same volume, different content (the silent-
+    corruption case row counts alone bless).
+
+    NULLs hash as an explicit sentinel per column (a NULL→'' coercion would
+    collide with empty strings and pass falsely). The 60-bit row hash keeps
+    the DuckDB oracle exact (signed-64 safe); collisions need ~2^30 rows per
+    partition to reach birthday odds, and a colliding PAIR would still have
+    to slip in alongside an identical row count to false-pass.
+
+    Returns (partition, n_left, n_right, checksum_left, checksum_right,
+    count_match, content_match) — a full OUTER join over the tiny
+    per-partition grids, so a partition present on only one side surfaces
+    with NULLs on the other rather than vanishing.
+    """
+    cols = list(key_cols) + list(value_cols or [])
+    sep = "\x1f"
+
+    def grid(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        row_str = F.concat_ws(
+            sep, *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+        )
+        row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
+        keys = [F.col(partition_col).cast("string").alias("part")] if partition_col else []
+        agg = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(n_name), F.sum(row_hash).alias(c_name)
+        )
+        return agg if partition_col else agg.withColumn("part", F.lit("<all>"))
+
+    g = grid(left, "n_left", "checksum_left").join(
+        grid(right, "n_right", "checksum_right"), "part", "full_outer"
+    )
+    return g.select(
+        F.col("part").alias("partition"),
+        "n_left",
+        "n_right",
+        "checksum_left",
+        "checksum_right",
+        (F.col("n_left").eqNullSafe(F.col("n_right"))).alias("count_match"),
+        (F.col("checksum_left").eqNullSafe(F.col("checksum_right"))).alias("content_match"),
+    )

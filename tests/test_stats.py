@@ -370,3 +370,29 @@ def test_freshness_report_empty_ranges(spark):
     out = freshness_report(df, ts_col="ts", partition_col="p", ranges={})
     assert out.count() == 0
     assert out.columns == ["p", "max_ts", "lag_seconds", "stale"]
+
+
+def test_reconcile_tables_unit(spark):
+    """Count-match-content-mismatch (silent corruption), one-side-only
+    partitions, NULL-vs-empty-string distinctness, and the all-clear."""
+    from lyra_spark.checks import reconcile_tables
+
+    left = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, None, "d2"), (4, "x", "d3")],
+        "id int, v string, p string",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "", "d2"), (5, "y", "d4")],
+        "id int, v string, p string",
+    )
+    out = {r.partition: r for r in reconcile_tables(
+        left, right, ["id"], ["v"], partition_col="p"
+    ).collect()}
+    assert out["d1"].count_match and out["d1"].content_match
+    # NULL must not collide with empty string: same count, different content
+    assert out["d2"].count_match and not out["d2"].content_match
+    assert out["d3"].n_right is None and not out["d3"].count_match
+    assert out["d4"].n_left is None and not out["d4"].count_match
+    # global mode: one row, mismatching
+    g = reconcile_tables(left, right, ["id"], ["v"]).collect()
+    assert len(g) == 1 and not g[0].content_match
