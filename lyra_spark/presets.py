@@ -83,6 +83,8 @@ def run_suite(
     partition_col: str = "part_date",
     ruleset: RuleSet | None = None,
     input_path: str | None = None,
+    check_placement: bool = False,
+    transitions: set | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Write-then-reuse execution of the full suite — the production shape.
 
@@ -92,6 +94,12 @@ def run_suite(
     without adaptive execution — measured ~2x slower than this). Returns
     (violations read back, verdicts).
 
+    ``check_placement``: also run the partition-placement check (date(ts)
+    must equal the partition value — checks.misplaced_violations); its
+    violations merge into the sink and the verdict grid, exactly as the CLI
+    --check-placement does. ``transitions``: an allowed (prev_role, role)
+    set enables the sequence-structure check the same way.
+
     ``input_path``: the Hive-partitioned parquet dir ``df`` reads, UNFILTERED.
     When given, per-partition row counts come from table METADATA (parquet
     footers here; Iceberg manifest record-counts in prod) and the verdict grid
@@ -99,20 +107,37 @@ def run_suite(
     scan and no join stages. Without it, verdicts fall back to the
     distributed compute_verdicts roll-up."""
     from lyra_spark import io as lio
-    from lyra_spark.checks import MONO_RULE, UNIQ_RULE
+    from lyra_spark.checks import MONO_RULE, PLACEMENT_RULE, TRANSITION_RULE, UNIQ_RULE
     from lyra_spark.engine import compute_verdicts
     from lyra_spark.fused import REF_RULE, validate_transcripts_fused
 
     ruleset = ruleset or transcript_ruleset()
     res = validate_transcripts_fused(df, tools_dim, ruleset, partition_col=partition_col, persist=False)
-    lio.write_violations(res.violations, out_dir, partition_col=partition_col)
+    violations = res.violations
+    if transitions is not None:
+        from lyra_spark.checks import transition_violations
+
+        violations = violations.unionByName(
+            transition_violations(df, transitions, partition_col=partition_col)
+        )
+    if check_placement:
+        from lyra_spark.checks import misplaced_violations
+
+        violations = violations.unionByName(
+            misplaced_violations(df, partition_col=partition_col)
+        )
+    lio.write_violations(violations, out_dir, partition_col=partition_col)
     # explicit schema: a clean run writes only _SUCCESS (no parquet files) and
     # schema inference would throw UNABLE_TO_INFER_SCHEMA on the empty sink
-    viol = df.sparkSession.read.schema(res.violations.schema).parquet(out_dir)
+    viol = df.sparkSession.read.schema(violations.schema).parquet(out_dir)
     rule_ids = [r.rule_id for r in ruleset.checks]
     for extra in (REF_RULE, UNIQ_RULE, MONO_RULE):
         if extra not in rule_ids:
             rule_ids.append(extra)
+    if transitions is not None:
+        rule_ids.append(TRANSITION_RULE)
+    if check_placement:
+        rule_ids.append(PLACEMENT_RULE)
     counts = lio.partition_row_counts(input_path, partition_col) if input_path else None
     if counts is None:
         verd = compute_verdicts(df, viol, rule_ids, partition_col)

@@ -87,3 +87,29 @@ def test_determinism_two_runs_identical(spark, loaded):
     a = validate_transcripts(tdf, dim).violations_sorted().toPandas()
     b = validate_transcripts(tdf, dim).violations_sorted().toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_run_suite_placement_and_transitions_options(tmp_path, spark, fixtures_sf0001):
+    """Library-surface parity with the CLI flags: run_suite(check_placement,
+    transitions) merges both checks into the sink AND the verdict grid."""
+    import os as _os
+
+    from lyra_spark.presets import run_suite
+
+    table = _os.path.join(fixtures_sf0001, "transcripts")
+    tdf = spark.read.parquet(table)
+    dim = spark.read.parquet(_os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    allowed = {("system", "user"), ("user", "assistant"), ("assistant", "user"),
+               ("assistant", "tool"), ("tool", "assistant"), ("tool", "user"),
+               ("tool", "tool"), ("user", "tool")}
+    viol, verd = run_suite(
+        tdf, dim, str(tmp_path / "sink"), input_path=table,
+        check_placement=True, transitions=allowed,
+    )
+    grid_rules = {r.rule_id for r in verd.select("rule_id").distinct().collect()}
+    assert {"partition_placement", "role_transition"} <= grid_rules
+    # fixture rows are all well-placed: placement passes everywhere
+    pl = verd.filter("rule_id = 'partition_placement'").toPandas()
+    assert pl["pass"].all() and (pl["violation_count"] == 0).all()
+    # the injected bad roles must produce transition violations in the sink
+    assert viol.filter("rule_id = 'role_transition'").count() > 0
