@@ -266,3 +266,35 @@ def partition_ts_range(
         # metadata is an optimization, never a correctness dependency
         return None
     return out
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table range-sorted on ``sort_cols`` — the data-SKIPPING
+    layout. Parquet writes min/max statistics per row group; when a file's
+    row groups cover disjoint slices of the sort key, a selective filter
+    reads only the groups whose [min, max] intersect it and skips the rest
+    at the footer. At 100 TB this is the difference between scanning the
+    table and scanning the slice: the layout complement of
+    ``write_bucketed`` (which co-locates JOINS; this prunes FILTERS — on
+    Iceberg the pair is `bucket(N, col)` vs a sort order).
+
+    One repartitionByRange exchange (range boundaries from a sample) +
+    in-partition sort, both paid once at write; ``target_files`` sizes the
+    output (None = session shuffle parallelism). Skew in the sort key is
+    absorbed by the range partitioner's sampling — hot values span several
+    consecutive files rather than one giant one.
+    """
+    if not sort_cols:
+        raise ValueError("sort_cols must name at least one column")
+    cols = [F.col(c) for c in sort_cols]
+    shaped = (
+        df.repartitionByRange(*( [target_files] if target_files else [] ), *cols)
+        .sortWithinPartitions(*cols)
+    )
+    shaped.write.mode(mode).parquet(path)
