@@ -395,3 +395,39 @@ def test_split_leakage_safe_cluster_col_near_dups(spark):
     )
     assert bad == 0
     assert out.select("split").distinct().count() == 2
+
+
+def test_mixture_rates_properties():
+    """Hypothesis: rates stay in [0,1]; budget-monotone; only listed sources
+    appear; saturation never redistributes mass to other sources."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lyra_spark.pipeline.sample import mixture_rates
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        totals=st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.floats(min_value=0.0, max_value=1e9, allow_nan=False),
+            min_size=1,
+        ),
+        shares=st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.floats(min_value=1e-6, max_value=10.0, allow_nan=False),
+            min_size=1,
+        ),
+        budget=st.floats(min_value=1.0, max_value=1e9, allow_nan=False),
+    )
+    def check(totals, shares, budget):
+        r1 = mixture_rates(totals, shares, budget)
+        assert set(r1) == set(shares)
+        for s, v in r1.items():
+            assert 0.0 <= v <= 1.0
+            if totals.get(s, 0.0) <= 0:
+                assert v == 0.0
+        r2 = mixture_rates(totals, shares, budget * 2)
+        for s in shares:
+            assert r2[s] >= r1[s]  # more budget never lowers a rate
+
+    check()
