@@ -1512,7 +1512,7 @@ def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
     import pandas as pd
 
-    from lyra_spark.drift import collect_digests, global_digest, sketch_columns_by_partition
+    from lyra_spark.drift import sketch_columns_by_partition
 
     li = _read(spark, sf_dir, "lineitem")
     # the TPC-H Q1 revenue measures: continuous by construction (discrete
@@ -1524,10 +1524,18 @@ def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
     ]
     multi = sketch_columns_by_partition(li, cols, "l_returnflag")
+    # ONE action over the multi-sketch frame: per-column .filter().collect()
+    # would re-run the sketch scan k times — the exact cost this operator
+    # exists to avoid
+    from lyra_spark.sketch.tdigest import TDigest, merge_all
+
+    by_col: dict[str, list] = {}
+    for r in multi.collect():
+        by_col.setdefault(r["column"], []).append(TDigest.from_bytes(r["sketch"]))
     qs = [0.05, 0.25, 0.5, 0.75, 0.95]
     checks = []  # (column, quantile, value)
     for c in cols:
-        gd = global_digest(collect_digests(multi.filter(F.col("column") == c).drop("column")))
+        gd = merge_all(by_col[c])
         for q, v in zip(qs, gd.quantile(qs)):
             checks.append((c, q, float(v)))
     ranks_row = li.agg(

@@ -17,10 +17,11 @@ Stage order and what each costs:
   2. split    — map-only (or one digest exchange with --leakage-safe, which
                 keys the split on duplicate-cluster representatives so no
                 duplicate pair straddles train/test);
-  3. pack     — per split: one range exchange + O(P) driver offsets + a
-                map-only Arrow cumsum (adds pack_id/pack_offset columns);
-  4. shards   — per split: ONE exchange on the uniform shard key, dirs
-                out/<split>/shard=K in global-shuffle order.
+  3. shards   — per split: ONE exchange on the uniform shard key, dirs
+                out/<split>/shard=K in global-shuffle order;
+  4. pack     — SHARD-LOCAL (pack_id, pack_offset) via a window on the
+                shard partitioning the shuffle already established (zero
+                extra exchange); a pack never straddles two shard files.
 
 Prints a one-line JSON report (docs and tokens per split, shard count).
 """
@@ -38,17 +39,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lyra_spark.session import get_spark
 
 
-def _parse_weights(text: str) -> dict[str, float]:
+def _parse_weights(text: str, flag: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for part in text.split(","):
         if not part.strip():
             continue
         name, _, val = part.partition("=")
         if not _:
-            raise SystemExit(f"--weights entries must be name=value, got {part!r}")
+            raise SystemExit(f"{flag} entries must be name=value, got {part!r}")
         out[name.strip()] = float(val)
     if not out:
-        raise SystemExit("empty weights")
+        raise SystemExit(f"{flag}: empty weights")
     return out
 
 
@@ -76,8 +77,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(normalized-content sha256 min-id) so no duplicate pair "
                          "straddles a split boundary")
     ap.add_argument("--pack-budget", type=int, default=None,
-                    help="add (pack_id, pack_offset) per split: concat-and-chunk "
-                         "token packing at this budget")
+                    help="add SHARD-LOCAL (pack_id, pack_offset): concat-and-chunk "
+                         "token packing in shuffle order, restarting per shard so a "
+                         "pack never straddles two shard files (global pack identity "
+                         "is the pair (shard, pack_id))")
     ap.add_argument("--salt", default="",
                     help="re-draws every decision (mixture, split, shuffle) — version "
                          "the export by changing it; same salt = byte-identical rerun")
@@ -106,7 +109,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.mixture:
         docs = mixture_sample(
             docs,
-            _parse_weights(args.mixture),
+            _parse_weights(args.mixture, "--mixture"),
             budget_tokens=args.mixture_budget,
             token_col=args.token_col,
             source_col=args.source_col,
@@ -115,7 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if args.split_weights:
-        weights = _parse_weights(args.split_weights)
+        weights = _parse_weights(args.split_weights, "--split-weights")
         if args.leakage_safe:
             docs = split_leakage_safe(
                 docs, weights, text_col=args.text_col, id_col=args.id_col,
@@ -136,22 +139,28 @@ def main(argv: list[str] | None = None) -> int:
     docs = docs.localCheckpoint(eager=False)
 
     report: dict = {"docs_in": n_in, "splits": {}, "shards_per_split": args.shards}
+    has_tokens = args.token_col in docs.columns
+    if args.pack_budget and not has_tokens:
+        raise SystemExit(f"--pack-budget needs --token-col {args.token_col!r} in the corpus")
     for name in splits:
         part = docs.filter(F.col("split") == name).drop("split")
-        if args.pack_budget:
-            from lyra_spark.pipeline.pack import pack_sequences
-
-            part = pack_sequences(
-                part, budget=args.pack_budget, token_col=args.token_col, id_col=args.id_col
-            )
         dest = os.path.join(args.out, f"split={name}")
-        write_shards(part, dest, args.shards, id_col=args.id_col, salt=args.salt + "|shuffle")
+        write_shards(
+            part, dest, args.shards, id_col=args.id_col, salt=args.salt + "|shuffle",
+            pack_budget=args.pack_budget, token_col=args.token_col,
+        )
         written = spark.read.parquet(dest)
-        stats = written.agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum(F.coalesce(F.col(args.token_col).cast("long"), F.lit(0))).alias("tokens"),
-        ).collect()[0]
-        report["splits"][name] = {"docs": stats["docs"], "tokens": stats["tokens"] or 0, "path": dest}
+        aggs = [F.count(F.lit(1)).alias("docs")]
+        if has_tokens:
+            aggs.append(
+                F.sum(F.coalesce(F.col(args.token_col).cast("long"), F.lit(0))).alias("tokens")
+            )
+        stats = written.agg(*aggs).collect()[0]
+        report["splits"][name] = {
+            "docs": stats["docs"],
+            **({"tokens": stats["tokens"] or 0} if has_tokens else {}),
+            "path": dest,
+        }
 
     report["sec"] = round(time.time() - t0, 3)
     line = json.dumps(report)

@@ -379,7 +379,14 @@ def reconcile_tables(
             sep, *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
         )
         row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
-        keys = [F.col(partition_col).cast("string").alias("part")] if partition_col else []
+        # NULL partition values must MATCH across sides (identically-copied
+        # NULL-partition rows are not corruption) — sentinel them like the
+        # hashed columns; a full_outer equi-join never equates NULL keys
+        keys = (
+            [F.coalesce(F.col(partition_col).cast("string"), F.lit("<NULL>")).alias("part")]
+            if partition_col
+            else []
+        )
         agg = df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias(n_name), F.sum(row_hash).alias(c_name)
         )

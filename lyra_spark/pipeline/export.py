@@ -71,6 +71,8 @@ def write_shards(
     n_shards: int,
     id_col: str = "doc_id",
     salt: str = "shuffle",
+    pack_budget: int | None = None,
+    token_col: str = "n_tokens",
 ) -> None:
     """Materialize the shuffled corpus as ``path/shard=K/`` parquet dirs,
     rows inside each shard stored in permutation order (parquet preserves
@@ -83,12 +85,55 @@ def write_shards(
     directories and `sortWithinPartitions(shard, position)` keeps each dir
     internally ordered. Rewriting with the same inputs is byte-stable: every
     row's (shard, position, bytes) is a pure function of the data.
+
+    ``pack_budget`` adds SHARD-LOCAL (pack_id, pack_offset) columns via
+    pack_within_shards — packing must follow the shuffle layout (packing
+    before it would scatter each pack's members across shards), and the
+    window rides the same shard partitioning, so it costs no extra
+    exchange.
     """
     out = shuffle_index(df, n_shards, id_col=id_col, salt=salt)
+    if pack_budget is not None:
+        out = pack_within_shards(out, pack_budget, token_col=token_col)
     (
         out.repartition(int(n_shards), "shard")
         .sortWithinPartitions("shard", "position")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
+    )
+
+
+def pack_within_shards(
+    indexed: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    shard_col: str = "shard",
+    position_col: str = "position",
+    out_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Add SHARD-LOCAL (pack_id, pack_offset) to a shuffle-indexed frame:
+    concat-and-chunk packing in permutation order, restarting at every
+    shard, so a pack NEVER straddles two shard files — a loader streams one
+    shard and assembles its packs contiguously. (Global id-ordered packing
+    before the shuffle would be scattered across shards by it; packing must
+    follow the layout, not precede it.)
+
+    Zero extra exchange: the running token sum is a window over the SAME
+    (shard) partitioning the shuffle index already established. Global pack
+    identity is the PAIR (shard, pack_id). NULL token counts pack as 0,
+    like pack_sequences.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(position_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    cum = F.coalesce(F.sum(tok).over(w), F.lit(0))
+    return indexed.withColumn(out_col, (cum / F.lit(int(budget))).cast("long")).withColumn(
+        offset_col, cum - F.col(out_col) * F.lit(int(budget))
     )

@@ -304,7 +304,12 @@ def split_leakage_safe(
 
     Docs with a NULL digest (NULL text) are NOT mutual duplicates: each is
     its own cluster (keyed by its id) rather than one giant shared-split
-    blob. NULL ids get a NULL split, as in `split_by_hash`.
+    blob — and the window partitions on coalesce(digest, id) so those rows
+    never pool into one unbounded NULL group either. A NULL-id doc whose
+    CONTENT duplicates a real doc follows its cluster into that cluster's
+    split (leakage-safety outranks split_by_hash's NULL-id quarantine here:
+    quarantining the copy would still leak its twin's content); only
+    NULL-id + NULL-digest docs get a NULL split.
 
     Scale shape: ONE exchange on the digest (the same shuffle exact dedup
     pays; window groups are duplicate clusters — bounded by a content's copy
@@ -314,10 +319,14 @@ def split_leakage_safe(
 
     from lyra_spark.pipeline.dedup import _norm
 
+    if "__rep__" in df.columns:
+        raise ValueError("input must not contain the reserved column '__rep__'")
     if cluster_col is None:
         digest = F.sha2(_norm(text_col), 256)
-        w = Window.partitionBy(digest)
-        rep = F.when(digest.isNull(), F.col(id_col)).otherwise(F.min(id_col).over(w))
+        # NULL digests fall back to the id key: singleton window groups, so
+        # a corpus with 10^9 NULL-text rows never funnels them into one task
+        w = Window.partitionBy(F.coalesce(digest, F.col(id_col).cast("string")))
+        rep = F.coalesce(F.min(id_col).over(w), F.col(id_col))
     else:
         rep = F.col(cluster_col)
     out = split_by_hash(

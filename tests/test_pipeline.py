@@ -925,6 +925,16 @@ def test_export_cli_end_to_end(tmp_path, spark, capsys):
     test = spark.read.parquet(os.path.join(out, "split=test"))
     assert {"shard", "position", "pack_id", "pack_offset"} <= set(train.columns)
     assert len(glob.glob(os.path.join(out, "split=train", "shard=*"))) == 4
+    # packs are SHARD-LOCAL: offsets restart per shard, stay under budget,
+    # and pack_id is nondecreasing in position — a loader streaming one
+    # shard file assembles its packs contiguously
+    for r0 in train.filter("position = 0").select("pack_id", "pack_offset").collect():
+        assert (r0.pack_id, r0.pack_offset) == (0, 0)
+    assert train.filter("pack_offset >= 512").count() == 0
+    one_shard = sorted(
+        (r.position, r.pack_id) for r in train.filter("shard = 0").collect()
+    )
+    assert all(a[1] <= b[1] for a, b in zip(one_shard, one_shard[1:]))
     # disjoint splits; totals match the report
     ids_train = {r.doc_id for r in train.select("doc_id").collect()}
     ids_test = {r.doc_id for r in test.select("doc_id").collect()}

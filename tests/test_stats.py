@@ -396,3 +396,11 @@ def test_reconcile_tables_unit(spark):
     # global mode: one row, mismatching
     g = reconcile_tables(left, right, ["id"], ["v"]).collect()
     assert len(g) == 1 and not g[0].content_match
+    # identically-copied NULL-partition rows are NOT corruption: the NULL
+    # partition key must match itself across sides
+    ln = spark.createDataFrame([(9, "z", None)], "id int, v string, p string")
+    out_n = {r.partition: r for r in reconcile_tables(
+        ln, ln, ["id"], ["v"], partition_col="p"
+    ).collect()}
+    assert list(out_n) == ["<NULL>"]
+    assert out_n["<NULL>"].count_match and out_n["<NULL>"].content_match
