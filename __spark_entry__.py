@@ -1460,6 +1460,28 @@ def q_misplaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run metric monitor (stats.metric_anomaly): the daily click
+    RATE from events (a count ratio — engine-exact arithmetic, unlike a
+    float average) plus a planted day at rate 0.9 that must be the ONLY
+    flag at threshold 0.6 (organic trailing deviations measure ≤ 0.43).
+    Anomaly math runs on one pre-aggregated row per partition — the
+    verdict-grid / stats-output consumer shape, zero data-file reads."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import metric_anomaly
+
+    events = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    rates = events.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("day")
+    ).agg(F.avg((F.col("event_type") == "click").cast("double")).alias("rate"))
+    planted = spark.range(1).select(
+        F.lit("9999-12-31").alias("day"), F.lit(0.9).alias("rate")
+    )
+    return metric_anomaly(
+        rates.unionByName(planted), "day", "rate", trailing=5, threshold=0.6
+    )
+
+
 def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-vs-sink reconciliation (checks.reconcile_tables): events vs a
     'migrated' copy with planted damage — 3 dropped rows on one day
@@ -1710,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "multi_sketch": q_multi_sketch,
         "reconcile": q_reconcile,
+        "metric_anomaly": q_metric_anomaly,
         "freshness": q_freshness,
         "misplaced_rows": q_misplaced,
         "mixture_sample": q_mixture_sample,
@@ -2264,6 +2287,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(ts AS VARCHAR), 'NULL') AS observed_value
             FROM synth
             WHERE ts IS NULL OR part IS NULL OR CAST(ts AS DATE) <> part
+        """,
+        "metric_anomaly": """
+            WITH rates AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       AVG(CASE WHEN event_type = 'click'
+                                THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS rate
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+                UNION ALL
+                SELECT '9999-12-31', CAST(0.9 AS DOUBLE)
+            ),
+            scored AS (
+                SELECT day AS partition, rate AS metric,
+                       ROUND(AVG(rate) OVER (ORDER BY day
+                           ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS expected
+                FROM rates
+            )
+            SELECT partition, metric, expected,
+                   ROUND(ABS(metric - expected) / ABS(expected), 6) AS deviation
+            FROM scored
+            WHERE expected IS NOT NULL AND expected <> 0
+              AND ROUND(ABS(metric - expected) / ABS(expected), 6) > 0.6
         """,
         "reconcile": """
             WITH ev AS (

@@ -581,3 +581,46 @@ def freshness_report(
         lag.alias("lag_seconds"),
         (lag > F.lit(max_lag_hours * 3600.0)).alias("stale"),
     )
+
+
+def metric_anomaly(
+    metrics: DataFrame,
+    partition_col: str,
+    value_col: str,
+    trailing: int = 7,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Trailing-mean anomaly gate over ANY per-partition metric — the
+    generalization of row_count_anomaly to the run-over-run quality monitor:
+    feed it a (partition, metric) frame (violation rate per day from the
+    verdict grid, avg quality score, null rate, mean value…) and partitions
+    whose metric deviates from the trailing-``trailing`` mean by more than
+    ``threshold`` (relative) flag. A rule whose violation RATE triples today
+    is a pipeline regression even when every partition still "passes" its
+    absolute gate.
+
+    Input is ALREADY aggregated — one row per partition (verdict parquet,
+    stats output, metadata counts), so the single-task ordering window is
+    O(#partitions) and this check never touches data files. The first
+    ``trailing``-less partitions have no expectation and never flag;
+    all-zero history (expected = 0) never flags either — a metric appearing
+    for the first time is a different alert than one that moved.
+
+    Returns (partition, metric, expected, deviation) for anomalous rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(partition_col).rowsBetween(-trailing, -1)
+    scored = metrics.select(
+        F.col(partition_col).alias("partition"),
+        F.col(value_col).cast("double").alias("metric"),
+        F.round(F.avg(F.col(value_col).cast("double")).over(w), 6).alias("expected"),
+    ).withColumn(
+        "deviation",
+        F.round(F.abs(F.col("metric") - F.col("expected")) / F.abs(F.col("expected")), 6),
+    )
+    return scored.filter(
+        F.col("expected").isNotNull()
+        & (F.col("expected") != 0)
+        & (F.col("deviation") > threshold)
+    )

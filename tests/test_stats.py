@@ -404,3 +404,18 @@ def test_reconcile_tables_unit(spark):
     ).collect()}
     assert list(out_n) == ["<NULL>"]
     assert out_n["<NULL>"].count_match and out_n["<NULL>"].content_match
+
+
+def test_metric_anomaly_flags_regression_only(spark):
+    """The generalized run-over-run monitor: a tripled metric flags, stable
+    history doesn't, the warm-up rows never flag, and all-zero history
+    (expected = 0) is excluded rather than dividing by zero."""
+    from lyra_spark.stats import metric_anomaly
+
+    rows = [("d1", 0.1), ("d2", 0.1), ("d3", 0.11), ("d4", 0.09), ("d5", 0.33), ("d6", 0.1)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["day", "m"]))
+    got = {r.partition: r.deviation for r in metric_anomaly(df, "day", "m", trailing=3, threshold=0.5).collect()}
+    assert set(got) == {"d5"}
+    assert got["d5"] == pytest.approx(2.3, abs=0.01)
+    zeros = spark.createDataFrame(pd.DataFrame([("d1", 0.0), ("d2", 0.0), ("d3", 5.0)], columns=["day", "m"]))
+    assert metric_anomaly(zeros, "day", "m", trailing=2).count() == 0
