@@ -111,6 +111,10 @@ def main() -> None:
         "mixture_sample",
         "freshness",
         "misplaced_rows",
+        "leakage_safe_split",
+        "reconcile",
+        "metric_anomaly",
+        "multi_sketch",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
