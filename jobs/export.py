@@ -68,8 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mixture", default=None,
                     help="source shares, e.g. books=0.5,web=0.5 — down-samples each "
                          "source to hit --mixture-budget total tokens at these shares")
-    ap.add_argument("--mixture-budget", type=int, default=None,
-                    help="total token budget for --mixture")
+    ap.add_argument("--mixture-budget", type=lambda s: int(float(s)), default=None,
+                    help="total token budget for --mixture (accepts 2e12-style "
+                         "scientific notation)")
     ap.add_argument("--split-weights", default=None,
                     help="split weights, e.g. train=0.98,val=0.01,test=0.01")
     ap.add_argument("--leakage-safe", action="store_true",
