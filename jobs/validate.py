@@ -169,12 +169,14 @@ def main(argv: list[str] | None = None) -> int:
                   f"(expected {d['expected_type']}, got {d['actual_type']})")
         assert_schema(df.schema, TRANSCRIPTS_SCHEMA)
     dim = spark.read.parquet(args.tools_dim)
+    cfg_checks: list = []
     if args.rules:
-        from lyra_spark.rules import ruleset_from_json
+        from lyra_spark.rules import suite_config_from_json
 
-        ruleset = ruleset_from_json(args.rules)
+        ruleset, cfg_checks = suite_config_from_json(args.rules)
         print(f"[lyra] rules: {len(ruleset.rules)} loaded from {args.rules} "
-              f"(fingerprint {ruleset.fingerprint()})")
+              f"(fingerprint {ruleset.fingerprint()}, "
+              f"{len(cfg_checks)} declared dataset check(s))")
     else:
         ruleset = transcript_ruleset()
     hll_cols = [c.strip() for c in args.hll_cols.split(",") if c.strip()] if args.hll_cols else []
@@ -235,6 +237,20 @@ def main(argv: list[str] | None = None) -> int:
             for pair in args.allowed_transitions.split(",")
             if ">" in pair
         }
+    # declared dataset checks (suite config object form) are the config
+    # equivalent of the flags — they switch the same code paths on, and the
+    # transitions variant additionally carries the first-turn constraint the
+    # flag surface lacks
+    allowed_first = None
+    placement_ts = "ts"
+    for chk in cfg_checks:
+        if chk["check"] == "transitions":
+            args.check_transitions = True
+            transitions = chk["allowed"]
+            allowed_first = chk["allowed_first"]
+        elif chk["check"] == "placement":
+            args.check_placement = True
+            placement_ts = chk["ts_col"]
 
     def validate_partition(pk: str) -> tuple[str, int, int, float]:
         t0 = time.perf_counter()
@@ -243,12 +259,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.check_transitions:
             from lyra_spark.checks import transition_violations
 
-            tv = transition_violations(scoped, transitions, partition_col="part_date")
+            tv = transition_violations(
+                scoped, transitions, allowed_first=allowed_first, partition_col="part_date"
+            )
             result.violations = result.violations.unionByName(tv)
         if args.check_placement:
             from lyra_spark.checks import misplaced_violations
 
-            pv = misplaced_violations(scoped, ts_col="ts", partition_col="part_date")
+            pv = misplaced_violations(scoped, ts_col=placement_ts, partition_col="part_date")
             result.violations = result.violations.unionByName(pv)
         if args.out:
             # write-then-reuse: violations compute once into the sink; the

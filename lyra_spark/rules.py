@@ -374,3 +374,63 @@ _KIND_PARAMS: dict[str, set[str]] = {
     "transform": {"fn"},
     "custom": set(),
 }
+
+
+def suite_config_from_json(source: str) -> tuple[RuleSet, list[dict]]:
+    """Parse a suite config: either the plain rule LIST `ruleset_from_json`
+    reads (checks = []), or an OBJECT ``{"rules": [...], "checks": [...]}``
+    that also declares the optional dataset checks, so one reviewed file
+    ships the whole suite::
+
+        {"rules": [...],
+         "checks": [
+           {"check": "transitions",
+            "allowed": [["user", "assistant"], ["assistant", "user"]],
+            "allowed_first": ["system", "user"]},
+           {"check": "placement", "ts_col": "ts"}
+         ]}
+
+    Only sink-mergeable checks are declarable here (their violations share
+    the (key, partition, rule_id, observed) shape): ``transitions`` and
+    ``placement`` — the same set the CLI exposes as flags, plus the
+    first-turn constraint the flags don't. Core dataset checks
+    (uniqueness, referential, monotone) always run and are not config
+    toggles. Unknown check names raise at load, like unknown rule kinds.
+    """
+    import os
+
+    text = source
+    if "\n" not in source and not source.lstrip().startswith(("[", "{")):
+        if not os.path.exists(source):
+            raise FileNotFoundError(f"rules config not found: {source}")
+        with open(source) as f:
+            text = f.read()
+    obj = json.loads(text)
+    if isinstance(obj, list):
+        return ruleset_from_json(json.dumps(obj)), []
+    if not isinstance(obj, dict) or "rules" not in obj:
+        raise ValueError("suite config must be a rule list or an object with 'rules'")
+    ruleset = ruleset_from_json(json.dumps(obj["rules"]))
+    checks: list[dict] = []
+    for i, c in enumerate(obj.get("checks", [])):
+        if not isinstance(c, dict) or "check" not in c:
+            raise ValueError(f"check #{i}: expected an object with a 'check' name")
+        name = c["check"]
+        if name == "transitions":
+            allowed = c.get("allowed")
+            if not allowed:
+                raise ValueError(f"check #{i} (transitions): 'allowed' pair list required")
+            checks.append(
+                {
+                    "check": "transitions",
+                    "allowed": {tuple(p) for p in allowed},
+                    "allowed_first": set(c["allowed_first"]) if c.get("allowed_first") else None,
+                }
+            )
+        elif name == "placement":
+            checks.append({"check": "placement", "ts_col": c.get("ts_col", "ts")})
+        else:
+            raise ValueError(
+                f"check #{i}: unknown check {name!r} (known: transitions, placement)"
+            )
+    return ruleset, checks

@@ -775,3 +775,49 @@ def test_cli_validates_null_partition_rows(tmp_path, spark, fixtures_sf0001):
     viol = spark.read.parquet(out).filter("rule_id = 'partition_placement'")
     got = {(r.conv_id, r.turn_idx) for r in viol.collect()}
     assert stray_keys <= got  # every stray row flags placement
+
+
+def test_cli_suite_config_object(tmp_path, spark, fixtures_sf0001, capsys):
+    """The object-form suite config declares rules AND dataset checks in one
+    file: declared transitions (with the first-turn constraint the flags
+    lack) and placement both land in the verdict grid."""
+    from jobs.validate import main
+
+    cfg = tmp_path / "suite.json"
+    cfg.write_text(
+        """
+        {"rules": [{"kind": "required", "column": "text", "rule_id": "cfg_req"}],
+         "checks": [
+           {"check": "transitions",
+            "allowed": [["system", "user"], ["user", "assistant"],
+                        ["assistant", "user"], ["assistant", "tool"],
+                        ["tool", "assistant"], ["tool", "user"],
+                        ["tool", "tool"], ["user", "tool"]],
+            "allowed_first": ["system", "user"]},
+           {"check": "placement"}
+         ]}
+        """
+    )
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--rules", str(cfg),
+        "--limit-partitions", "2",
+    ]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "2 declared dataset check(s)" in out
+    verd = spark.read.parquet(os.path.join(str(tmp_path / "ck"), "r1", "verdicts"))
+    ids = {r.rule_id for r in verd.select("rule_id").distinct().collect()}
+    assert {"cfg_req", "role_transition", "partition_placement"} <= ids
+
+
+def test_suite_config_rejects_unknown_check():
+    from lyra_spark.rules import suite_config_from_json
+
+    with pytest.raises(ValueError, match="unknown check"):
+        suite_config_from_json('{"rules": [], "checks": [{"check": "nope"}]}')
+    with pytest.raises(ValueError, match="'allowed' pair list"):
+        suite_config_from_json('{"rules": [], "checks": [{"check": "transitions"}]}')
