@@ -120,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.split_weights:
         weights = _parse_weights(args.split_weights, "--split-weights")
+        if args.leakage_safe and args.text_col not in docs.columns:
+            raise SystemExit(
+                f"--leakage-safe needs --text-col {args.text_col!r} in the corpus "
+                "(the split key is the content-digest cluster representative)"
+            )
         if args.leakage_safe:
             docs = split_leakage_safe(
                 docs, weights, text_col=args.text_col, id_col=args.id_col,
