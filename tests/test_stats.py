@@ -419,3 +419,18 @@ def test_metric_anomaly_flags_regression_only(spark):
     assert got["d5"] == pytest.approx(2.3, abs=0.01)
     zeros = spark.createDataFrame(pd.DataFrame([("d1", 0.0), ("d2", 0.0), ("d3", 5.0)], columns=["day", "m"]))
     assert metric_anomaly(zeros, "day", "m", trailing=2).count() == 0
+
+
+def test_reconcile_checksum_is_order_and_layout_invariant(spark):
+    """The SUM-of-row-hash checksum must not care how rows are partitioned
+    or ordered — only what they are: a repartitioned, reshuffled copy of the
+    same table reconciles clean."""
+    from lyra_spark.checks import reconcile_tables
+
+    base = spark.range(0, 5000).selectExpr(
+        "id", "CAST(id % 37 AS STRING) AS v", "CAST(id % 5 AS STRING) AS p"
+    )
+    scrambled = base.repartition(17).sortWithinPartitions(F.col("v").desc())
+    out = reconcile_tables(base, scrambled, ["id"], ["v"], partition_col="p").collect()
+    assert len(out) == 5
+    assert all(r.count_match and r.content_match for r in out)
