@@ -324,3 +324,22 @@ def test_write_sorted_enables_row_group_skipping(spark, tmp_path):
     q = spark.read.parquet(sorted_path).filter("value >= 40.0 AND value < 41.0")
     assert q.count() == df.filter("value >= 40.0 AND value < 41.0").count()
     assert "PushedFilters: [" in plan_str(q)
+
+
+def test_split_leakage_safe_single_exchange(spark):
+    """Default (digest) mode costs exactly ONE exchange — the same shuffle
+    exact dedup pays — and no join; cluster_col mode is map-only."""
+    import re
+
+    from lyra_spark.pipeline.sample import split_leakage_safe
+
+    df = spark.range(0, 1000).selectExpr("id AS doc_id", "CAST(id % 100 AS STRING) AS text")
+    p = plan_str(split_leakage_safe(df, {"a": 0.5, "b": 0.5}))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 1
+    assert "Join" not in p
+    p2 = plan_str(
+        split_leakage_safe(
+            df.withColumn("comp", F.col("doc_id") % 10), {"a": 0.5, "b": 0.5}, cluster_col="comp"
+        )
+    )
+    assert "Exchange" not in p2
