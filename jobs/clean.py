@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--report", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)
+    if bool(args.cap_col) != (args.cap_k is not None):
+        raise SystemExit("--cap-col and --cap-k must be given together")
+    if args.cap_k is not None and args.cap_k < 1:
+        raise SystemExit("--cap-k must be >= 1")
 
     # data-sized shuffle partitions (same policy as jobs/validate.py): the
     # dedup exchanges run ~8x the input bytes through explode/join stages
@@ -129,9 +133,14 @@ def main(argv: list[str] | None = None) -> int:
         near_dup_threshold=args.near_dup_threshold,
         shingle_k=args.shingle_k,
     )
-    if args.cap_col and args.cap_k:
+    n_uncapped = None
+    if args.cap_col:
         from lyra_spark.pipeline.clean import cap_per_group
 
+        # persist: the cap count must not re-run the whole funnel, and the
+        # capped write below reuses the same materialization
+        cleaned = cleaned.persist()
+        n_uncapped = cleaned.count()
         cleaned = cap_per_group(cleaned, args.cap_col, args.cap_k, order_col=args.id_col)
     cleaned.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
@@ -171,7 +180,10 @@ def main(argv: list[str] | None = None) -> int:
         "after_exact_dedup": n_exact,
         # scrub-emptied docs + near-dup cluster members dropped for their
         # representative (the two post-exact stages, combined)
-        "removed_after_exact": n_exact - n_out,
+        # scrub-emptied + near-dup drops; cap attrition reported separately
+        # so the curator doesn't misattribute it to dedup/scrub
+        "removed_after_exact": (n_exact - n_uncapped) if n_uncapped is not None else (n_exact - n_out),
+        **({"capped": n_uncapped - n_out} if n_uncapped is not None else {}),
         "docs_with_lines_scrubbed": n_scrub_affected,
         "docs_out": n_out,
         "sec": round(time.time() - t0, 3),

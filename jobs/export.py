@@ -91,6 +91,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mixture and args.mixture_budget is None:
         raise SystemExit("--mixture requires --mixture-budget")
+    if args.mixture_budget is not None and not args.mixture:
+        raise SystemExit("--mixture-budget requires --mixture")
+    if args.leakage_safe and not args.split_weights:
+        raise SystemExit("--leakage-safe requires --split-weights (it keys the split)")
 
     spark = get_spark(master=args.master, app_name="lyra_export")
 
@@ -105,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     docs = spark.read.parquet(args.corpus)
+    if args.mixture and args.token_col not in docs.columns:
+        raise SystemExit(f"--mixture needs --token-col {args.token_col!r} in the corpus")
     n_in = docs.count()
 
     if args.mixture:
@@ -155,6 +161,15 @@ def main(argv: list[str] | None = None) -> int:
             part, dest, args.shards, id_col=args.id_col, salt=args.salt + "|shuffle",
             pack_budget=args.pack_budget, token_col=args.token_col,
         )
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True):
+            # an empty split writes only _SUCCESS; schema inference on it
+            # would raise — report zeros instead of dying post-write
+            report["splits"][name] = {
+                "docs": 0, **({"tokens": 0} if has_tokens else {}), "path": dest,
+            }
+            continue
         written = spark.read.parquet(dest)
         aggs = [F.count(F.lit(1)).alias("docs")]
         if has_tokens:

@@ -214,7 +214,9 @@ def main(argv: list[str] | None = None) -> int:
                 # end behind never-validated ones
                 pending = sorted(changed) + pending
                 n_done -= len(changed)
-    if args.limit_partitions:
+    if args.limit_partitions is not None:
+        if args.limit_partitions < 0:
+            raise SystemExit("--limit-partitions must be >= 0")
         pending = pending[: args.limit_partitions]
     print(f"[lyra] partitions total={len(all_parts)} completed={n_done} this_run={len(pending)}")
 
@@ -232,11 +234,23 @@ def main(argv: list[str] | None = None) -> int:
     # rows — a no-scan job.
     transitions = DEFAULT_TRANSITIONS
     if args.allowed_transitions:
-        transitions = {
-            tuple(part.strip() for part in pair.split(">", 1))
-            for pair in args.allowed_transitions.split(",")
-            if ">" in pair
-        }
+        # accept both 'a>b' and the 'a->b' notation the violation output
+        # itself prints; a malformed entry must FAIL, not silently become a
+        # grammar that flags every legitimate transition
+        transitions = set()
+        for pair in args.allowed_transitions.split(","):
+            pair = pair.strip()
+            if not pair:
+                continue
+            sep = "->" if "->" in pair else ">"
+            parts = tuple(x.strip() for x in pair.split(sep, 1))
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise SystemExit(
+                    f"--allowed-transitions: malformed pair {pair!r} (want prev>cur)"
+                )
+            transitions.add(parts)
+        if not transitions:
+            raise SystemExit("--allowed-transitions: no pairs parsed")
     # declared dataset checks (suite config object form) are the config
     # equivalent of the flags — they switch the same code paths on, and the
     # transitions variant additionally carries the first-turn constraint the
@@ -251,6 +265,28 @@ def main(argv: list[str] | None = None) -> int:
         elif chk["check"] == "placement":
             args.check_placement = True
             placement_ts = chk["ts_col"]
+
+    clean_rules = clean_ds_rules = None
+    if args.clean_out:
+        # loop-invariant: inline_referential_rule collects the dim ONCE here;
+        # building it inside validate_partition would re-run that collect per
+        # partition (1e5 identical driver-blocking jobs at the design point)
+        from lyra_spark.checks import (
+            MONO_RULE,
+            PLACEMENT_RULE,
+            TRANSITION_RULE,
+            UNIQ_RULE,
+        )
+        from lyra_spark.fused import inline_referential_rule
+        from lyra_spark.rules import RuleSet
+
+        clean_rules = RuleSet(ruleset.rules + [inline_referential_rule(dim)])
+        clean_ds_rules = (
+            [UNIQ_RULE, MONO_RULE]
+            + ([TRANSITION_RULE] if args.check_transitions else [])
+            + ([PLACEMENT_RULE] if args.check_placement else [])
+        )
+
 
     def validate_partition(pk: str) -> tuple[str, int, int, float]:
         t0 = time.perf_counter()
@@ -309,32 +345,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.clean_out:
             from pyspark.sql import functions as F
 
-            from lyra_spark.checks import (
-                MONO_RULE,
-                PLACEMENT_RULE,
-                TRANSITION_RULE,
-                UNIQ_RULE,
-            )
             from lyra_spark.engine import clean_rows
-            from lyra_spark.fused import inline_referential_rule
-            from lyra_spark.rules import RuleSet
 
-            full_rules = RuleSet(ruleset.rules + [inline_referential_rule(dim)])
             # dataset-check keys come from the written sink when available
             # (tiny read), else from the result frame (recompute of the
             # windowed branch — still ≪ a second full suite)
             src = viol if args.out else result.violations
-            ds_rules = (
-                [UNIQ_RULE, MONO_RULE]
-                + ([TRANSITION_RULE] if args.check_transitions else [])
-                + ([PLACEMENT_RULE] if args.check_placement else [])
-            )
             ds_keys = (
-                src.filter(F.col("rule_id").isin(*ds_rules))
+                src.filter(F.col("rule_id").isin(*clean_ds_rules))
                 .select("conv_id", "turn_idx")
                 .distinct()
             )
-            clean = clean_rows(scoped, full_rules).join(
+            clean = clean_rows(scoped, clean_rules).join(
                 F.broadcast(ds_keys), ["conv_id", "turn_idx"], "left_anti"
             )
             clean.write.mode("overwrite").parquet(os.path.join(args.clean_out, f"part={pk}"))
@@ -432,11 +454,18 @@ def main(argv: list[str] | None = None) -> int:
         sk = sk.persist()  # tiny (one row per partition); reused by verdicts below
     ref = load_reference(args.reference) if args.reference else None
     dv = drift_verdicts(sk, reference=ref)
-    failing = dv.loc[~dv["pass"], "part_key"].tolist()
-    print(f"[lyra] drift: {len(dv)} partitions, failing={failing}")
-    if args.save_reference:
-        save_reference(sk, args.save_reference)
-        print(f"[lyra] drift reference saved to {args.save_reference}")
+    if dv.empty:
+        # empty table or all-NULL drift column: zero sketches is a
+        # reportable state, not a KeyError crash (and nothing to save)
+        print("[lyra] drift: 0 partitions (no non-null drift-column values)")
+        if args.save_reference:
+            print("[lyra] WARNING: no sketches — drift reference NOT saved")
+    else:
+        failing = dv.loc[~dv["pass"], "part_key"].tolist()
+        print(f"[lyra] drift: {len(dv)} partitions, failing={failing}")
+        if args.save_reference:
+            save_reference(sk, args.save_reference)
+            print(f"[lyra] drift reference saved to {args.save_reference}")
     return 0
 
 

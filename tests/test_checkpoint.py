@@ -821,3 +821,29 @@ def test_suite_config_rejects_unknown_check():
         suite_config_from_json('{"rules": [], "checks": [{"check": "nope"}]}')
     with pytest.raises(ValueError, match="'allowed' pair list"):
         suite_config_from_json('{"rules": [], "checks": [{"check": "transitions"}]}')
+
+
+def test_cli_arg_validation(tmp_path, spark, fixtures_sf0001, capsys):
+    """--limit-partitions 0 validates NOTHING (not everything); malformed
+    --allowed-transitions fails fast instead of silently flagging every
+    legitimate transition; the arrow notation the violation output prints
+    is accepted."""
+    from jobs.validate import main
+
+    base = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+    ]
+    assert main(base + ["--limit-partitions", "0"]) == 0
+    assert "this_run=0" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="malformed pair"):
+        main(base + ["--check-transitions", "--allowed-transitions", "abc"])
+    # arrow notation parses to the same grammar as '>' notation
+    assert main(base + [
+        "--limit-partitions", "1", "--check-transitions",
+        "--allowed-transitions",
+        "system->user,user->assistant,assistant->user,assistant->tool,"
+        "tool->assistant,tool->user,tool->tool,user->tool",
+    ]) == 0
