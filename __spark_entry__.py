@@ -2838,8 +2838,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM c3 GROUP BY 1
             )
             SELECT a2.doc_id, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
-                   (top_2gram_frac > 0.18 OR dup_3gram_frac > 0.30) AS flag_repetitive
-            FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+                   (top_2gram_frac > 0.18
+                    OR COALESCE(dup_3gram_frac > 0.30, FALSE)) AS flag_repetitive
+            FROM a2 LEFT JOIN a3 ON a2.doc_id = a3.doc_id
         """,
         # decontamination: distinct word 8-grams per doc on both splits,
         # joined on the gram, counted per (corpus doc, benchmark doc)

@@ -68,15 +68,28 @@ def clean_corpus(
         "n_chars", "n_tokens", "punct_ratio", "digit_ratio",
         "stopword_ratio", "mean_word_len", "quality_score",
     }
-    stash = {c: f"__orig_{c}" for c in in_cols if c in feature_cols and c != text_col}
+    # quality_score and n_lines_removed are THIS pass's provenance outputs:
+    # they replace any same-named input (decision 36 family) — restoring an
+    # input quality_score alongside the computed one would duplicate the name
+    # and break every later select. Other feature-named inputs are stashed
+    # and restored untouched.
+    stash = {
+        c: f"__orig_{c}"
+        for c in in_cols
+        if c in feature_cols and c not in (text_col, "quality_score")
+    }
+    for c in in_cols:
+        if c.startswith("__"):
+            raise ValueError(f"input must not contain reserved column {c!r}")
     work = df
     for c, s in stash.items():
         work = work.withColumnRenamed(c, s)
     scored = quality_score(work, text_col).filter(
         F.col("quality_score") >= min_quality
     )
+    restored = [c for c in in_cols if c != "quality_score"]
     scored = scored.select(
-        *[F.col(stash.get(c, c)).alias(c) for c in in_cols], "quality_score"
+        *[F.col(stash.get(c, c)).alias(c) for c in restored], "quality_score"
     )
 
     exact = distinct_by_content(scored, text_col, id_col)
@@ -85,7 +98,7 @@ def clean_corpus(
     uniq = scrubbed.select(
         *[
             F.col("text_scrubbed").alias(text_col) if c == text_col else F.col(c)
-            for c in in_cols
+            for c in restored
         ],
         "quality_score",
         "n_lines_removed",
@@ -123,6 +136,8 @@ def cap_per_group(
     never holds more than its spill pages in memory."""
     from pyspark.sql import Window
 
+    if "__rn" in df.columns:
+        raise ValueError("input must not contain the reserved column '__rn'")
     w = Window.partitionBy(group_col).orderBy(F.col(order_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -591,6 +591,17 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # ids must already be integral: a silent cast("long") would turn every
+    # string/UUID id into NULL, drop every edge at u != v, and report a
+    # clean corpus with zero clusters — dedup as a silent no-op. String-id
+    # corpora should join a dense numeric id first (or hash with an
+    # explicit, collision-audited scheme) and map components back.
+    types = dict(pairs.dtypes)
+    for c in (id_a, id_b):
+        if types.get(c) not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"connected_components needs integral ids; {c!r} is {types.get(c)}"
+            )
     edges = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
@@ -799,6 +810,10 @@ def simhash_near_duplicates(
     # explode), so without materialization each side re-runs the text scan
     # and the 64-wide vote aggregate — measured 4x slower. Signatures are
     # (id, int64): tiny to pin in the block manager even at corpus scale.
+    # NULL/empty docs all hash to 0 and would pair quadratically at
+    # hamming 0 — excluded exactly as in minhash_near_duplicates (contentless
+    # docs are the exact-dedup/required-rule stages' finding, not near-dup's)
+    df = df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     with_h = simhash(df, text_col).select(id_col, "simhash").localCheckpoint(eager=False)
     return simhash_candidate_pairs(
         with_h, id_col, "simhash", max_hamming, chunks, filter_within=max_hamming

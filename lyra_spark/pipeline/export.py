@@ -55,6 +55,9 @@ def shuffle_index(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    for c in (shard_col, position_col, "__h"):
+        if c in df.columns:
+            raise ValueError(f"input must not contain the reserved column {c!r}")
     h = hash_uint32(id_col, salt)
     out = (
         df.filter(F.col(id_col).isNotNull())
@@ -134,6 +137,12 @@ def pack_within_shards(
     )
     tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     cum = F.coalesce(F.sum(tok).over(w), F.lit(0))
-    return indexed.withColumn(out_col, (cum / F.lit(int(budget))).cast("long")).withColumn(
-        offset_col, cum - F.col(out_col) * F.lit(int(budget))
+    # integral DIV, never double division: past 2^53 cumulative tokens a
+    # float quotient can round across a pack boundary (pack_sequences uses
+    # exact numpy // for the same reason)
+    return (
+        indexed.withColumn("__cum", cum)
+        .withColumn(out_col, F.expr(f"__cum div {int(budget)}"))
+        .withColumn(offset_col, F.pmod(F.col("__cum"), F.lit(int(budget))))
+        .drop("__cum")
     )

@@ -110,7 +110,9 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video rows: emit (media_id, frame_idx)
     for every n-th frame from metadata — the downstream decode would slice the
     container at those indices. Pure Catalyst (sequence + explode)."""
-    vids = df.filter((F.col("kind") == "video") & F.col("meta.n_frames").isNotNull())
+    # n_frames > 0, not just non-null: sequence(0, -1) raises mid-job on a
+    # zero-frame (empty/corrupt) container
+    vids = df.filter((F.col("kind") == "video") & (F.col("meta.n_frames") > 0))
     return vids.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))).alias("frame_idx"),

@@ -134,6 +134,8 @@ def weighted_sample_topk(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if "__wkey__" in df.columns:
+        raise ValueError("input must not contain the reserved column '__wkey__'")
     w = F.col(weight_col).cast("double")
     key = F.pow(hash_fraction(id_col, salt), F.lit(1.0) / w)
     # NaN must be excluded EXPLICITLY: Spark orders NaN as the largest double
@@ -270,6 +272,8 @@ def deterministic_sample_exact_k(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if "__draw__" in df.columns:
+        raise ValueError("input must not contain the reserved column '__draw__'")
     return (
         df.filter(F.col(id_col).isNotNull())
         .withColumn("__draw__", hash_fraction(id_col, salt))
@@ -328,7 +332,10 @@ def split_leakage_safe(
         w = Window.partitionBy(F.coalesce(digest, F.col(id_col).cast("string")))
         rep = F.coalesce(F.min(id_col).over(w), F.col(id_col))
     else:
-        rep = F.col(cluster_col)
+        # singleton docs are absent from a dedup_clusters frame, so a
+        # left-joined cluster column is NULL for most of the corpus — they
+        # key by their own id instead of all drawing the NULL split
+        rep = F.coalesce(F.col(cluster_col), F.col(id_col))
     out = split_by_hash(
         df.withColumn("__rep__", rep), weights, id_col="__rep__", salt=salt, out_col=out_col
     )

@@ -92,6 +92,8 @@ def train_ivf_centroids(
     tiny by design, while the corpus never leaves the cluster. Returns
     L2-normalized centroids (k, dim)."""
     n = df.count()
+    if n == 0:
+        raise ValueError("train_ivf_centroids: no vectors to train on")
     frac = min(1.0, max_train / max(n, 1))
     sample = df.select(vec_col).sample(False, frac, seed).limit(max_train).collect()
     x = np.asarray([r[0] for r in sample], dtype=np.float64)
@@ -213,13 +215,15 @@ def assign_lsh_buckets(
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Sign-of-projection LSH bucket id (int) — pure expressions, planes are
+    """Sign-of-projection LSH bucket id (long) — pure expressions, planes are
     literals, so this is a map-only stage with no Python."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
         bit = (_dot(F.col(vec_col), lit_plane) > 0).cast("int")
-        bucket = bucket + F.shiftleft(bit, i)
+        # the accumulator must be LONG: int shiftleft masks the amount mod 32,
+        # so plane 32 would silently collide with plane 0 at n_planes > 32
+        bucket = bucket + F.shiftleft(bit.cast("long"), i)
     return df.withColumn(out_col, bucket)
 
 

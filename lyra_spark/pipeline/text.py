@@ -177,11 +177,16 @@ def repetition_features(
 
     two = frac(g2, "2gram", with_top=True)
     three = frac(g3, "3gram", with_top=False)
+    # LEFT join: a 2-word doc has defined 2-gram metrics but no 3-grams —
+    # an inner join would drop maximally-repetitive short docs ("buy buy")
+    # from the output entirely; its 3-gram frac is NULL (undefined), and the
+    # flag treats the missing metric as not-exceeded rather than unknown
     return (
-        two.join(three, id_col, "inner")
+        two.join(three, id_col, "left")
         .withColumn(
             "flag_repetitive",
-            (F.col("top_2gram_frac") > 0.18) | (F.col("dup_3gram_frac") > 0.30),
+            (F.col("top_2gram_frac") > 0.18)
+            | F.coalesce(F.col("dup_3gram_frac") > 0.30, F.lit(False)),
         )
     )
 

@@ -967,3 +967,79 @@ def test_export_cli_end_to_end(tmp_path, spark, capsys):
     assert main(args) == 0
     capsys.readouterr()
     assert dir_hash(out) == h1
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """String ids must RAISE, not silently drop every edge through a NULL
+    cast and report a clean corpus."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with _pytest.raises(ValueError, match="integral ids"):
+        dedup.connected_components(pairs)
+
+
+def test_repetition_features_keeps_two_word_docs(spark):
+    """A maximally repetitive 2-word doc has no 3-grams but MUST appear (and
+    flag) — the inner join used to drop it."""
+    df = spark.createDataFrame(
+        [(1, "buy buy"), (2, "a perfectly normal longer sentence here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.repetition_features(df).collect()}
+    assert 1 in got
+    assert got[1].top_2gram_frac == 1.0 and got[1].dup_3gram_frac is None
+    assert got[1].flag_repetitive
+
+
+def test_lsh_bucket_uses_long_shifts(spark):
+    """Plane 32 must occupy bit 32, not collide with plane 0 (int shiftleft
+    masks the amount mod 32)."""
+    planes = np.zeros((33, 33))
+    np.fill_diagonal(planes, 1.0)
+    df = spark.createDataFrame([(1, [1.0] * 33)], "vec_id long, embedding array<double>")
+    b = similarity.assign_lsh_buckets(df, planes).collect()[0]["bucket"]
+    assert b == 2**33 - 1
+
+
+def test_simhash_neardup_excludes_contentless_docs(spark):
+    """NULL/empty docs all hash to 0 — they must not pair quadratically."""
+    rows = [(i, None if i % 2 else "   ") for i in range(40)]
+    rows += [(100, "a real document with words"), (101, "a real document with words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_near_duplicates(df).collect()}
+    assert got == {(100, 101)}
+
+
+def test_split_leakage_safe_cluster_col_null_fallback(spark):
+    """Docs absent from the cluster frame (singletons — most of a corpus)
+    key by their own id, not all by NULL."""
+    from pyspark.sql import functions as F
+
+    from lyra_spark.pipeline.sample import split_leakage_safe
+
+    df = spark.range(0, 400).selectExpr(
+        "id AS doc_id", "CASE WHEN id < 20 THEN CAST(id % 5 AS LONG) END AS comp"
+    )
+    out = split_leakage_safe(df, {"a": 0.5, "b": 0.5}, cluster_col="comp")
+    assert out.filter("split IS NULL").count() == 0
+    assert out.select("split").distinct().count() == 2
+
+
+def test_sample_frames_skips_zero_frame_videos(spark):
+    """A zero-frame container row must be skipped, not crash sequence(0,-1)."""
+    import pandas as pd_
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("meta", T.StructType([T.StructField("n_frames", T.IntegerType())])),
+    ])
+    df = spark.createDataFrame(
+        pd_.DataFrame({"media_id": [1, 2], "kind": ["video", "video"],
+                       "meta": [{"n_frames": 0}, {"n_frames": 6}]}), schema)
+    got = multimodal.sample_frames(df, every_n=2).collect()
+    assert {r.media_id for r in got} == {2}
