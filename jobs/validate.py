@@ -124,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
                          "ship as reviewed config, not code changes. Fingerprints "
                          "match the equivalent code-built ruleset, so moving rules "
                          "to config does not invalidate existing checkpoints")
+    ap.add_argument("--freshness-hours", type=float, default=None,
+                    help="also report per-partition freshness: lag of max(ts) behind "
+                         "the freshest partition, stale when above this many hours. "
+                         "Metadata-only (parquet footer / Iceberg manifest ts bounds "
+                         "— zero data files read); falls back to one MAX aggregate "
+                         "when the layout lacks footer statistics")
     ap.add_argument("--revalidate-changed", action="store_true",
                     help="re-validate COMPLETED partitions whose metadata row count "
                          "(or snapshot id, when both sides carry one) no longer "
@@ -445,6 +451,20 @@ def main(argv: list[str] | None = None) -> int:
             est = merge_hll(spark.read.parquet(hll_out).select("column", "sketch")).collect()
             for r in sorted(est, key=lambda r: r["column"]):
                 print(f"[lyra] hll_distinct column={r['column']} estimate={int(r['estimate'])}")
+
+    if args.freshness_hours is not None:
+        from lyra_spark.stats import freshness_report
+
+        ranges = lio.partition_ts_range(args.table, "ts")
+        fr = freshness_report(
+            df, ts_col="ts", partition_col="part_date",
+            max_lag_hours=args.freshness_hours, ranges=ranges,
+        ).collect()
+        stale = [str(r["part_date"]) for r in fr if r["stale"]]
+        src = "metadata" if ranges is not None else "scan"
+        print(f"[lyra] freshness ({src}): {len(fr)} partitions, "
+              f"stale(>{args.freshness_hours}h)={stale[:10]}"
+              f"{'...' if len(stale) > 10 else ''}")
 
     # final drift pass over ALL partitions (cheap: sketches only)
     from lyra_spark.drift import drift_verdicts, load_reference, save_reference, sketch_by_partition

@@ -847,3 +847,22 @@ def test_cli_arg_validation(tmp_path, spark, fixtures_sf0001, capsys):
         "system->user,user->assistant,assistant->user,assistant->tool,"
         "tool->assistant,tool->user,tool->tool,user->tool",
     ]) == 0
+
+
+def test_cli_freshness_report(tmp_path, spark, fixtures_sf0001, capsys):
+    """--freshness-hours: metadata-only per-partition staleness report (the
+    fixture spans months, so a 24h gate must find stale partitions)."""
+    from jobs.validate import main
+
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--limit-partitions", "0",
+        "--freshness-hours", "24",
+    ]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "freshness (metadata): 90 partitions" in out
+    assert "stale(>24.0h)=[" in out and "stale(>24.0h)=[]" not in out
