@@ -146,7 +146,12 @@ def transition_violations(
     applies to monotone.
     """
     sep = "\x1f"  # cannot appear in enum-constrained role values
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    # state as tiebreak: duplicate order keys (uniqueness's finding) would
+    # otherwise make lag() run-to-run nondeterministic — at odds with the
+    # sink's byte-stable contract (monotone uses ts the same way). The
+    # tiebreak is the projected __cur__ state string, which still exists in
+    # the lagged frame.
+    w = Window.partitionBy(group_col).orderBy(order_col, "__cur__")
     keep = list(key_cols) + ([partition_col] if partition_col else [])
     df = df.filter(_non_null_keys([group_col, order_col]))
     null_tok = "<NULL>"
@@ -330,8 +335,11 @@ def misplaced_violations(
     # try_cast, not to_date: under ANSI (Spark 4 default) a malformed
     # partition value would RAISE mid-job; the contract is to FLAG it
     placed = F.col(partition_col).cast("string").try_cast("date")
-    actual = F.to_date(F.col(ts_col))
-    bad = F.col(ts_col).isNull() | placed.isNull() | (actual != placed)
+    # try_cast the ts side too: a malformed STRING ts under ANSI would raise
+    # mid-job in to_date; the contract is to FLAG the row either way
+    ts_ok = F.col(ts_col).try_cast("timestamp")
+    actual = F.to_date(ts_ok)
+    bad = ts_ok.isNull() | placed.isNull() | (actual != placed)
     return df.filter(bad).select(
         *key_cols,
         partition_col,

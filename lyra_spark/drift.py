@@ -35,8 +35,11 @@ def sketch_by_partition(
     """Per-partition t-digest blobs of ``value_col`` (an expression string or
     Column). Two-stage: per-Arrow-batch sketch (no raw-row shuffle), then a
     tiny per-partition blob merge."""
+    # NULL partitions sentinel to "None" (the same key partition_scope
+    # owns): pandas groupby drops NULL keys by default, which would silently
+    # exclude the NULL partition's rows from every digest
     src = df.select(
-        F.col(partition_col).cast("string").alias("part_key"),
+        F.coalesce(F.col(partition_col).cast("string"), F.lit("None")).alias("part_key"),
         F.expr(value_col).alias("v") if isinstance(value_col, str) else value_col.alias("v"),
     ).filter(F.col("v").isNotNull())
 
@@ -83,7 +86,8 @@ def sketch_columns_by_partition(
     """
     exprs = [(c, F.expr(c).cast("double").alias(f"v{i}")) for i, c in enumerate(value_cols)]
     src = df.select(
-        F.col(partition_col).cast("string").alias("part_key"), *[e for _, e in exprs]
+        F.coalesce(F.col(partition_col).cast("string"), F.lit("None")).alias("part_key"),
+        *[e for _, e in exprs],
     )
     names = [c for c, _ in exprs]
 
@@ -137,7 +141,11 @@ def save_reference(sketches: DataFrame, path: str) -> TDigest:
     import json
     import os
 
-    ref = global_digest(collect_digests(sketches))
+    digs = collect_digests(sketches)
+    if not digs:
+        raise ValueError("save_reference: no sketches — an empty reference would "
+                         "NaN every KS/PSI and silently pass all drift checks")
+    ref = global_digest(digs)
     tmp = path + ".tmp"
     header = json.dumps({"format": "lyra-tdigest-ref", "version": 1, "n": ref.size}).encode()
     with open(tmp, "wb") as f:
@@ -453,8 +461,13 @@ def drift_verdicts(
     keys = sorted(digests)
     # cold-start reference: leave-one-out below loo_max_partitions (dilution
     # would be material), single self-inclusive global merge above it
+    if reference is not None and reference.size == 0:
+        raise ValueError("drift_verdicts: empty reference digest — every KS/PSI "
+                         "would be NaN and silently pass")
     loo = reference is None and 1 < len(keys) < loo_max_partitions
-    ref = reference if reference is not None else global_digest(digests)
+    # the global merge is only needed when NOT leave-one-out (loo rebuilds
+    # ref per partition anyway — merging it here would be wasted O(P) work)
+    ref = reference if reference is not None else (None if loo else global_digest(digests))
     rows = []
     for k in keys:
         cur = digests[k]

@@ -31,6 +31,10 @@ Cond = tuple[str, str, Any]
 
 @dataclass(frozen=True)
 class RuleSpec:
+    # NOTE: `severity` is carried as rule METADATA (round-tripped through
+    # config, excluded from the fingerprint) — the engine currently gates on
+    # every rule regardless of severity; a "warn" rule still fails its
+    # partition. Wire it through the verdict grid before relying on it.
     rule_id: str
     kind: str
     column: str
@@ -105,6 +109,8 @@ def length(
     when: Cond | None = None,
 ) -> RuleSpec:
     """lyra string .min/.max/.length — char-length bounds, inclusive."""
+    if min is None and max is None:
+        raise ValueError("length needs min and/or max — bound-less it checks nothing")
     return _mk("length", column, rule_id, when, min=min, max=max)
 
 
@@ -119,6 +125,8 @@ def range_rule(
     when: Cond | None = None,
 ) -> RuleSpec:
     """lyra .min/.max/.greater/.less for numbers, timestamps, dates."""
+    if min is None and max is None:
+        raise ValueError("range needs min and/or max — bound-less it checks nothing")
     return _mk(
         "range", column, rule_id, when, min=min, max=max, strict_min=strict_min or None, strict_max=strict_max or None
     )
@@ -150,6 +158,10 @@ def cast(
 
 def default(column: str, value: Any, rule_id: str | None = None) -> RuleSpec:
     """lyra .default(v): NULL replaced before later rules. Never violates."""
+    if value is None:
+        # _mk drops None params, which would build a spec missing 'value'
+        # and crash the compiler with a bare KeyError mid-pipeline
+        raise ValueError("default(None) is meaningless — the column is already NULL")
     return _mk("default", column, rule_id, value=value)
 
 
@@ -416,6 +428,16 @@ def suite_config_from_json(source: str) -> tuple[RuleSet, list[dict]]:
         if not isinstance(c, dict) or "check" not in c:
             raise ValueError(f"check #{i}: expected an object with a 'check' name")
         name = c["check"]
+        allowed_keys = {
+            "transitions": {"check", "allowed", "allowed_first"},
+            "placement": {"check", "ts_col"},
+        }.get(name, {"check"})
+        unknown = set(c) - allowed_keys
+        if unknown:
+            raise ValueError(
+                f"check #{i} ({name}): unknown option(s) {sorted(unknown)} — "
+                f"allowed: {sorted(allowed_keys - {'check'})}"
+            )
         if name == "transitions":
             allowed = c.get("allowed")
             if not allowed:

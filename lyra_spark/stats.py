@@ -270,12 +270,20 @@ def outlier_rows(
     non-null values (std undefined/zero) emit nothing.
     """
     group = [partition_col] if partition_col else []
-    stats_df = df.groupBy(*group).agg(
-        F.avg(value_col).alias("__mu"), F.stddev_samp(value_col).alias("__sd")
-    )
-    joined = (
-        df.join(F.broadcast(stats_df), group) if group else df.crossJoin(F.broadcast(stats_df))
-    )
+    # join on a NULL-sentineled key: an equi-join never matches NULL = NULL,
+    # which would silently exclude the NULL partition's rows from z-scoring
+    if group:
+        pk = F.coalesce(F.col(partition_col).cast("string"), F.lit("<NULL>"))
+        src = df.withColumn("__pk", pk)
+        stats_df = src.groupBy("__pk").agg(
+            F.avg(value_col).alias("__mu"), F.stddev_samp(value_col).alias("__sd")
+        )
+        joined = src.join(F.broadcast(stats_df), "__pk").drop("__pk")
+    else:
+        stats_df = df.agg(
+            F.avg(value_col).alias("__mu"), F.stddev_samp(value_col).alias("__sd")
+        )
+        joined = df.crossJoin(F.broadcast(stats_df))
     zscore = F.round((F.col(value_col) - F.col("__mu")) / F.col("__sd"), 4)
     return (
         joined.filter(
