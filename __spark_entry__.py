@@ -2130,7 +2130,7 @@ def oracle_sql() -> dict[str, str]:
             WITH viol AS ({EVENTS_ORACLE_VIOLATIONS}),
             ranked AS (
                 SELECT event_id, rule_id, observed_value,
-                       ROW_NUMBER() OVER (PARTITION BY rule_id ORDER BY event_id) AS sample_rank,
+                       ROW_NUMBER() OVER (PARTITION BY rule_id ORDER BY event_id, observed_value) AS sample_rank,
                        COUNT(*) OVER (PARTITION BY rule_id) AS group_total
                 FROM viol
             )

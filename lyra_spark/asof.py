@@ -181,6 +181,9 @@ def asof_join_bounded(
     ``left_id_cols`` to uniquely identify left rows; ties on right ts break
     to the GREATEST ``right_order_cols`` like asof_join.
     """
+    reserved = {_MATCHED, _PAY, "__lts__", "__w_start__", "__w_end__"} & set(left.columns)
+    if reserved:
+        raise ValueError(f"left side uses reserved internal column names: {sorted(reserved)}")
     from lyra_spark.ranges import interval_join
 
     if direction not in ("backward", "forward"):
@@ -211,8 +214,11 @@ def asof_join_bounded(
         *[F.col(c).alias(f"__pay_{c}") for c in payload_cols],
         *[F.col(c).alias(f"__ord_{c}") for c in order_cols if c not in payload_cols],
     )
+    # dedupe: the join key is often part of the unique row id — selecting it
+    # twice would make every later reference AMBIGUOUS
+    point_cols = list(dict.fromkeys([*left_id_cols, *on]))
     points = left.select(
-        *left_id_cols, *on, F.col(left_ts).cast("timestamp").alias("__lts__")
+        *point_cols, F.col(left_ts).cast("timestamp").alias("__lts__")
     )
     cand = interval_join(
         points,

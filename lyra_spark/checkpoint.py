@@ -127,11 +127,15 @@ def load_manifest(checkpoint_dir: str, run_id: str) -> Manifest:
     try:
         with open(path) as f:
             raw = json.load(f)
-    except (json.JSONDecodeError, OSError):
+        # record construction is inside the guard too: a schema-drifted
+        # manifest (newer-version field, wrong top-level shape) is valid
+        # JSON but still corrupt FOR THIS VERSION — the contract is
+        # start-clean, never a crash on every resume
+        records = {k: PartitionRecord(**v) for k, v in raw.get("records", {}).items()}
+        return Manifest(run_id=raw.get("run_id", run_id), records=records)
+    except (json.JSONDecodeError, OSError, TypeError, KeyError, AttributeError, ValueError):
         # corrupt manifest ⇒ start clean (forces full re-validation, never a crash)
         return Manifest(run_id=run_id)
-    records = {k: PartitionRecord(**v) for k, v in raw.get("records", {}).items()}
-    return Manifest(run_id=raw.get("run_id", run_id), records=records)
 
 
 def save_manifest(checkpoint_dir: str, m: Manifest) -> str:

@@ -141,8 +141,16 @@ def compute_verdicts(
     rules = spark.createDataFrame(pd.DataFrame({"rule_id": rule_ids}))
     grid = rows.crossJoin(F.broadcast(rules))
     vc = violations.groupBy(partition_col, "rule_id").agg(F.count(F.lit(1)).alias("violation_count"))
+    # NULL-sentineled join key: an equi-join never matches NULL = NULL, so
+    # the NULL partition's violation counts would never reach its grid row
+    # and it would verdict pass=True with real violations outstanding —
+    # a silent false pass on exactly the stray rows partition_scope fights
+    # to keep in the loop
+    pk = F.coalesce(F.col(partition_col).cast("string"), F.lit("\x00NULL"))
     return (
-        grid.join(vc, [partition_col, "rule_id"], "left")
+        grid.withColumn("__pk", pk)
+        .join(vc.withColumn("__pk", pk).drop(partition_col), ["__pk", "rule_id"], "left")
+        .drop("__pk")
         .withColumn("violation_count", F.coalesce(F.col("violation_count"), F.lit(0)))
         .withColumn("pass", F.col("violation_count") == 0)
         .select(partition_col, "rule_id", "pass", "violation_count", "row_count")
@@ -198,7 +206,10 @@ def violation_samples(
     from pyspark.sql import Window
 
     group_cols = list(group_cols)
-    w = Window.partitionBy(*group_cols).orderBy(*key_cols)
+    # observed_value tiebreak: duplicate keys (uniqueness's finding) would
+    # otherwise leave the sampled subset to shuffle arbitration — the report
+    # must be byte-stable like the sink it summarizes
+    w = Window.partitionBy(*group_cols).orderBy(*key_cols, "observed_value")
     samples = violations.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from lyra_spark.checks import MONO_RULE, REF_RULE, UNIQ_RULE
 from lyra_spark.engine import ValidationResult, compute_verdicts, row_violations
-from lyra_spark.rules import RuleSet, deny, enum
+from lyra_spark.rules import RuleSet, enum
 from lyra_spark.schema import KEY_COLUMNS, PARTITION_COLUMN
 
 

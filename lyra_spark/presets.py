@@ -54,6 +54,11 @@ def validate_transcripts(
     run_suite(), which writes violations to their real sink once and
     aggregates verdicts from the written files."""
     ruleset = ruleset or transcript_ruleset()
+    # the fused plan keys its shared exchange and verdict grid on the
+    # partition column; with partition_col=None only the composable path is
+    # well-defined — route there instead of crashing mid-plan
+    if fused and partition_col is None:
+        fused = False
     if fused:
         from lyra_spark.fused import validate_transcripts_fused
 

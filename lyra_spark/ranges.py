@@ -79,6 +79,8 @@ def interval_join(
         p_ok = p_ok & F.col(k).isNotNull()
         i_ok = i_ok & F.col(k).isNotNull()
 
+    if _BKT in points.columns or _BKT in intervals.columns:
+        raise ValueError(f"inputs must not contain the reserved column {_BKT!r}")
     p = points.filter(p_ok).withColumn(_BKT, _bucket(F.col(point_ts), width_us))
     # sequence() with an explicit step of 1 over the covered bucket ids;
     # end >= start is guaranteed by the filter above, so the sequence is

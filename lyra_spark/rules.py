@@ -151,8 +151,10 @@ def cast(
     when: Cond | None = None,
 ) -> RuleSpec:
     """Type coercion. convert (default): try_cast, un-castable non-null ⇒
-    violation and downstream rules see the coerced column. strict: no rewrite;
-    a value whose cast differs from a plain string round-trip ⇒ violation."""
+    violation and downstream rules see the coerced column. strict: SAME
+    castability predicate, but NO rewrite — downstream rules see the raw
+    value (a castable-but-non-canonical value like '012' passes; rejecting
+    non-canonical forms needs a pattern rule on top)."""
     return _mk("cast", column, rule_id, when, to=to, strict=strict or None)
 
 

@@ -866,3 +866,46 @@ def test_cli_freshness_report(tmp_path, spark, fixtures_sf0001, capsys):
     out = capsys.readouterr().out
     assert "freshness (metadata): 90 partitions" in out
     assert "stale(>24.0h)=[" in out and "stale(>24.0h)=[]" not in out
+
+
+def test_structurally_corrupt_manifest_starts_clean(tmp_path, ruleset):
+    """Valid JSON with drifted structure (extra field / wrong shape) must hit
+    the start-clean fallback, not crash every resume with TypeError."""
+    m = ckpt.load_manifest(str(tmp_path), "run1")
+    m.record("a", ruleset, rows=1, violations=0, wall_ms=1.0)
+    path = ckpt.save_manifest(str(tmp_path), m)
+    with open(path) as f:
+        raw = json.load(f)
+    raw["records"]["a"]["from_the_future"] = True  # newer-version field
+    with open(path, "w") as f:
+        json.dump(raw, f)
+    m2 = ckpt.load_manifest(str(tmp_path), "run1")
+    assert m2.pending(["a"], ruleset) == ["a"]
+    with open(path, "w") as f:
+        f.write("[1, 2, 3]")  # valid JSON, wrong top-level shape
+    m3 = ckpt.load_manifest(str(tmp_path), "run1")
+    assert m3.pending(["a"], ruleset) == ["a"]
+
+
+def test_compute_verdicts_null_partition_counts(spark):
+    """The NULL partition's violations must reach its verdict row — an
+    equi-join on the partition key would silently report pass=True."""
+    import pandas as pd
+
+    from lyra_spark.engine import compute_verdicts
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a", "b", "c"], "part_date": ["d1", None, None]})
+    )
+    viol = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["b"], "part_date": [None], "rule_id": ["r1"],
+             "observed_value": ["x"]}
+        )
+    )
+    got = {
+        (str(r.part_date), r.rule_id): (r["pass"], r.violation_count, r.row_count)
+        for r in compute_verdicts(df, viol, ["r1"], "part_date").collect()
+    }
+    assert got[("None", "r1")] == (False, 1, 2)
+    assert got[("d1", "r1")] == (True, 0, 1)
