@@ -209,6 +209,10 @@ def inject_violations(df: pd.DataFrame, sf: str = "0.01", seed: int = SEED) -> t
             continue
         a, b = int(rows[1]), int(rows[2])
         df.loc[[a, b], "ts"] = df.loc[[b, a], "ts"].to_numpy()
+        # mark BOTH swapped rows taken: without this the uniqueness pick
+        # below can duplicate a swap-affected row, stacking injections and
+        # making the detection order of the tied violating turn seed-lucky
+        taken[a] = taken[b] = True
         records.append((cid, int(df.at[b, "turn_idx"]), "ts_monotone"))
 
     # uniq_conv_turn: duplicate existing rows.

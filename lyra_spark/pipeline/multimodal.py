@@ -110,6 +110,8 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video rows: emit (media_id, frame_idx)
     for every n-th frame from metadata — the downstream decode would slice the
     container at those indices. Pure Catalyst (sequence + explode)."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
     # n_frames > 0, not just non-null: sequence(0, -1) raises mid-job on a
     # zero-frame (empty/corrupt) container
     vids = df.filter((F.col("kind") == "video") & (F.col("meta.n_frames") > 0))

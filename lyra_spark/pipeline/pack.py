@@ -50,6 +50,9 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    for c in (out_col, offset_col):
+        if c in df.columns:
+            raise ValueError(f"input must not contain the reserved output column {c!r}")
     df = df.filter(F.col(id_col).isNotNull())
     ranged = df.repartitionByRange(
         *( [num_partitions] if num_partitions else [] ), F.col(id_col)

@@ -25,7 +25,10 @@ def ensure_shipped(spark: SparkSession) -> None:
     launch shape, BASELINE.json:14) this is a no-op; for ad-hoc sessions we
     zip the package once and ``addPyFile`` it.
     """
-    key = id(spark.sparkContext)
+    # keyed on applicationId, not id(): a new SparkContext allocated at a
+    # recycled object address would silently skip shipping and every
+    # executor UDF would die with ModuleNotFoundError
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -53,7 +56,15 @@ def get_spark(
     if shuffle_partitions is None:
         # match parallelism: local[N] → N, local[*] → cores
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = os.cpu_count() or 32 if n == "*" else int(n)
+        # leading integer only: 'local[8,3]' (maxFailures) and
+        # 'local-cluster[2,1,1024]' are legal masters — int('8,3') is not
+        import re as _re
+
+        m = _re.match(r"\d+", n)
+        if n == "*" or m is None:
+            shuffle_partitions = os.cpu_count() or 32
+        else:
+            shuffle_partitions = int(m.group())
 
     builder = (
         SparkSession.builder.master(master)

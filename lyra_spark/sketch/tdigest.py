@@ -34,6 +34,10 @@ class TDigest:
         self.means = np.asarray(means if means is not None else [], dtype=np.float64)
         self.weights = np.asarray(weights if weights is not None else [], dtype=np.float64)
         self.delta = int(delta)
+        # default bounds with non-empty centroids would silently invert
+        # quantiles (quantile(0) = +inf): derive them from the means
+        if self.means.size and not (vmin <= vmax):
+            vmin, vmax = float(self.means.min()), float(self.means.max())
         self._min = float(vmin)
         self._max = float(vmax)
 
@@ -78,28 +82,39 @@ class TDigest:
         return (np.sin(k * 2 * np.pi / self.delta) + 1) / 2
 
     def _compress(self) -> None:
+        # Vectorized k-limit clustering: the classic per-VALUE accumulation
+        # loop is O(rows) interpreted Python — the exact per-row-Python
+        # anti-pattern the engine bans from its hot path, and from_values
+        # runs inside every Arrow batch of the drift sketcher. Instead we
+        # iterate per OUTPUT CENTROID (≤ ~delta iterations): each cluster is
+        # the sorted run whose cumulative weight stays within the k-limit,
+        # found by one searchsorted over the weight cumsum; its mean is the
+        # exact weighted mean from prefix sums. Same clustering rule as the
+        # sequential form (cluster boundaries can shift by float-boundary
+        # ulps; all consumers gate on tolerances, SEMANTICS.md decision 43).
         if self.means.size <= 1:
             return
         order = np.argsort(self.means, kind="mergesort")
         means, weights = self.means[order], self.weights[order]
         total = weights.sum()
+        cumw = np.cumsum(weights)
+        sums = np.cumsum(means * weights)
         out_m: list[float] = []
         out_w: list[float] = []
         acc = 0.0  # weight fully emitted so far
-        cur_m, cur_w = means[0], weights[0]
-        q_limit = self._k_inv(self._k(0.0) + 1.0)
-        for m, w in zip(means[1:], weights[1:]):
-            if (acc + cur_w + w) / total <= q_limit:
-                cur_m += (m - cur_m) * (w / (cur_w + w))
-                cur_w += w
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                acc += cur_w
-                q_limit = self._k_inv(self._k(acc / total) + 1.0)
-                cur_m, cur_w = m, w
-        out_m.append(cur_m)
-        out_w.append(cur_w)
+        i = 0
+        n = means.size
+        while i < n:
+            q_limit = self._k_inv(self._k(acc / total) + 1.0)
+            j = int(np.searchsorted(cumw, q_limit * total, side="right"))
+            if j <= i:
+                j = i + 1  # a cluster always takes at least its first element
+            w = cumw[j - 1] - (cumw[i - 1] if i else 0.0)
+            sm = sums[j - 1] - (sums[i - 1] if i else 0.0)
+            out_m.append(sm / w)
+            out_w.append(w)
+            acc += w
+            i = j
         self.means = np.asarray(out_m)
         self.weights = np.asarray(out_w)
 

@@ -27,6 +27,8 @@ def normalize(rows, cols):
             v = r[i]
             if isinstance(v, float):
                 v = round(v, 6)
+                if v == 0:
+                    v = 0.0  # -0.0 stringifies as '-0.0' — a spurious FAIL
                 if math.isnan(v):
                     v = "NaN"
             vals.append(str(v) if v is not None else "<NULL>")
@@ -45,7 +47,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        try:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        except Exception as e:
+            # a partial fixture dir shouldn't abort checks that never touch
+            # the missing table; queries that DO will fail loudly themselves
+            print(f"[check_oracle] WARNING: no view for {t}: {e}")
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
