@@ -1679,6 +1679,77 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _format_rules_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic format-check corpus derived from customer: email / uuid /
+    ipv4 / uri columns with planted corruptions on fixed custkey residues, so
+    the DuckDB oracle can rebuild the identical frame expression-for-
+    expression (md5 hex, substr, concat all agree byte-for-byte)."""
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    h = F.md5(ks)
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return _read(spark, sf_dir, "customer").select(
+        k.alias("c_custkey"),
+        F.when(k % 7 == 0, F.concat(F.lit("user"), ks, F.lit("example.com")))
+        .otherwise(F.concat(F.lit("user"), ks, F.lit("@example.com")))
+        .alias("email"),
+        F.when(k % 11 == 0, F.replace(uuid, F.lit("-"), F.lit(""))).otherwise(uuid).alias("uuid"),
+        F.concat(
+            (k % 256).cast("string"),
+            F.lit("."),
+            (F.floor(k / F.lit(256.0)) % 256).cast("string"),
+            F.lit(".0."),
+            F.when(k % 5 == 0, F.lit("999")).otherwise(F.lit("1")),
+        ).alias("ip"),
+        F.when(k % 13 == 0, F.concat(F.lit("htp:/broken/"), ks))
+        .otherwise(F.concat(F.lit("https://example.com/d/"), ks))
+        .alias("url"),
+    )
+
+
+def q_format_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lyra string format validators (.email()/.guid()/.ip()/.uri()) as the
+    `format` rule kind: anchored public regexes (rules.FORMAT_REGEX, Java ∩
+    RE2 subset) compiled into the same one-pass violation assembly as every
+    other rule — map-only, zero exchanges."""
+    ensure_shipped(spark)
+    rs = RuleSet(
+        [
+            R.format_rule("email", "email", rule_id="email_fmt"),
+            R.format_rule("uuid", "uuid", rule_id="uuid_fmt"),
+            R.format_rule("ip", "ipv4", rule_id="ip_fmt"),
+            R.format_rule("url", "uri", rule_id="url_fmt"),
+        ]
+    )
+    derived = _format_rules_frame(spark, sf_dir)
+    return row_violations(derived, rs, key_cols=["c_custkey"], partition_col=None)
+
+
+def q_compare_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field references (Joi.ref) as the `compare` rule kind: within-row
+    column-vs-column predicates, plus a conditional (`when`-gated) compare —
+    all inside the single shuffle-free validation pass."""
+    ensure_shipped(spark)
+    rs = RuleSet(
+        [
+            R.compare("l_discount", "<=", "l_tax", rule_id="disc_le_tax"),
+            R.compare(
+                "l_discount", ">=", "l_tax", rule_id="r_disc_ge_tax",
+                when=("l_returnflag", "==", "R"),
+            ),
+        ]
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    return row_violations(li, rs, key_cols=["l_orderkey", "l_linenumber"], partition_col=None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -1762,6 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniform_exact_k": q_uniform_exact_k,
         "lsh_topk": q_lsh_topk,
         "dup_samples": q_dup_samples,
+        "format_rules": q_format_rules,
+        "compare_columns": q_compare_columns,
     }
 
 
@@ -1777,6 +1850,67 @@ _TOPK_ORACLE = """
         FROM scored
     )
     SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def _anchored_format_regex_sql(name: str) -> str:
+    """The engine's FORMAT_REGEX pattern, anchored exactly as the compiler
+    anchors it, SQL-quote-escaped for a DuckDB string literal. Same source
+    table on both sides = byte-agreement by construction (the patterns live
+    in the Java-regex ∩ RE2 subset)."""
+    from lyra_spark.rules import FORMAT_REGEX
+
+    return "^(?:" + FORMAT_REGEX[name].replace("'", "''") + ")$"
+
+
+# sentinel-token template (NOT an f-string: the regexes contain {m,n}
+# quantifiers and % characters that f-/%-formatting would mangle)
+_FORMAT_RULES_ORACLE = """
+    WITH h AS (
+        SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS ks,
+               md5(CAST(c_custkey AS VARCHAR)) AS hx
+        FROM customer
+    ),
+    derived AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN concat('user', ks, 'example.com')
+                    ELSE concat('user', ks, '@example.com') END AS email,
+               CASE WHEN c_custkey % 11 = 0
+                    THEN replace(concat(substr(hx,1,8),'-',substr(hx,9,4),'-',substr(hx,13,4),'-',substr(hx,17,4),'-',substr(hx,21,12)), '-', '')
+                    ELSE concat(substr(hx,1,8),'-',substr(hx,9,4),'-',substr(hx,13,4),'-',substr(hx,17,4),'-',substr(hx,21,12)) END AS uuidv,
+               concat(CAST(c_custkey % 256 AS VARCHAR), '.',
+                      CAST(CAST(FLOOR(c_custkey / 256.0) AS BIGINT) % 256 AS VARCHAR), '.0.',
+                      CASE WHEN c_custkey % 5 = 0 THEN '999' ELSE '1' END) AS ip,
+               CASE WHEN c_custkey % 13 = 0 THEN concat('htp:/broken/', ks)
+                    ELSE concat('https://example.com/d/', ks) END AS url
+        FROM h
+    )
+    SELECT c_custkey, 'email_fmt' AS rule_id, email AS observed_value
+      FROM derived WHERE NOT regexp_matches(email, '@EMAIL_RE@')
+    UNION ALL
+    SELECT c_custkey, 'uuid_fmt' AS rule_id, uuidv AS observed_value
+      FROM derived WHERE NOT regexp_matches(uuidv, '@UUID_RE@')
+    UNION ALL
+    SELECT c_custkey, 'ip_fmt' AS rule_id, ip AS observed_value
+      FROM derived WHERE NOT regexp_matches(ip, '@IPV4_RE@')
+    UNION ALL
+    SELECT c_custkey, 'url_fmt' AS rule_id, url AS observed_value
+      FROM derived WHERE NOT regexp_matches(url, '@URI_RE@')
+"""
+
+_COMPARE_COLUMNS_ORACLE = """
+    SELECT l_orderkey, l_linenumber, 'disc_le_tax' AS rule_id,
+           CAST(l_discount AS VARCHAR) AS observed_value
+      FROM lineitem
+     WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+       AND NOT (l_discount <= l_tax)
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'r_disc_ge_tax' AS rule_id,
+           CAST(l_discount AS VARCHAR) AS observed_value
+      FROM lineitem
+     WHERE l_returnflag = 'R'
+       AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+       AND NOT (l_discount >= l_tax)
 """
 
 
@@ -2028,6 +2162,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "lsh_topk": _TOPK_ORACLE,
+        "format_rules": (
+            _FORMAT_RULES_ORACLE
+            .replace("@EMAIL_RE@", _anchored_format_regex_sql("email"))
+            .replace("@UUID_RE@", _anchored_format_regex_sql("uuid"))
+            .replace("@IPV4_RE@", _anchored_format_regex_sql("ipv4"))
+            .replace("@URI_RE@", _anchored_format_regex_sql("uri"))
+        ),
+        "compare_columns": _COMPARE_COLUMNS_ORACLE,
         "dup_samples": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents

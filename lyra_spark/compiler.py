@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lyra_spark.rules import Cond, RuleSet, RuleSpec, get_custom
+from lyra_spark.rules import FORMAT_REGEX, Cond, RuleSet, RuleSpec, get_custom
 
 RAW_PREFIX = "__raw__"
 
@@ -75,6 +75,24 @@ def _check_predicate(spec: RuleSpec, col: Column) -> Column:
         if p.get("full", True):
             regex = f"^(?:{regex})$"
         return _skip_null_wrap(col, col.rlike(regex))
+    if kind == "format":
+        # named format = always-anchored pattern from the public table in
+        # rules.py (Java-regex ∩ RE2 subset — cross-engine byte-agreement)
+        return _skip_null_wrap(col, col.rlike(f"^(?:{FORMAT_REGEX[p['name']]})$"))
+    if kind == "compare":
+        other = F.col(p["other"])
+        op = p["op"]
+        cmp = {
+            "==": col == other,
+            "!=": col != other,
+            "<": col < other,
+            "<=": col <= other,
+            ">": col > other,
+            ">=": col >= other,
+        }[op]
+        # skip when EITHER side is NULL (SEMANTICS.md: optional semantics on
+        # both operands); _skip_null_wrap already passes a NULL left side
+        return _skip_null_wrap(col, other.isNull() | cmp)
     if kind == "length":
         pred = F.lit(True)
         if p.get("min") is not None:

@@ -90,6 +90,69 @@ def deny(column: str, values: Sequence[str], rule_id: str | None = None, when: C
 
 
 # --- string -------------------------------------------------------------------
+# Named string formats (lyra/Joi .email()/.guid()/.uri()/.ip()/.hostname()/
+# .isoDate()), compiled to ANCHORED regexes. Patterns are standard public
+# forms (HTML5/WHATWG email, RFC 4122 UUID, RFC 1123 hostname labels,
+# RFC 3986 scheme) kept inside the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround) so the engine (Spark rlike) and any RE2-based
+# oracle (DuckDB regexp_matches) agree byte-for-byte. Pinned semantics
+# (SEMANTICS.md): these are SYNTACTIC checks — `iso_date` accepts 2024-02-31
+# (pair with cast("date") for calendar validity); `hostname` skips the
+# 253-char total-length cap (needs lookahead — pair with a length rule);
+# `uri` means scheme://non-space (web-style absolute URI, not mailto:).
+FORMAT_REGEX: dict[str, str] = {
+    "email": (
+        r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+        r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+"
+    ),
+    "uuid": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "ipv4": (
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+        r"(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}"
+    ),
+    "hostname": (
+        r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+        r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*"
+    ),
+    "uri": r"[A-Za-z][A-Za-z0-9+.-]*://[^\s]+",
+    "iso_date": r"\d{4}-\d{2}-\d{2}",
+    "iso_timestamp": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?(?:Z|[+-]\d{2}:\d{2})?",
+}
+
+
+def format_rule(
+    column: str,
+    name: str,
+    rule_id: str | None = None,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """lyra string format validators (.email()/.guid()/.uri()/.ip()...) as one
+    parameterized kind: value must FULLY match the named format's regex."""
+    if name not in FORMAT_REGEX:
+        raise ValueError(f"unknown format {name!r} (known: {sorted(FORMAT_REGEX)})")
+    return _mk("format", column, rule_id, when, name=name)
+
+
+COMPARE_OPS = ("==", "!=", "<", "<=", ">", ">=")
+
+
+def compare(
+    column: str,
+    op: str,
+    other: str,
+    rule_id: str | None = None,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """lyra cross-field references (Joi.ref): ``column <op> other_column``
+    must hold within the row. Pinned semantics (SEMANTICS.md): the check
+    SKIPS when EITHER side is NULL (optional semantics on both operands —
+    presence is `required`'s job), and both sides are compared post-coercion
+    with Spark's native type comparison (no implicit cross-family casts)."""
+    if op not in COMPARE_OPS:
+        raise ValueError(f"unknown compare op {op!r} (known: {COMPARE_OPS})")
+    return _mk("compare", column, rule_id, when, op=op, other=other)
+
+
 def pattern(
     column: str,
     regex: str,
@@ -268,6 +331,7 @@ def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
 _CONFIG_KINDS = {
     "required", "nonempty", "forbidden", "enum", "deny", "pattern", "length",
     "range", "integer", "multiple_of", "cast", "default", "transform", "custom",
+    "format", "compare",
 }
 _META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version"}
 
@@ -368,6 +432,8 @@ _BUILDERS: dict[str, Callable] = {
     "cast": cast,
     "default": default,
     "transform": transform,
+    "format": format_rule,
+    "compare": compare,
 }
 
 # Per-kind legal parameter names, mirroring the builder signatures above — the
@@ -387,6 +453,8 @@ _KIND_PARAMS: dict[str, set[str]] = {
     "default": {"value"},
     "transform": {"fn"},
     "custom": set(),
+    "format": {"name"},
+    "compare": {"op", "other"},
 }
 
 
