@@ -1750,6 +1750,29 @@ def q_compare_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_violations(li, rs, key_cols=["l_orderkey", "l_linenumber"], partition_col=None)
 
 
+def q_severity_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity-aware partition gating: `warn` rules report violations but
+    never fail a partition (engine.partition_pass); error rules gate. The
+    per-day overall verdict separates error_violations from warn_violations."""
+    import dataclasses
+
+    from lyra_spark.engine import partition_pass, validate
+
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    rs = RuleSet(
+        [
+            R.enum("event_type", ["click", "view", "purchase", "signup"], rule_id="event_type_enum"),
+            dataclasses.replace(
+                R.range_rule("value", min=0.0, max=100.0, rule_id="value_range"), severity="warn"
+            ),
+            R.required("event_type", rule_id="event_type_required"),
+        ]
+    )
+    res = validate(events, rs, key_cols=["event_id"], partition_col="day")
+    return partition_pass(res.verdicts, partition_col="day").withColumnRenamed("pass", "passed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -1835,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_samples": q_dup_samples,
         "format_rules": q_format_rules,
         "compare_columns": q_compare_columns,
+        "severity_verdicts": q_severity_verdicts,
     }
 
 
@@ -2170,6 +2194,30 @@ def oracle_sql() -> dict[str, str]:
             .replace("@URI_RE@", _anchored_format_regex_sql("uri"))
         ),
         "compare_columns": _COMPARE_COLUMNS_ORACLE,
+        "severity_verdicts": """
+            WITH ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
+            days AS (SELECT day, COUNT(*) AS row_count FROM ev GROUP BY day),
+            errv AS (
+                SELECT day, COUNT(*) AS c FROM ev
+                WHERE (event_type IS NOT NULL
+                       AND event_type NOT IN ('click','view','purchase','signup'))
+                   OR event_type IS NULL
+                GROUP BY day
+            ),
+            warnv AS (
+                SELECT day, COUNT(*) AS c FROM ev
+                WHERE value IS NOT NULL AND NOT (value >= 0.0 AND value <= 100.0)
+                GROUP BY day
+            )
+            SELECT d.day,
+                   COALESCE(e.c, 0) = 0 AS passed,
+                   COALESCE(e.c, 0) AS error_violations,
+                   COALESCE(w.c, 0) AS warn_violations,
+                   d.row_count
+            FROM days d
+            LEFT JOIN errv e USING (day)
+            LEFT JOIN warnv w USING (day)
+        """,
         "dup_samples": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents

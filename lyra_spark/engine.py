@@ -22,6 +22,16 @@ from lyra_spark.rules import RuleSet
 KEY_COLS = ["conv_id", "turn_idx"]
 
 
+def ruleset_severities(ruleset: RuleSet) -> dict[str, str] | None:
+    """rule_id → severity map for the verdict grid — or None when every rule
+    is default-"error", keeping the grid's historical 5-column schema (the
+    severity column appears exactly when the ruleset declares non-default
+    severities, so a run's verdict schema is constant per ruleset)."""
+    if all(r.severity == "error" for r in ruleset.checks):
+        return None
+    return {r.rule_id: r.severity for r in ruleset.checks}
+
+
 @dataclass
 class ValidationResult:
     violations: DataFrame  # (*key_cols, [partition_col], rule_id, observed_value)
@@ -123,12 +133,19 @@ def compute_verdicts(
     violations: DataFrame,
     rule_ids: list[str],
     partition_col: str = "part_date",
+    severities: dict[str, str] | None = None,
 ) -> DataFrame:
     """Per (partition, rule) pass/fail with counts (BASELINE.json:6,14).
 
     The (partitions × rules) grid is tiny (dates × ~dozen rules) — built from a
     broadcastable rule-id frame so the whole roll-up is two small hash
     aggregations over pre-aggregated counts, never a shuffle of raw rows.
+
+    ``severities`` (rule_id → "error"/"warn"): when given, the grid gains a
+    ``severity`` column (unknown rule_ids — e.g. dataset checks — default
+    "error"); ``pass`` stays FACTUAL (violation_count == 0) regardless —
+    severity changes what GATES a partition (partition_pass), never what is
+    reported. Omitted (the default), the output schema is unchanged.
     """
     import pandas as pd
 
@@ -138,7 +155,10 @@ def compute_verdicts(
     # launches a Python worker just to unpickle a dozen rule ids (~1 s of
     # zero-CPU wall per call — per PARTITION on the CLI path); the pandas path
     # is a driver-side Arrow conversion into a pure-JVM LocalRelation.
-    rules = spark.createDataFrame(pd.DataFrame({"rule_id": rule_ids}))
+    rframe = {"rule_id": rule_ids}
+    if severities is not None:
+        rframe["severity"] = [severities.get(r, "error") for r in rule_ids]
+    rules = spark.createDataFrame(pd.DataFrame(rframe))
     grid = rows.crossJoin(F.broadcast(rules))
     vc = violations.groupBy(partition_col, "rule_id").agg(F.count(F.lit(1)).alias("violation_count"))
     # NULL-sentineled join key: an equi-join never matches NULL = NULL, so
@@ -147,13 +167,38 @@ def compute_verdicts(
     # a silent false pass on exactly the stray rows partition_scope fights
     # to keep in the loop
     pk = F.coalesce(F.col(partition_col).cast("string"), F.lit("\x00NULL"))
+    out_cols = [partition_col, "rule_id", "pass", "violation_count", "row_count"]
+    if severities is not None:
+        out_cols.append("severity")
     return (
         grid.withColumn("__pk", pk)
         .join(vc.withColumn("__pk", pk).drop(partition_col), ["__pk", "rule_id"], "left")
         .drop("__pk")
         .withColumn("violation_count", F.coalesce(F.col("violation_count"), F.lit(0)))
         .withColumn("pass", F.col("violation_count") == 0)
-        .select(partition_col, "rule_id", "pass", "violation_count", "row_count")
+        .select(*out_cols)
+    )
+
+
+def partition_pass(verdicts: DataFrame, partition_col: str = "part_date") -> DataFrame:
+    """Per-partition overall verdict from a verdict grid: a partition passes
+    iff every GATING rule has zero violations. Rules with severity "warn"
+    never gate (lyra severity semantics: warn = report, don't fail) — their
+    counts still surface as ``warn_violations``. A grid without a severity
+    column (compute_verdicts default) gates on every rule. Driver-scale
+    input (partitions × rules), one tiny aggregation."""
+    sev = (
+        F.col("severity")
+        if "severity" in verdicts.columns
+        else F.lit("error")
+    )
+    gating = sev != "warn"
+    vc = F.col("violation_count")
+    return verdicts.groupBy(partition_col).agg(
+        F.min(F.when(gating, vc == 0).otherwise(F.lit(True))).alias("pass"),
+        F.sum(F.when(gating, vc).otherwise(F.lit(0))).alias("error_violations"),
+        F.sum(F.when(~gating, vc).otherwise(F.lit(0))).alias("warn_violations"),
+        F.max("row_count").alias("row_count"),
     )
 
 
@@ -180,7 +225,8 @@ def validate(
         viol = viol.persist(StorageLevel.MEMORY_AND_DISK)
     rule_ids = [r.rule_id for r in ruleset.checks] + list(extra_rule_ids or [])
     verd = (
-        compute_verdicts(df, viol, rule_ids, partition_col)
+        compute_verdicts(df, viol, rule_ids, partition_col,
+                         severities=ruleset_severities(ruleset))
         if partition_col
         else None
     )

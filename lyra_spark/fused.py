@@ -201,5 +201,8 @@ def validate_transcripts_fused(
     if persist:
         viol = viol.persist(StorageLevel.MEMORY_AND_DISK)
     rule_ids = [r.rule_id for r in fused_rules.checks] + [UNIQ_RULE, MONO_RULE]
-    verd = compute_verdicts(df, viol, rule_ids, partition_col)
+    from lyra_spark.engine import ruleset_severities
+
+    verd = compute_verdicts(df, viol, rule_ids, partition_col,
+                            severities=ruleset_severities(fused_rules))
     return ValidationResult(violations=viol, verdicts=verd, key_cols=list(key_cols), partition_col=partition_col)

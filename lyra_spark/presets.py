@@ -143,11 +143,14 @@ def run_suite(
         rule_ids.append(TRANSITION_RULE)
     if check_placement:
         rule_ids.append(PLACEMENT_RULE)
+    from lyra_spark.engine import ruleset_severities
+
+    sev = ruleset_severities(ruleset)
     counts = lio.partition_row_counts(input_path, partition_col) if input_path else None
     if counts is None:
-        verd = compute_verdicts(df, viol, rule_ids, partition_col)
+        verd = compute_verdicts(df, viol, rule_ids, partition_col, severities=sev)
     else:
-        verd = verdicts_from_metadata(df, viol, rule_ids, partition_col, counts)
+        verd = verdicts_from_metadata(df, viol, rule_ids, partition_col, counts, severities=sev)
     return viol, verd
 
 
@@ -157,6 +160,7 @@ def verdicts_from_metadata(
     rule_ids: list[str],
     partition_col: str,
     counts: dict[str, int],
+    severities: dict[str, str] | None = None,
 ) -> DataFrame:
     """Verdict grid from metadata row counts + one tiny violation aggregate.
 
@@ -181,7 +185,11 @@ def verdicts_from_metadata(
     # (measured: ~2 s of zero-CPU wall); the pandas path is a driver-side
     # Arrow conversion into a pure-JVM LocalRelation.
     gpdf = pd.DataFrame(grid, columns=["pk", "rule_id", "violation_count", "row_count"])
-    return (
+    if severities is not None:
+        # same schema rule as compute_verdicts: severity column appears
+        # exactly when the ruleset declares non-default severities
+        gpdf["severity"] = [severities.get(r, "error") for r in gpdf["rule_id"]]
+    out = (
         spark.createDataFrame(gpdf)
         .select(
             F.col("pk").cast(part_type).alias(partition_col),
@@ -189,5 +197,7 @@ def verdicts_from_metadata(
             (F.col("violation_count") == 0).alias("pass"),
             "violation_count",
             "row_count",
+            *(["severity"] if severities is not None else []),
         )
     )
+    return out

@@ -31,10 +31,10 @@ Cond = tuple[str, str, Any]
 
 @dataclass(frozen=True)
 class RuleSpec:
-    # NOTE: `severity` is carried as rule METADATA (round-tripped through
-    # config, excluded from the fingerprint) — the engine currently gates on
-    # every rule regardless of severity; a "warn" rule still fails its
-    # partition. Wire it through the verdict grid before relying on it.
+    # `severity` ("error" default / "warn"): round-tripped through config,
+    # excluded from the fingerprint. Wired through the verdict grid —
+    # engine.partition_pass gates a partition on error-severity rules only;
+    # warn rules report (violation rows + counts) but never fail it.
     rule_id: str
     kind: str
     column: str
