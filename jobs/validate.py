@@ -295,6 +295,8 @@ def main(argv: list[str] | None = None) -> int:
 
 
     def validate_partition(pk: str) -> tuple[str, int, int, float]:
+        from lyra_spark.engine import ruleset_severities
+
         t0 = time.perf_counter()
         scoped = lio.partition_scope(df, pk)
         result = validate_transcripts(scoped, dim, ruleset=ruleset)
@@ -326,7 +328,8 @@ def main(argv: list[str] | None = None) -> int:
                 verd = verdicts_from_metadata(
                     scoped, viol,
                     rule_ids(ruleset, args.check_transitions, args.check_placement),
-                    "part_date", {pk: meta_counts[pk]}
+                    "part_date", {pk: meta_counts[pk]},
+                    severities=ruleset_severities(ruleset),
                 )
             else:
                 from lyra_spark.engine import compute_verdicts
@@ -335,6 +338,7 @@ def main(argv: list[str] | None = None) -> int:
                     scoped, viol,
                     rule_ids(ruleset, args.check_transitions, args.check_placement),
                     "part_date",
+                    severities=ruleset_severities(ruleset),
                 )
         elif args.check_transitions or args.check_placement:
             # result.verdicts predates the transition/placement unions —
@@ -345,6 +349,7 @@ def main(argv: list[str] | None = None) -> int:
                 scoped, result.violations,
                 rule_ids(ruleset, args.check_transitions, args.check_placement),
                 "part_date",
+                severities=ruleset_severities(ruleset),
             )
         else:
             verd = result.verdicts

@@ -73,12 +73,17 @@ def _check_predicate(spec: RuleSpec, col: Column) -> Column:
     if kind == "pattern":
         regex = p["regex"]
         if p.get("full", True):
-            regex = f"^(?:{regex})$"
+            # \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline,
+            # so 'x\n' would full-match 'x' and diverge from an RE2 oracle
+            # (whose un-flagged $ is end-of-text). \A/\z mean end-of-text in
+            # both dialects.
+            regex = f"\\A(?:{regex})\\z"
         return _skip_null_wrap(col, col.rlike(regex))
     if kind == "format":
         # named format = always-anchored pattern from the public table in
-        # rules.py (Java-regex ∩ RE2 subset — cross-engine byte-agreement)
-        return _skip_null_wrap(col, col.rlike(f"^(?:{FORMAT_REGEX[p['name']]})$"))
+        # rules.py (Java-regex ∩ RE2 subset — cross-engine byte-agreement);
+        # \A..\z anchoring for the same trailing-newline reason as `pattern`
+        return _skip_null_wrap(col, col.rlike(f"\\A(?:{FORMAT_REGEX[p['name']]})\\z"))
     if kind == "compare":
         other = F.col(p["other"])
         op = p["op"]

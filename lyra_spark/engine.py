@@ -188,7 +188,11 @@ def partition_pass(verdicts: DataFrame, partition_col: str = "part_date") -> Dat
     column (compute_verdicts default) gates on every rule. Driver-scale
     input (partitions × rules), one tiny aggregation."""
     sev = (
-        F.col("severity")
+        # coalesce: a NULL severity cell (e.g. a 5-col grid unioned into a
+        # 6-col one with allowMissingColumns) must fail SAFE as gating —
+        # sev != 'warn' on NULL is NULL, which would drop the row from BOTH
+        # error_violations and warn_violations
+        F.coalesce(F.col("severity"), F.lit("error"))
         if "severity" in verdicts.columns
         else F.lit("error")
     )

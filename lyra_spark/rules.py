@@ -409,6 +409,13 @@ def ruleset_from_json(source: str) -> RuleSet:
         if "severity" in d or "version" in d:
             import dataclasses
 
+            # validate like kinds/params: a typo'd severity ("warning",
+            # "WARN") would otherwise silently gate as error — the exact
+            # quiet-config failure this loader exists to reject
+            if d.get("severity") is not None and d["severity"] not in ("error", "warn"):
+                raise ValueError(
+                    f"rule #{i}: unknown severity {d['severity']!r} (known: error, warn)"
+                )
             spec = dataclasses.replace(
                 spec,
                 severity=d.get("severity", spec.severity),

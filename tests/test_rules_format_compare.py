@@ -97,6 +97,25 @@ def test_format_unknown_name_raises():
         R.format_rule("v", "phone")
 
 
+def test_full_match_rejects_trailing_newline(spark):
+    # Java's $ matches BEFORE a trailing newline — the compiler must anchor
+    # with \A..\z so 'x\n' is a violation, byte-agreeing with an RE2 oracle
+    # whose un-flagged $ is end-of-text
+    rs = RuleSet(
+        [
+            R.format_rule("e", "email", rule_id="efmt"),
+            R.pattern("p", "[a-z]+", rule_id="pfull"),
+        ]
+    )
+    got = run(
+        spark,
+        [(1, "a@example.com", "abc"), (2, "a@example.com\n", "abc\n")],
+        "id int, e string, p string",
+        rs,
+    )
+    assert {(i, r) for (i, r, _) in got} == {(2, "efmt"), (2, "pfull")}
+
+
 # --- compare ----------------------------------------------------------------
 def test_compare_ops_and_null_skip(spark):
     rs = RuleSet(

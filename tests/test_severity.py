@@ -70,6 +70,27 @@ def test_partition_pass_without_severity_gates_everything(spark):
     assert pp == {"2024-01-01": False, "2024-01-02": True}
 
 
+def test_null_severity_fails_safe(spark):
+    # a NULL severity cell (5-col grid unioned into a 6-col one with
+    # allowMissingColumns) must gate as "error", never vanish from both sums
+    from pyspark.sql import functions as F
+
+    res = validate(_frame(spark), _ruleset(), partition_col="part_date")
+    nulled = res.verdicts.withColumn(
+        "severity", F.when(F.col("rule_id") == "text_len", F.lit(None)).otherwise(F.col("severity"))
+    )
+    pp = {r["part_date"]: r for r in partition_pass(nulled).collect()}
+    assert pp["2024-01-02"]["pass"] is False
+    assert pp["2024-01-02"]["error_violations"] == 1
+
+
+def test_config_rejects_unknown_severity():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown severity"):
+        ruleset_from_json('[{"kind": "required", "column": "text", "severity": "warning"}]')
+
+
 def test_severity_roundtrips_and_skips_fingerprint():
     rs = _ruleset()
     rs2 = ruleset_from_json(ruleset_to_json(rs))
@@ -84,9 +105,7 @@ def test_severity_roundtrips_and_skips_fingerprint():
     assert ruleset_severities(rs) == {"text_required": "warn", "text_len": "error"}
 
 
-def test_metadata_verdicts_carry_severity(spark, tmp_path):
-    import os
-
+def test_metadata_verdicts_carry_severity(spark):
     from lyra_spark.presets import verdicts_from_metadata
 
     df = _frame(spark)
