@@ -69,13 +69,23 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit("--cap-k must be >= 1")
 
     # data-sized shuffle partitions (same policy as jobs/validate.py): the
-    # dedup exchanges run ~8x the input bytes through explode/join stages
+    # dedup exchanges run ~8x the input bytes through explode/join stages.
+    # The local glob only sizes LOCAL paths — on a remote corpus (hdfs://,
+    # s3a://, ...) it finds nothing, and a silent in_bytes=0 would floor a
+    # multi-TB run at 8 shuffle partitions; leave the session default (plus
+    # AQE coalescing) instead.
     files = glob.glob(os.path.join(args.corpus, "**", "*.parquet"), recursive=True) or (
         [args.corpus] if os.path.isfile(args.corpus) else []
     )
     in_bytes = sum(os.path.getsize(f) for f in files)
-    shuf = max(8, in_bytes * 8 // (100 << 20) + 1)
-    spark = get_spark(master=args.master, shuffle_partitions=int(shuf), app_name="lyra_clean")
+    if files:
+        shuf = int(max(8, in_bytes * 8 // (100 << 20) + 1))
+        spark = get_spark(master=args.master, shuffle_partitions=shuf, app_name="lyra_clean")
+    else:
+        print(f"[lyra] corpus {args.corpus!r} not on the local filesystem — "
+              "using the session-default shuffle partitions (size them via "
+              "spark.sql.shuffle.partitions for multi-TB inputs)")
+        spark = get_spark(master=args.master, app_name="lyra_clean")
 
     from pyspark.sql import functions as F
 
@@ -160,16 +170,16 @@ def main(argv: list[str] | None = None) -> int:
     # aggregates over the written output plus two light probes (the quality
     # and exact-dedup stages are one agg each; the expensive near-dup work is
     # NOT re-run)
-    n_quality = quality_score(docs, args.text_col).filter(
-        F.col("quality_score") >= args.min_quality
-    ).count()
-    n_exact = distinct_by_content(
+    # ONE quality-scored frame feeds both probes — scoring re-runs the
+    # regex-heavy features over all text, so building it twice doubled the
+    # probe scan cost on exactly the corpora this job targets
+    quality_kept = (
         quality_score(docs, args.text_col)
         .filter(F.col("quality_score") >= args.min_quality)
-        .select(docs.columns),
-        args.text_col,
-        args.id_col,
-    ).count()
+        .select(docs.columns)
+    )
+    n_quality = quality_kept.count()
+    n_exact = distinct_by_content(quality_kept, args.text_col, args.id_col).count()
     n_scrub_affected = out.filter(F.col("n_lines_removed") > 0).count()
 
     report = {

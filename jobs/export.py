@@ -47,7 +47,10 @@ def _parse_weights(text: str, flag: str) -> dict[str, float]:
         name, _, val = part.partition("=")
         if not _:
             raise SystemExit(f"{flag} entries must be name=value, got {part!r}")
-        out[name.strip()] = float(val)
+        try:
+            out[name.strip()] = float(val)
+        except ValueError:
+            raise SystemExit(f"{flag}: value for {name.strip()!r} is not a number: {val!r}") from None
     if not out:
         raise SystemExit(f"{flag}: empty weights")
     return out
@@ -89,10 +92,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--report", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)
 
+    if args.shards <= 0:
+        raise SystemExit("--shards must be positive")
     if args.mixture and args.mixture_budget is None:
         raise SystemExit("--mixture requires --mixture-budget")
     if args.mixture_budget is not None and not args.mixture:
         raise SystemExit("--mixture-budget requires --mixture")
+    if args.mixture_budget is not None and args.mixture_budget <= 0:
+        raise SystemExit("--mixture-budget must be positive")
+    if args.pack_budget is not None and args.pack_budget <= 0:
+        raise SystemExit("--pack-budget must be positive")
     if args.leakage_safe and not args.split_weights:
         raise SystemExit("--leakage-safe requires --split-weights (it keys the split)")
 
@@ -111,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.corpus)
     if args.mixture and args.token_col not in docs.columns:
         raise SystemExit(f"--mixture needs --token-col {args.token_col!r} in the corpus")
+    if args.mixture and args.source_col not in docs.columns:
+        raise SystemExit(f"--mixture needs --source-col {args.source_col!r} in the corpus")
+    if "split" in docs.columns:
+        # both split paths withColumn("split", ...) — failing fast beats
+        # silently overwriting (then dropping) a caller's existing column
+        raise SystemExit("corpus already has a 'split' column — rename it before exporting")
     n_in = docs.count()
 
     if args.mixture:
@@ -154,6 +169,8 @@ def main(argv: list[str] | None = None) -> int:
     has_tokens = args.token_col in docs.columns
     if args.pack_budget and not has_tokens:
         raise SystemExit(f"--pack-budget needs --token-col {args.token_col!r} in the corpus")
+    from lyra_spark.pipeline.export import pack_within_shards, shuffle_index
+
     for name in splits:
         part = docs.filter(F.col("split") == name).drop("split")
         dest = os.path.join(args.out, f"split={name}")
@@ -161,16 +178,16 @@ def main(argv: list[str] | None = None) -> int:
             part, dest, args.shards, id_col=args.id_col, salt=args.salt + "|shuffle",
             pack_budget=args.pack_budget, token_col=args.token_col,
         )
-        import glob as _glob
-
-        if not _glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True):
-            # an empty split writes only _SUCCESS; schema inference on it
-            # would raise — report zeros instead of dying post-write
-            report["splits"][name] = {
-                "docs": 0, **({"tokens": 0} if has_tokens else {}), "path": dest,
-            }
-            continue
-        written = spark.read.parquet(dest)
+        # read back with the EXPLICIT output schema (derived from an empty
+        # plan, no job): an empty split's sink holds only _SUCCESS and schema
+        # inference would raise — and any local-filesystem existence probe
+        # (glob) silently reports every split empty on HDFS/S3 paths
+        expected = shuffle_index(
+            part.limit(0), args.shards, id_col=args.id_col, salt=args.salt + "|shuffle"
+        )
+        if args.pack_budget:
+            expected = pack_within_shards(expected, args.pack_budget, token_col=args.token_col)
+        written = spark.read.schema(expected.schema).parquet(dest)
         aggs = [F.count(F.lit(1)).alias("docs")]
         if has_tokens:
             aggs.append(

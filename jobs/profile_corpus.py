@@ -50,17 +50,21 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from lyra_spark.pipeline.dedup import _norm
-    from lyra_spark.pipeline.text import URL_PATTERN, lang_id, quality_score, token_count
+    from lyra_spark.pipeline.text import URL_PATTERN, lang_id, quality_score
 
     t0 = time.time()
     docs = spark.read.parquet(args.corpus)
     tc = args.text_col
 
-    # job 1: every per-doc scalar in one map-only scan → one aggregate row
+    # job 1: every per-doc scalar in one map-only scan → one aggregate row.
+    # n_tokens/n_chars REUSE quality_score's materialized feature columns
+    # (coalesced to 0 for NULL text — token_count('')/length('') are 0 too):
+    # recomputing them from scratch would split/measure every text twice,
+    # since Catalyst does not guarantee CSE across the regex split.
     derived = lang_id(quality_score(docs, tc), tc).select(
         F.col(tc).isNull().cast("int").alias("is_null"),
-        token_count(F.coalesce(F.col(tc), F.lit(""))).alias("n_tokens"),
-        F.length(F.coalesce(F.col(tc), F.lit(""))).alias("n_chars"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
         "quality_score",
         "lang_pred",
         F.size(F.regexp_extract_all(F.coalesce(F.col(tc), F.lit("")), F.lit(URL_PATTERN), 0)).alias("n_urls"),

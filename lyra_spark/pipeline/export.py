@@ -39,6 +39,7 @@ def shuffle_index(
     salt: str = "shuffle",
     shard_col: str = "shard",
     position_col: str = "position",
+    partition_for_write: bool = False,
 ) -> DataFrame:
     """Add (``shard``, ``position``): the deterministic global-shuffle
     address of each row. shard = md5-uint32 mod ``n_shards`` (map-only);
@@ -52,6 +53,14 @@ def shuffle_index(
     One exchange (on the uniform shard key), one within-shard sort. The
     single-task-per-shard sort is the scale dial: pick ``n_shards`` from
     target file size, never from cluster size.
+
+    ``partition_for_write``: hash-repartition to ``n_shards`` tasks on the
+    shard key BEFORE the rank window. The window's ClusteredDistribution is
+    satisfied by hashpartitioning(shard, n_shards), so the plan keeps ONE
+    exchange end-to-end and a downstream per-shard writer needs no second
+    repartition (without it the window exchanges at
+    spark.sql.shuffle.partitions and a write-side repartition to n_shards
+    would shuffle the full corpus AGAIN — ~2× the export's I/O).
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
@@ -64,6 +73,8 @@ def shuffle_index(
         .withColumn("__h", h)
         .withColumn(shard_col, F.pmod(F.col("__h"), F.lit(int(n_shards))))
     )
+    if partition_for_write:
+        out = out.repartition(int(n_shards), shard_col)
     w = Window.partitionBy(shard_col).orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return out.withColumn(position_col, F.row_number().over(w) - F.lit(1)).drop("__h")
 
@@ -95,12 +106,14 @@ def write_shards(
     window rides the same shard partitioning, so it costs no extra
     exchange.
     """
-    out = shuffle_index(df, n_shards, id_col=id_col, salt=salt)
+    # partition_for_write: ONE exchange total — the rank window and this
+    # writer share the same hashpartitioning(shard, n_shards); a second
+    # write-side repartition would re-shuffle the whole corpus
+    out = shuffle_index(df, n_shards, id_col=id_col, salt=salt, partition_for_write=True)
     if pack_budget is not None:
         out = pack_within_shards(out, pack_budget, token_col=token_col)
     (
-        out.repartition(int(n_shards), "shard")
-        .sortWithinPartitions("shard", "position")
+        out.sortWithinPartitions("shard", "position")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
@@ -130,6 +143,12 @@ def pack_within_shards(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    for c in (out_col, offset_col, "__cum"):
+        # same reserved-column contract as shuffle_index: silently clobbering
+        # a pre-existing pack_id/pack_offset (e.g. re-exporting a prior
+        # export's output) would destroy data
+        if c in indexed.columns:
+            raise ValueError(f"input must not contain the reserved column {c!r}")
     w = (
         Window.partitionBy(shard_col)
         .orderBy(position_col)

@@ -63,9 +63,16 @@ def split_by_hash(
     """
     if not weights:
         raise ValueError("weights must name at least one split")
+    import math
+
+    for name, wgt in weights.items():
+        # per-weight validation, not just the total: a negative weight builds
+        # NON-MONOTONIC cumulative boundaries (the reversed CASE then routes
+        # 100% of rows into the first split) and a NaN falls through every
+        # WHEN into the last split — both silently
+        if not math.isfinite(wgt) or wgt <= 0:
+            raise ValueError(f"weight for split {name!r} must be finite and > 0, got {wgt!r}")
     total = float(sum(weights.values()))
-    if total <= 0:
-        raise ValueError("weights must sum to a positive value")
     frac = hash_fraction(id_col, salt)
     names = list(weights)
     expr = F.lit(names[-1])

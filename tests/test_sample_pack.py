@@ -306,6 +306,57 @@ def test_write_shards_layout_and_order(spark, ids_df, tmp_path):
         assert got == [doc for _, doc in sorted(by_shard[k])]
 
 
+def test_export_write_plan_is_single_exchange(spark, ids_df):
+    """partition_for_write pre-partitions on the shard key at n_shards, so
+    the rank window's ClusteredDistribution is satisfied and the sharded
+    write adds NO second repartition — exactly ONE Exchange end-to-end (a
+    write-side repartition would re-shuffle the whole corpus: 2x the I/O)."""
+    from lyra_spark.pipeline.export import pack_within_shards, shuffle_index
+
+    out = shuffle_index(ids_df, n_shards=8, partition_for_write=True)
+    out = pack_within_shards(out, budget=64, token_col="doc_id")
+    plan = (
+        out.sortWithinPartitions("shard", "position")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    # and the pre-partitioned path computes the IDENTICAL permutation
+    a = {(r.doc_id, r.shard, r.position) for r in shuffle_index(ids_df, 8).collect()}
+    b = {
+        (r.doc_id, r.shard, r.position)
+        for r in shuffle_index(ids_df, 8, partition_for_write=True).collect()
+    }
+    assert a == b
+
+
+def test_pack_within_shards_rejects_reserved_columns(spark, ids_df):
+    import pytest
+
+    from lyra_spark.pipeline.export import pack_within_shards, shuffle_index
+
+    out = shuffle_index(ids_df, n_shards=4)
+    packed = pack_within_shards(out, budget=64, token_col="doc_id")
+    # re-packing a frame that already carries pack columns must raise, not
+    # silently clobber them (re-exporting a prior export's output)
+    with pytest.raises(ValueError, match="reserved column"):
+        pack_within_shards(packed, budget=64, token_col="doc_id")
+
+
+def test_split_by_hash_rejects_bad_weights(spark, ids_df):
+    import pytest
+
+    from lyra_spark.pipeline.sample import split_by_hash
+
+    # negative: non-monotonic boundaries would route 100% into one split
+    with pytest.raises(ValueError, match="finite and > 0"):
+        split_by_hash(ids_df, {"a": 1.0, "b": -0.2, "c": 0.2})
+    # NaN: falls through every WHEN into the last split
+    with pytest.raises(ValueError, match="finite and > 0"):
+        split_by_hash(ids_df, {"a": 1.0, "b": float("nan")})
+
+
 def test_mixture_rates_saturation_and_whitelist():
     from lyra_spark.pipeline.sample import mixture_rates
 
