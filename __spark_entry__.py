@@ -2000,14 +2000,25 @@ def oracle_sql() -> dict[str, str]:
                             ELSE text END AS text
                 FROM documents WHERE text IS NOT NULL
             ),
+            -- mirrors strip_markup's line-preserving chain (SEMANTICS.md 70):
+            -- block closers -> \n, generic tags -> ' ', entities, collapse
+            -- non-newline whitespace, trim spaces hugging newlines, collapse
+            -- newline runs, strip edge whitespace
             stripped AS (
                 SELECT doc_id,
-                       trim(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                            replace(replace(replace(replace(replace(replace(
-                               regexp_replace(text, '</?[A-Za-z][^>]*>', ' ', 'g'),
+                               regexp_replace(
+                                   regexp_replace(text,
+                                       '(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre|section|article|header|footer)>|<br\s*/?>|<hr\s*/?>',
+                                       chr(10), 'g'),
+                                   '</?[A-Za-z][^>]*>', ' ', 'g'),
                                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                                '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-                           '\s+', ' ', 'g')) AS plain
+                           '[^\S\n]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g'),
+                           '\n{2,}', chr(10), 'g'),
+                           '^\s+|\s+$', '', 'g') AS plain
                 FROM planted
             )
             SELECT doc_id, md5(plain) AS plain_md5, length(plain) AS plain_len
@@ -2391,8 +2402,10 @@ def oracle_sql() -> dict[str, str]:
         "conv_stats": """
             WITH l AS (
                 SELECT user_id, ts, event_type, props,
-                       epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                           PARTITION BY user_id ORDER BY event_id, ts)) AS gap_us
+                       CASE WHEN ts IS NOT NULL THEN
+                           epoch_us(ts) - epoch_us(LAG(ts IGNORE NULLS) OVER (
+                               PARTITION BY user_id ORDER BY event_id, ts))
+                       END AS gap_us
                 FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
             )
             SELECT user_id, COUNT(*) AS n_turns,

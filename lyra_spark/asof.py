@@ -45,6 +45,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# the ONE shared TIMESTAMP/TIMESTAMP_NTZ/numeric-epoch normalization helper
+# (sessionize.py documents the contract) — re-inlining it per operator is how
+# the NTZ handling drifts silently
+from lyra_spark.sessionize import epoch_us
+
 _TS = "__asof_ts__"
 _SRC = "__asof_src__"
 _PAY = "__asof_payload__"
@@ -71,9 +76,7 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    for c, out in payload_cols.items():
-        if out in left.columns:
-            raise ValueError(f"output column {out!r} already exists on the left side")
+    _check_payload_outputs(payload_cols, left)
     reserved = {_TS, _SRC, _PAY, _MATCHED} & set(left.columns)
     if reserved:
         raise ValueError(f"left side uses reserved internal column names: {sorted(reserved)}")
@@ -133,8 +136,8 @@ def asof_join(
 
     if tolerance_sec is not None:
         tol_us = int(float(tolerance_sec) * 1_000_000)
-        lus = F.unix_micros(F.col(_TS).cast("timestamp"))
-        mus = F.unix_micros(matched[_MATCHED].cast("timestamp"))
+        lus = epoch_us(F.col(_TS))
+        mus = epoch_us(matched[_MATCHED])
         gap = (lus - mus) if direction == "backward" else (mus - lus)
         matched = F.when(gap <= F.lit(tol_us), matched)
 
@@ -188,9 +191,7 @@ def asof_join_bounded(
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    for c, outn in payload_cols.items():
-        if outn in left.columns:
-            raise ValueError(f"output column {outn!r} already exists on the left side")
+    _check_payload_outputs(payload_cols, left)
     order_cols = list(right_order_cols or [])
     tol = float(tolerance_sec)
     tol_us = int(tol * 1_000_000)
@@ -201,7 +202,7 @@ def asof_join_bounded(
     # normalization asof_join's tolerance uses — so numeric-epoch ts columns
     # work (raw INTERVAL arithmetic only type-checks for TIMESTAMP) and the
     # f-string/parser round-trip for tiny or huge tolerances is avoided.
-    rus = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    rus = epoch_us(F.col(right_ts))
     if direction == "backward":
         start, end = F.timestamp_micros(rus), F.timestamp_micros(rus + F.lit(tol_us))
     else:
@@ -233,7 +234,7 @@ def asof_join_bounded(
     # forward — negate via the sort struct), ties to greatest order cols
     sign = 1 if direction == "backward" else -1
     rank = F.struct(
-        (F.unix_micros(F.col(_MATCHED).cast("timestamp")) * sign).alias("t"),
+        (epoch_us(F.col(_MATCHED)) * sign).alias("t"),
         *[
             (F.col(f"__pay_{c}") if c in payload_cols else F.col(f"__ord_{c}")).alias(f"o_{c}")
             for c in order_cols
@@ -248,8 +249,35 @@ def asof_join_bounded(
             rank,
         ).alias(_PAY)
     )
-    out = left.join(best, on=left_id_cols, how="left").select(
+    # NULL-SAFE restore join: a left row with a NULL id value reaches the
+    # argmax (groupBy groups NULL keys) but a plain equi-join would never
+    # hand its match back (NULL = NULL is never true) — silently diverging
+    # from asof_join, whose window plan never consults left ids. (NULL ids
+    # also break this variant's uniqueness contract when repeated; the
+    # null-safe join keeps the single-NULL case row-equal regardless.)
+    # best's id columns are RENAMED before the join: its lineage descends
+    # from `left`, so unqualified id references would be self-join-ambiguous.
+    bestr = best.select(
+        *[F.col(c).alias(f"__best_{c}") for c in left_id_cols], _PAY
+    )
+    cond = None
+    for c in left_id_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__best_{c}"))
+        cond = e if cond is None else cond & e
+    out = left.join(bestr, cond, "left").select(
         *[F.col(c) for c in left.columns],
         *[F.col(_PAY)[c].alias(outn) for c, outn in payload_cols.items()],
     )
     return out
+
+
+def _check_payload_outputs(payload_cols: dict[str, str], left: DataFrame) -> None:
+    """Output names must be absent from the left side AND mutually distinct —
+    {'price': 'x', 'qty': 'x'} would silently emit two columns named 'x'."""
+    seen: set[str] = set()
+    for c, outn in payload_cols.items():
+        if outn in left.columns:
+            raise ValueError(f"output column {outn!r} already exists on the left side")
+        if outn in seen:
+            raise ValueError(f"duplicate payload output column {outn!r}")
+        seen.add(outn)

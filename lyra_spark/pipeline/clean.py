@@ -52,9 +52,18 @@ def clean_corpus(
         # stage 0 (map-only, fuses into the same scan as the quality score):
         # pages arriving as raw HTML are stripped BEFORE anything measures or
         # hashes text — markup would otherwise poison quality ratios, shingle
-        # sets, and line hashes alike
+        # sets, and line hashes alike (strip_markup preserves line structure,
+        # so the line-level scrub below still sees lines)
         from .text import strip_markup
 
+        if "text_plain" in in_cols:
+            # strip_markup's withColumn would silently clobber it, the rename
+            # would then remove the name, and select(*in_cols) would raise a
+            # misleading AnalysisException — fail fast with the real cause
+            raise ValueError(
+                "strip_markup_first reserves the column name 'text_plain' — "
+                "rename the input column first"
+            )
         df = strip_markup(df, text_col).drop(text_col).withColumnRenamed(
             "text_plain", text_col
         ).select(*in_cols)
@@ -87,7 +96,11 @@ def clean_corpus(
     scored = quality_score(work, text_col).filter(
         F.col("quality_score") >= min_quality
     )
-    restored = [c for c in in_cols if c != "quality_score"]
+    # quality_score AND n_lines_removed are this pass's provenance outputs —
+    # excluding both from the restore keeps the promised replace-semantics
+    # (restoring an input n_lines_removed alongside the scrub's would emit a
+    # duplicate column name and break the final select/union)
+    restored = [c for c in in_cols if c not in ("quality_score", "n_lines_removed")]
     scored = scored.select(
         *[F.col(stash.get(c, c)).alias(c) for c in restored], "quality_score"
     )
@@ -107,17 +120,12 @@ def clean_corpus(
     clusters = dedup_clusters(
         uniq, text_col, id_col, threshold=near_dup_threshold, shingle_k=shingle_k
     )
-    # keep docs in no cluster, and the min-id representative of each cluster
-    reps = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
-    clustered = clusters.select(F.col(id_col).alias("__cid"))
-    return (
-        uniq.join(clustered, uniq[id_col] == F.col("__cid"), "left")
-        .filter(F.col("__cid").isNull())
-        .drop("__cid")
-        .unionByName(
-            uniq.join(reps, id_col, "left_semi"), allowMissingColumns=False
-        )
-    )
+    # keep docs in no cluster AND each cluster's min-id representative, as
+    # ONE anti-join against the non-representative ids — the former
+    # two-branch union re-evaluated uniq's whole uncached lineage (scoring
+    # scan, dedup window, scrub exchanges) twice at corpus scale
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return uniq.join(drop, id_col, "left_anti")
 
 
 def cap_per_group(

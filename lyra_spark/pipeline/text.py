@@ -339,6 +339,9 @@ def filter_blocked_domains(
 # followed by a letter or '/' then anything up to the next '>' is markup;
 # bare '<' (math, code) survives
 _TAG_PATTERN = r"</?[A-Za-z][^>]*>"
+# block-level closers/separators → newline (before the generic tag strip),
+# so tag-only HTML layout still yields LINES for the line-level scrub
+_BLOCK_TAG_PATTERN = r"(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre|section|article|header|footer)>|<br\s*/?>|<hr\s*/?>"
 # &amp; decodes LAST: a double-escaped entity like '&amp;lt;' must come out as
 # the single-decoded '&lt;', not be decoded twice into '<'
 _ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
@@ -352,10 +355,23 @@ def strip_markup(df: DataFrame, text_col: str = "text", out_col: str = "text_pla
 
     Deliberately conservative (a parser this is not): only `<letter…>` /
     `</…>` spans are treated as tags, so inequalities in prose/code survive.
+
+    LINE STRUCTURE IS PRESERVED: horizontal whitespace runs collapse to one
+    space and blank-line runs to one newline, but newlines survive — the
+    line-level boilerplate scrub keys on lines, and collapsing '\\n' to ' '
+    would fuse every page into one line and silently turn that stage into a
+    no-op (clean_corpus runs strip_markup FIRST for exactly that pipeline).
+    Block-level closers (</p>, </div>, <br>, ...) emit a newline so tag-only
+    layout still yields lines.
     """
     c = F.col(text_col)
-    out = F.regexp_replace(c, _TAG_PATTERN, " ")
+    out = F.regexp_replace(c, _BLOCK_TAG_PATTERN, "\n")
+    out = F.regexp_replace(out, _TAG_PATTERN, " ")
     for ent, repl in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(repl))
-    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    out = F.regexp_replace(out, r"[^\S\n]+", " ")  # collapse spaces/tabs, keep \n
+    out = F.regexp_replace(out, r" ?\n ?", "\n")  # strip spaces hugging newlines
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    # F.trim strips SPACES only — edge newlines (a trailing </p>) need regex
+    out = F.regexp_replace(out, r"^\s+|\s+$", "")
     return df.withColumn(out_col, out)

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lyra_spark.sessionize import epoch_us
+
 _BKT = "__range_bucket__"
 
 
@@ -43,7 +45,7 @@ def _bucket(col, width_us: int):
     # below 2^53, so the round-trip is lossless). A raw floor(us / W) in
     # doubles can misbucket a timestamp within 1 ulp of a bucket boundary,
     # which here would silently drop a true point-interval match.
-    us = F.unix_micros(col.cast("timestamp"))
+    us = epoch_us(col)
     rem = F.pmod(us, F.lit(width_us))
     return ((us - rem) / F.lit(width_us)).cast("long")
 

@@ -23,13 +23,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _us(c) -> Column:
+def epoch_us(c) -> Column:
     """Microseconds since epoch, accepting TIMESTAMP and TIMESTAMP_NTZ
     (parquet writers emit either; the session TZ is UTC by contract, so the
     NTZ→TZ cast is a stable bijection — and gaps are differences, where any
-    fixed offset cancels)."""
+    fixed offset cancels). The ONE shared ts-normalization helper — asof.py
+    and ranges.py reuse it so the NTZ contract can never drift per-operator."""
     col = F.col(c) if isinstance(c, str) else c
     return F.unix_micros(col.cast("timestamp"))
+
+
+_us = epoch_us  # module-internal alias (historical name)
 
 
 def sessionize(
@@ -79,7 +83,14 @@ def conversation_stats(
     (SEMANTICS.md §21)."""
     w = Window.partitionBy(group_col).orderBy(order_col, ts_col)
     df = df.filter(F.col(group_col).isNotNull() & F.col(order_col).isNotNull())
-    gap = _us(ts_col) - _us(F.lag(ts_col).over(w))
+    # lag over the TIMESTAMPED turns only: a NULL-ts turn would otherwise
+    # NULL out BOTH adjacent gaps (any arithmetic with NULL is NULL), leaving
+    # max_gap_sec NULL/under-reported while duration_sec shows a real span —
+    # the observable silence is between the timestamped neighbors
+    prev_ts = F.last(ts_col, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap = F.when(F.col(ts_col).isNotNull(), _us(ts_col) - _us(prev_ts))
     lagged = df.select(
         group_col,
         ts_col,
@@ -125,6 +136,15 @@ def conversation_text(
     """
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    # NULL group keys excluded like every per-conversation operator
+    # (SEMANTICS.md §21): groupBy would otherwise merge ALL NULL-conv rows
+    # into one corpus-scale pseudo-conversation — an OOM-sized collect_list
+    # buffer concatenating unrelated users' turns into one garbage document
+    cond = None
+    for g in group_cols:
+        c = F.col(g).isNotNull()
+        cond = c if cond is None else (cond & c)
+    df = df.filter(cond)
     turn = F.struct(
         *[F.col(c) for c in order_cols],
         F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("__t"),

@@ -381,3 +381,44 @@ def test_asof_bounded_accepts_numeric_epoch_ts(spark):
         ).collect()
     }
     assert got == {1: 10, 2: None}  # gap 10 <= 15; gap 20 > 15
+
+
+def test_asof_rejects_duplicate_payload_output_names(spark, asof_frames):
+    import pytest
+
+    from lyra_spark.asof import asof_join, asof_join_bounded
+
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="duplicate payload output"):
+        asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                  payload_cols={"val": "x", "rid": "x"})
+    with pytest.raises(ValueError, match="duplicate payload output"):
+        asof_join_bounded(left, right, on=["k"], left_id_cols=["lid"],
+                          left_ts="lts", right_ts="rts",
+                          payload_cols={"val": "x", "rid": "x"},
+                          tolerance_sec=60.0)
+
+
+def test_asof_bounded_restores_null_id_rows_with_their_match(spark):
+    """A left row whose id is NULL still gets its match back (null-safe
+    restore join) — asof_join's window plan never consults left ids, and the
+    two variants are pinned row-equal."""
+    import datetime
+
+    from lyra_spark.asof import asof_join, asof_join_bounded
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m, 0)
+    left = spark.createDataFrame(
+        [(1, "k1", t(10)), (None, "k1", t(20))], "lid int, k string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, "k1", t(5)), (200, "k1", t(15))], "rid int, k string, rts timestamp"
+    )
+    kwargs = dict(on=["k"], left_ts="lts", right_ts="rts",
+                  payload_cols={"rid": "matched_rid"})
+    a = {(r["lid"], r["matched_rid"])
+         for r in asof_join(left, right, tolerance_sec=3600.0, **kwargs).collect()}
+    b = {(r["lid"], r["matched_rid"])
+         for r in asof_join_bounded(left, right, left_id_cols=["lid"],
+                                    tolerance_sec=3600.0, **kwargs).collect()}
+    assert a == b == {(1, 100), (None, 200)}

@@ -731,7 +731,9 @@ def test_strip_markup(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {r.doc_id: r.text_plain for r in strip_markup(df).collect()}
-    assert got[1] == "Hello & welcome to the page"
+    # </p> and <br/> are block separators → newline (line structure is
+    # preserved for the line-level scrub; SEMANTICS.md row 70)
+    assert got[1] == "Hello & welcome\nto the page"
     assert got[2] == "plain text with 1 < 2 and a<b comparisons"
     assert got[3] == '<escaped> "quotes" \'apos\' spaced'
     assert got[4] is None
@@ -1043,3 +1045,64 @@ def test_sample_frames_skips_zero_frame_videos(spark):
                        "meta": [{"n_frames": 0}, {"n_frames": 6}]}), schema)
     got = multimodal.sample_frames(df, every_n=2).collect()
     assert {r.media_id for r in got} == {2}
+
+
+def test_strip_markup_preserves_line_structure(spark):
+    """Newlines survive markup stripping (horizontal whitespace collapses,
+    blank-line runs collapse to one newline) — collapsing '\\n' to ' ' would
+    silently turn the line-level boilerplate scrub into a no-op when
+    clean_corpus strips markup first."""
+    from lyra_spark.pipeline.text import strip_markup
+
+    rows = [
+        (1, "line one\nline two\n\n\nline three"),
+        (2, "<ul><li>nav home</li><li>nav about</li></ul><p>body text</p>"),
+        (3, "a    b\t\tc\n  d  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.text_plain for r in strip_markup(df).collect()}
+    assert got[1] == "line one\nline two\nline three"
+    assert got[2] == "nav home\nnav about\nbody text"
+    assert got[3] == "a b c\nd"
+
+
+def test_clean_corpus_scrubs_lines_after_markup_strip(spark):
+    """With strip_markup_first=True the C4 line scrub must still fire: a
+    boilerplate line shared by many HTML pages is removed even though the
+    pages arrived as single-line markup."""
+    from lyra_spark.pipeline.clean import clean_corpus
+
+    footer = "all rights reserved example corp legal notice"
+    bodies = [
+        f"document {i} discusses an entirely distinct ordinary topic with "
+        "plenty of everyday words that the quality filter is happy about "
+        "and some more filler to keep the score up for this document"
+        for i in range(6)
+    ]
+    rows = [
+        (i, f"<html><p>{bodies[i]}</p><p>{footer}</p></html>") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, min_quality=0.0, strip_markup_first=True,
+                       near_dup_threshold=0.99)
+    texts = {r.text for r in out.collect()}
+    assert texts, "every doc vanished"
+    assert all(footer not in t for t in texts), texts
+    assert all(f"document {i}" in " ".join(texts) for i in range(6))
+
+
+def test_clean_corpus_replaces_input_n_lines_removed(spark):
+    """Re-cleaning a previously cleaned corpus (schema already carries
+    n_lines_removed) must REPLACE the provenance column, not emit a
+    duplicate name."""
+    from lyra_spark.pipeline.clean import clean_corpus
+
+    rows = [
+        (1, "a perfectly ordinary document with plenty of common words here", 7),
+        (2, "another entirely different ordinary document with many words too", 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_lines_removed int")
+    out = clean_corpus(df, min_quality=0.0)
+    assert out.columns.count("n_lines_removed") == 1
+    got = {r.doc_id: r.n_lines_removed for r in out.collect()}
+    assert got == {1: 0, 2: 0}  # recomputed by THIS pass, not the stale input

@@ -139,3 +139,38 @@ def test_conversation_text_matches_python_reference_random(spark):
         ref.setdefault(conv, []).append((idx, sub, text or ""))
     want = {c: "|".join(t for _, _, t in sorted(v)) for c, v in ref.items()}
     assert got == want
+
+
+def test_conversation_text_excludes_null_group_keys(spark):
+    """NULL conv_id rows must NOT merge into one corpus-scale
+    pseudo-conversation (SEMANTICS.md §21 — same contract as sessionize and
+    conversation_stats)."""
+    from lyra_spark.sessionize import conversation_text
+
+    df = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 1, "b"), (None, 0, "x"), (None, 1, "y")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = conversation_text(df).collect()
+    assert {r["conv_id"] for r in out} == {"c1"}
+    assert out[0]["conv_text"] == "a\nb"
+
+
+def test_conversation_stats_gap_skips_null_ts(spark):
+    """A NULL-ts turn between two timestamped turns must not NULL out
+    max_gap_sec — the observable silence is between the timestamped
+    neighbors."""
+    import datetime
+
+    from lyra_spark.sessionize import conversation_stats
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h, 0, 0)
+    df = spark.createDataFrame(
+        [("c1", 0, t(10), "user", None),
+         ("c1", 1, None, "assistant", None),
+         ("c1", 2, t(11), "user", None)],
+        "conv_id string, turn_idx int, ts timestamp, role string, tool string",
+    )
+    row = conversation_stats(df).collect()[0]
+    assert row["max_gap_sec"] == 3600.0
+    assert row["duration_sec"] == 3600.0
