@@ -2503,14 +2503,18 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
                 SELECT day AS partition, rate AS metric,
                        ROUND(AVG(rate) OVER (ORDER BY day
-                           ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS expected
+                           ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS expected,
+                       COUNT(*) OVER (ORDER BY day
+                           ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS n_ref_parts
                 FROM rates
             )
             SELECT partition, metric, expected,
-                   ROUND(ABS(metric - expected) / ABS(expected), 6) AS deviation
+                   ROUND(ABS(metric - expected) / ABS(expected), 6) AS deviation,
+                   n_ref_parts
             FROM scored
             WHERE expected IS NOT NULL AND expected <> 0
               AND ROUND(ABS(metric - expected) / ABS(expected), 6) > 0.6
+              AND n_ref_parts >= 1
         """,
         "reconcile": """
             WITH ev AS (
@@ -2869,14 +2873,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT day, row_count,
-                       ROUND(AVG(row_count) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS expected
+                       ROUND(AVG(row_count) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS expected,
+                       COUNT(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_ref_parts
                 FROM c
             )
             SELECT day, row_count, expected,
-                   ROUND(ABS(row_count - expected) / expected, 6) AS deviation
+                   ROUND(ABS(row_count - expected) / expected, 6) AS deviation,
+                   n_ref_parts
             FROM s
             WHERE expected IS NOT NULL AND expected > 0
               AND ROUND(ABS(row_count - expected) / expected, 6) > 0.05
+              AND n_ref_parts >= 1
         """,
         "incremental_neardup": """
             WITH t AS (

@@ -42,8 +42,13 @@ PLACEMENT_RULE = "partition_placement"
 
 
 def with_salt(df: DataFrame, buckets: int = 32, col: str = "__salt__") -> DataFrame:
-    """Deterministic salt from the full row key hash — shared skew helper."""
-    return df.withColumn(col, F.pmod(F.hash(*df.columns), F.lit(buckets)))
+    """Per-ROW salt — the shared skew helper. Derived from a per-row id, NOT
+    from the row's values: exact duplicate rows (the canonical duplicated-key
+    hot case) all hash identically under a value-derived salt and land in ONE
+    bucket, defeating the spread the salt exists to provide."""
+    return df.withColumn(
+        col, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets))
+    )
 
 
 def uniqueness_violations(
@@ -76,10 +81,13 @@ def uniqueness_violations(
         final = df.groupBy(*keep).agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
     else:
         # Salt must differ across rows of the SAME hot key → derive it from a
-        # per-row id, not from the key columns.
+        # per-row id, not from the key columns (with_salt, inlined to share
+        # the projection). No abs(): pmod is already non-negative for
+        # negative inputs, and abs(Int.MinValue) throws under ANSI mode —
+        # at 10^12 rows ~230 rows hit hash() = Int.MinValue.
         salted = df.select(
             *keep,
-            F.pmod(F.abs(F.hash(F.monotonically_increasing_id())), F.lit(salt_buckets)).alias("__salt__"),
+            F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)).alias("__salt__"),
         )
         partial = salted.groupBy(*keep, "__salt__").agg(F.count(F.lit(1)).alias("c"))
         final = partial.groupBy(*keep).agg(F.sum("c").alias("c")).filter(F.col("c") > 1)
@@ -152,7 +160,12 @@ def transition_violations(
     # tiebreak is the projected __cur__ state string, which still exists in
     # the lagged frame.
     w = Window.partitionBy(group_col).orderBy(order_col, "__cur__")
-    keep = list(key_cols) + ([partition_col] if partition_col else [])
+    # keep must carry the window's own columns too: a caller's group/order
+    # outside key_cols (session_id sequences) would otherwise be projected
+    # away before the window resolves — an UNRESOLVED_COLUMN crash
+    keep = list(dict.fromkeys(
+        [*key_cols, *([partition_col] if partition_col else []), group_col, order_col]
+    ))
     df = df.filter(_non_null_keys([group_col, order_col]))
     null_tok = "<NULL>"
     cur = F.coalesce(F.col(state_col).cast("string"), F.lit(null_tok))
@@ -236,12 +249,19 @@ def monotone_violations(
     partition_col: str | None = "part_date",
     rule_id: str = MONO_RULE,
 ) -> DataFrame:
-    """Within each conversation ordered by turn_idx, ts must be non-decreasing
-    and turn_idx strictly increasing (BASELINE.json:6 'monotone turn ordering
-    per conv_id via Window'). The violating row is the LATER turn whose ts
-    precedes its predecessor's."""
+    """Within each conversation ordered by turn_idx, ts must be NON-DECREASING
+    (BASELINE.json:6 'monotone turn ordering per conv_id via Window'). The
+    violating row is the LATER turn whose ts precedes its predecessor's.
+
+    Scope (pinned): this rule checks the TIME axis only. A duplicated
+    turn_idx is uniqueness_violations' finding and a gapped one is
+    contiguity_violations' — the suite runs them together; this rule never
+    flags either."""
     w = Window.partitionBy(group_col).orderBy(order_col, ts_col)
-    keep = list(key_cols) + ([partition_col] if partition_col else [])
+    # keep the window's own columns (see transition_violations)
+    keep = list(dict.fromkeys(
+        [*key_cols, *([partition_col] if partition_col else []), group_col, order_col]
+    ))
     # same NULL-key exclusion as the fused path (SEMANTICS.md §keys)
     df = df.filter(_non_null_keys([group_col, order_col]))
     lagged = df.select(

@@ -38,9 +38,13 @@ def sketch_by_partition(
     # NULL partitions sentinel to "None" (the same key partition_scope
     # owns): pandas groupby drops NULL keys by default, which would silently
     # exclude the NULL partition's rows from every digest
+    # cast("double") like sketch_columns_by_partition: a timestamp/decimal
+    # value_col otherwise reaches the pandas worker as a dtype numpy cannot
+    # coerce and crashes mid-job where the multi-column sibling succeeds
+    val = (F.expr(value_col) if isinstance(value_col, str) else value_col).cast("double")
     src = df.select(
         F.coalesce(F.col(partition_col).cast("string"), F.lit("None")).alias("part_key"),
-        F.expr(value_col).alias("v") if isinstance(value_col, str) else value_col.alias("v"),
+        val.alias("v"),
     ).filter(F.col("v").isNotNull())
 
     def batch_sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,7 +195,12 @@ def categorical_psi(
     """
     vals = df.select(
         F.coalesce(F.col(col).cast("string"), F.lit(null_token)).alias("__v"),
-        F.col(partition_col).alias("partition"),
+        # NULL-sentineled partition key (decision 64 family): the dense-grid
+        # equi-join below never matches NULL = NULL, so a NULL partition kept
+        # by groupBy would get n=0 for EVERY category (pure smoothing mass →
+        # a huge spurious PSI row); "\x00NULL" is unprintable and cannot
+        # collide with a real partition string
+        F.coalesce(F.col(partition_col).cast("string"), F.lit("\x00NULL")).alias("partition"),
     )
     grid = vals.groupBy("partition", "__v").agg(F.count(F.lit(1)).alias("n"))
     grid = grid.localCheckpoint(eager=False)  # reused by all three branches
@@ -257,7 +266,12 @@ def categorical_psi_trailing(
 
     vals = df.select(
         F.coalesce(F.col(col).cast("string"), F.lit(null_token)).alias("__v"),
-        F.col(partition_col).alias("partition"),
+        # NULL-sentineled partition key (decision 64 family): the dense-grid
+        # equi-join below never matches NULL = NULL, so a NULL partition kept
+        # by groupBy would get n=0 for EVERY category (pure smoothing mass →
+        # a huge spurious PSI row); "\x00NULL" is unprintable and cannot
+        # collide with a real partition string
+        F.coalesce(F.col(partition_col).cast("string"), F.lit("\x00NULL")).alias("partition"),
     )
     grid = vals.groupBy("partition", "__v").agg(F.count(F.lit(1)).alias("n"))
     grid = grid.localCheckpoint(eager=False)
@@ -464,6 +478,24 @@ def drift_verdicts(
     if reference is not None and reference.size == 0:
         raise ValueError("drift_verdicts: empty reference digest — every KS/PSI "
                          "would be NaN and silently pass")
+    if not keys:
+        # a columns-less pd.DataFrame([]) would KeyError (or silently
+        # all-pass) downstream — return the empty frame WITH the contract
+        # columns so callers' filters work unchanged
+        return pd.DataFrame(
+            columns=["part_key", "rule_id", "n", "ks", "ks_crit", "psi", "pass"]
+        )
+    if reference is None and len(keys) == 1:
+        # one partition and no baseline: the only possible reference is the
+        # partition itself — ks=0/psi=0 would be a FABRICATED measurement
+        # blessing arbitrary drift; report NaN + pass (no history is not
+        # drift, decision 49) exactly like numeric_drift_trailing's first row
+        k = keys[0]
+        return pd.DataFrame([
+            {"part_key": k, "rule_id": rule_id, "n": int(max(digests[k].size, 1.0)),
+             "ks": float("nan"), "ks_crit": float("nan"), "psi": float("nan"),
+             "pass": True}
+        ])
     loo = reference is None and 1 < len(keys) < loo_max_partitions
     # the global merge is only needed when NOT leave-one-out (loo rebuilds
     # ref per partition anyway — merging it here would be wasted O(P) work)

@@ -114,6 +114,7 @@ def row_count_anomaly(
     trailing: int = 7,
     threshold: float = 0.5,
     counts: DataFrame | None = None,
+    min_ref_parts: int = 1,
 ) -> DataFrame:
     """Partitions whose row count deviates from the trailing-``trailing``-
     partition mean by more than ``threshold`` (relative) — the Deequ-style
@@ -121,9 +122,14 @@ def row_count_anomaly(
     dropped a source) or triple (duplicated ingest) its recent volume should
     fail loudly even when every row in it is individually valid.
 
-    Returns (partition_col, row_count, expected, deviation) for anomalous
-    partitions; the first ``trailing``-less partitions have no expectation and
-    are never flagged.
+    Returns (partition_col, row_count, expected, deviation, n_ref_parts) for
+    anomalous partitions. Only the FIRST partition has no expectation at all;
+    early partitions score against a PARTIAL window (partition #2's "mean" is
+    one sample) — ``n_ref_parts`` reports the window's actual size and
+    ``min_ref_parts`` suppresses flags until the window has at least that
+    many partitions (default 1 = report from the second partition on, the
+    caller deciding what warm-up noise to trust; categorical_psi_trailing
+    exposes the same dial).
 
     Scale: the anomaly math runs on ONE ROW PER PARTITION — ~10⁵ rows at the
     10⁵-Iceberg-partition design point — so the unpartitioned ordering window
@@ -141,6 +147,7 @@ def row_count_anomaly(
         partition_col,
         F.col("row_count").cast("long").alias("row_count"),
         F.round(F.avg("row_count").over(w), 6).alias("expected"),
+        F.count(F.lit(1)).over(w).alias("n_ref_parts"),
     ).withColumn(
         "deviation",
         F.round(F.abs(F.col("row_count") - F.col("expected")) / F.col("expected"), 6),
@@ -149,6 +156,7 @@ def row_count_anomaly(
         F.col("expected").isNotNull()
         & (F.col("expected") > 0)
         & (F.col("deviation") > threshold)
+        & (F.col("n_ref_parts") >= int(min_ref_parts))
     )
 
 
@@ -515,6 +523,7 @@ def freshness_report(
     as_of=None,
     max_lag_hours: float = 24.0,
     ranges: dict | None = None,
+    expected_partitions: list | None = None,
 ) -> DataFrame:
     """Per-partition data freshness: (max_ts, lag_seconds, stale) — the
     "did today's data actually arrive, and is it current?" gate. ``as_of``
@@ -535,6 +544,12 @@ def freshness_report(
     ``ts_col`` is cast to TIMESTAMP explicitly: some writers produce
     TIMESTAMP_NTZ parquet, and unix_micros on the raw column would
     type-error there (SEMANTICS.md NTZ note).
+
+    ``expected_partitions``: the gate's blind spot without it is the WORST
+    freshness failure — a partition that never arrived has no data row, so
+    a data-derived report simply omits it and every emitted row looks fresh.
+    Passing the expected keys (today's date, the manifest's partition list)
+    emits (max_ts NULL, lag NULL, stale TRUE) for each absent-or-empty one.
     """
     if ranges is not None:
         import pandas as pd
@@ -557,13 +572,16 @@ def freshness_report(
                 StructField("stale", BooleanType()),
             ]
         )
+        missing = sorted(
+            {str(p) for p in (expected_partitions or [])} - {str(k) for k in ranges}
+        )
         keys = sorted(ranges)
-        if not keys:
+        if not keys and not missing:
             # every partition dir was empty: an empty report, not a crash
             # (mirrors the distributed path's output on an empty table)
             return spark.createDataFrame(pd.DataFrame(columns=schema.fieldNames()), schema)
         maxes = {k: ranges[k][1] for k in keys}
-        anchor = as_of if as_of is not None else max(maxes.values())
+        anchor = as_of if as_of is not None else (max(maxes.values()) if maxes else None)
         rows = [
             {
                 partition_col: k,
@@ -572,7 +590,11 @@ def freshness_report(
                 "stale": (anchor - maxes[k]).total_seconds() > max_lag_hours * 3600.0,
             }
             for k in keys
+        ] + [
+            {partition_col: m, "max_ts": None, "lag_seconds": None, "stale": True}
+            for m in missing
         ]
+        rows.sort(key=lambda r: str(r[partition_col]))
         return spark.createDataFrame(pd.DataFrame(rows, columns=schema.fieldNames()), schema)
 
     from pyspark.sql import Window
@@ -580,6 +602,19 @@ def freshness_report(
     agg = df.groupBy(partition_col).agg(
         F.max(F.col(ts_col).cast("timestamp")).alias("max_ts")
     )
+    if expected_partitions:
+        import pandas as pd
+
+        # FULL OUTER against the expected list: an expected partition with no
+        # data rows gets (max_ts NULL → stale TRUE); unexpected-but-present
+        # partitions still report. String-keyed on both sides.
+        exp = df.sparkSession.createDataFrame(
+            pd.DataFrame({partition_col: sorted({str(p) for p in expected_partitions})})
+        )
+        agg = (
+            agg.withColumn(partition_col, F.col(partition_col).cast("string"))
+            .join(exp, [partition_col], "full_outer")
+        )
     wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     anchor = F.lit(as_of).cast("timestamp") if as_of is not None else F.max("max_ts").over(wtot)
     lag = (F.unix_micros(anchor) - F.unix_micros(F.col("max_ts"))) / F.lit(1e6)
@@ -587,7 +622,9 @@ def freshness_report(
         partition_col,
         "max_ts",
         lag.alias("lag_seconds"),
-        (lag > F.lit(max_lag_hours * 3600.0)).alias("stale"),
+        F.when(F.col("max_ts").isNull(), F.lit(True))
+        .otherwise(lag > F.lit(max_lag_hours * 3600.0))
+        .alias("stale"),
     )
 
 
@@ -597,6 +634,7 @@ def metric_anomaly(
     value_col: str,
     trailing: int = 7,
     threshold: float = 0.5,
+    min_ref_parts: int = 1,
 ) -> DataFrame:
     """Trailing-mean anomaly gate over ANY per-partition metric — the
     generalization of row_count_anomaly to the run-over-run quality monitor:
@@ -609,12 +647,15 @@ def metric_anomaly(
 
     Input is ALREADY aggregated — one row per partition (verdict parquet,
     stats output, metadata counts), so the single-task ordering window is
-    O(#partitions) and this check never touches data files. The first
-    ``trailing``-less partitions have no expectation and never flag;
-    all-zero history (expected = 0) never flags either — a metric appearing
+    O(#partitions) and this check never touches data files. Only the first
+    partition has no expectation; early partitions score against a PARTIAL
+    window — ``n_ref_parts`` reports the window's actual size and
+    ``min_ref_parts`` suppresses warm-up flags (row_count_anomaly's dial).
+    All-zero history (expected = 0) never flags either — a metric appearing
     for the first time is a different alert than one that moved.
 
-    Returns (partition, metric, expected, deviation) for anomalous rows.
+    Returns (partition, metric, expected, deviation, n_ref_parts) for
+    anomalous rows.
     """
     from pyspark.sql import Window
 
@@ -623,6 +664,7 @@ def metric_anomaly(
         F.col(partition_col).alias("partition"),
         F.col(value_col).cast("double").alias("metric"),
         F.round(F.avg(F.col(value_col).cast("double")).over(w), 6).alias("expected"),
+        F.count(F.lit(1)).over(w).alias("n_ref_parts"),
     ).withColumn(
         "deviation",
         F.round(F.abs(F.col("metric") - F.col("expected")) / F.abs(F.col("expected")), 6),
@@ -631,4 +673,5 @@ def metric_anomaly(
         F.col("expected").isNotNull()
         & (F.col("expected") != 0)
         & (F.col("deviation") > threshold)
+        & (F.col("n_ref_parts") >= int(min_ref_parts))
     )

@@ -315,3 +315,58 @@ def test_sketch_columns_single_scan_matches_per_column(spark, fixtures_sf0001):
     import re
 
     assert len(re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.MULTILINE)) == 1
+
+
+def test_categorical_psi_null_partition_not_spurious(spark):
+    """Rows whose partition key is NULL must keep their real counts in the
+    dense grid (the equi-join never matches NULL = NULL; without the sentinel
+    every category showed n=0 → a huge fabricated PSI row)."""
+    from lyra_spark.drift import categorical_psi
+
+    rows = [("a", "p1")] * 50 + [("b", "p1")] * 50 + [("a", None)] * 50 + [("b", None)] * 50
+    df = spark.createDataFrame(rows, "v string, part_date string")
+    out = {r["partition"]: r for r in categorical_psi(df, "v").collect()}
+    assert set(out) == {"p1", "\x00NULL"}
+    # identical distributions → PSI ≈ 0 on BOTH, including the NULL partition
+    for r in out.values():
+        assert abs(r["psi"]) < 1e-6, r
+        assert r["n_rows"] == 100
+
+
+def test_drift_verdicts_single_partition_reports_nan(spark):
+    """Cold start with ONE partition and no baseline: the only reference is
+    the partition itself — report NaN (no history is not drift), never a
+    fabricated ks=0 'measurement'."""
+    import math
+
+    from lyra_spark.drift import drift_verdicts, sketch_by_partition
+
+    df = spark.range(500).selectExpr("cast(id as double) as v", "'p1' as part_date")
+    sk = sketch_by_partition(df, "v")
+    out = drift_verdicts(sk)
+    assert len(out) == 1
+    assert math.isnan(out.iloc[0]["ks"]) and bool(out.iloc[0]["pass"])
+
+
+def test_drift_verdicts_empty_input_has_contract_columns(spark):
+    from lyra_spark.drift import SKETCH_SCHEMA, drift_verdicts
+
+    empty = spark.createDataFrame([], SKETCH_SCHEMA)
+    out = drift_verdicts(empty)
+    assert list(out.columns) == ["part_key", "rule_id", "n", "ks", "ks_crit", "psi", "pass"]
+    assert len(out) == 0
+
+
+def test_sketch_by_partition_accepts_timestamp_column(spark):
+    """A timestamp value_col must sketch (cast to double like the
+    multi-column sibling), not crash in the pandas worker."""
+    from lyra_spark.drift import collect_digests, sketch_by_partition
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.lit("p1").alias("part_date"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias("ts"),
+    )
+    sk = sketch_by_partition(df, F.col("ts"))
+    d = collect_digests(sk)["p1"]
+    assert d.size == 100

@@ -337,3 +337,28 @@ def test_ruleset_custom_from_config(spark):
 def test_ruleset_from_json_rejects_non_object_items():
     with pytest.raises(ValueError, match="expected a JSON object"):
         R.ruleset_from_json('["required"]')
+
+
+def test_sequence_checks_accept_out_of_key_group_columns(spark):
+    """transition/monotone with a group/order column OUTSIDE key_cols
+    (session-keyed sequences) must not crash with UNRESOLVED_COLUMN — the
+    pre-window projection has to carry the window's own columns."""
+    import datetime
+
+    from lyra_spark.checks import monotone_violations, transition_violations
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)
+    df = spark.createDataFrame(
+        [("c1", 0, "s9", 0, "user", t(1)),
+         ("c1", 1, "s9", 1, "assistant", t(0))],  # ts goes backward in s9
+        "conv_id string, turn_idx int, session_id string, seq int, role string, ts timestamp",
+    )
+    tv = transition_violations(
+        df, allowed={("assistant", "user")}, group_col="session_id",
+        order_col="seq", partition_col=None,
+    ).collect()
+    assert {(r.conv_id, r.turn_idx) for r in tv} == {("c1", 1)}
+    mv = monotone_violations(
+        df, group_col="session_id", order_col="seq", partition_col=None
+    ).collect()
+    assert {(r.conv_id, r.turn_idx) for r in mv} == {("c1", 1)}

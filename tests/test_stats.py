@@ -434,3 +434,53 @@ def test_reconcile_checksum_is_order_and_layout_invariant(spark):
     out = reconcile_tables(base, scrambled, ["id"], ["v"], partition_col="p").collect()
     assert len(out) == 5
     assert all(r.count_match and r.content_match for r in out)
+
+
+def test_row_count_anomaly_warmup_dial(spark):
+    """Partition #2 scores against a 1-sample window; n_ref_parts exposes it
+    and min_ref_parts suppresses the warm-up flag."""
+    from lyra_spark.stats import row_count_anomaly
+
+    counts = spark.createDataFrame(
+        [("d1", 1000), ("d2", 1600), ("d3", 1300), ("d4", 4000)],
+        "part_date string, row_count long",
+    )
+    flagged = {r["part_date"]: r for r in
+               row_count_anomaly(spark.range(0), counts=counts, threshold=0.5).collect()}
+    assert "d2" in flagged and flagged["d2"]["n_ref_parts"] == 1
+    assert "d4" in flagged and flagged["d4"]["n_ref_parts"] == 3
+    strict = {r["part_date"] for r in
+              row_count_anomaly(spark.range(0), counts=counts, threshold=0.5,
+                                min_ref_parts=3).collect()}
+    assert strict == {"d4"}  # the warm-up flag on d2 is suppressed
+
+
+def test_freshness_report_flags_missing_expected_partition(spark, tmp_path):
+    """An expected partition with NO data is the worst freshness failure —
+    it must surface as stale=TRUE with NULL max_ts, on both the metadata and
+    the distributed path."""
+    import datetime
+    import os
+
+    from lyra_spark import io as lio
+    from lyra_spark.stats import freshness_report
+
+    t = lambda d, h: datetime.datetime(2024, 1, d, h, 0, 0)
+    df = spark.createDataFrame(
+        [("2024-01-01", t(1, 23)), ("2024-01-02", t(2, 23))],
+        "part_date string, ts timestamp",
+    )
+    path = str(tmp_path / "tbl")
+    df.write.partitionBy("part_date").parquet(path)
+    expected = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # metadata path
+    ranges = lio.partition_ts_range(path, "ts", "part_date")
+    got = {r["part_date"]: r for r in freshness_report(
+        df, ranges=ranges, expected_partitions=expected).collect()}
+    assert got["2024-01-03"]["stale"] is True and got["2024-01-03"]["max_ts"] is None
+    assert got["2024-01-02"]["stale"] is False
+    # distributed path
+    got2 = {r["part_date"]: r for r in freshness_report(
+        df, expected_partitions=expected).collect()}
+    assert got2["2024-01-03"]["stale"] is True and got2["2024-01-03"]["max_ts"] is None
+    assert got2["2024-01-02"]["stale"] is False
