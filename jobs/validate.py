@@ -299,14 +299,13 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.perf_counter()
         scoped = lio.partition_scope(df, pk)
-        result = validate_transcripts(scoped, dim, ruleset=ruleset)
-        if args.check_transitions:
-            from lyra_spark.checks import transition_violations
-
-            tv = transition_violations(
-                scoped, transitions, allowed_first=allowed_first, partition_col="part_date"
-            )
-            result.violations = result.violations.unionByName(tv)
+        # transitions fuse into the suite's single conv exchange (no separate
+        # scan + shuffle per partition for the sequence check)
+        result = validate_transcripts(
+            scoped, dim, ruleset=ruleset,
+            transitions=transitions if args.check_transitions else None,
+            allowed_first=allowed_first,
+        )
         if args.check_placement:
             from lyra_spark.checks import misplaced_violations
 
@@ -340,9 +339,10 @@ def main(argv: list[str] | None = None) -> int:
                     "part_date",
                     severities=ruleset_severities(ruleset),
                 )
-        elif args.check_transitions or args.check_placement:
-            # result.verdicts predates the transition/placement unions —
-            # rebuild the grid from the merged violation frame
+        elif args.check_placement:
+            # result.verdicts predates the placement union — rebuild the grid
+            # from the merged violation frame (transitions are already fused
+            # into the suite and its verdict grid)
             from lyra_spark.engine import compute_verdicts
 
             verd = compute_verdicts(

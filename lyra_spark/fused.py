@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lyra_spark.checks import MONO_RULE, REF_RULE, UNIQ_RULE
+from lyra_spark.checks import MONO_RULE, REF_RULE, TRANSITION_RULE, UNIQ_RULE
 from lyra_spark.engine import ValidationResult, compute_verdicts, row_violations
 from lyra_spark.rules import RuleSet, enum
 from lyra_spark.schema import KEY_COLUMNS, PARTITION_COLUMN
@@ -53,8 +53,13 @@ def conv_scoped_violations(
     ts_col: str = "ts",
     bucket_turns: int = 4096,
     partition_from_ts: bool = True,
+    transitions: set | None = None,
+    allowed_first: set | None = None,
+    state_col: str = "role",
+    transition_rule_id: str = TRANSITION_RULE,
 ) -> DataFrame:
-    """Uniqueness + monotone violations off ONE exchange on (conv_id, bucket).
+    """Uniqueness + monotone (+ optionally transition) violations off ONE
+    exchange on (conv_id, bucket).
 
     Skew-proof lag: windowing ``partitionBy(conv_id)`` puts a whole
     conversation in one task — a hot conversation holding 10% of 10^12 turns
@@ -68,7 +73,25 @@ def conv_scoped_violations(
     Both windows share the (conv_id, bucket) hash exchange: HashPartitioning
     on a subset of a window's partition keys satisfies its clustering, so
     Catalyst plans exactly one Exchange for the whole branch.
+
+    ``transitions`` (an allowed (prev_state, state) pair set) additionally
+    fuses the sequence-structure check (checks.transition_violations) into
+    the SAME exchange: the state lag runs as a third window over the
+    identical (conv_id, bucket) partitioning — its (turn_idx, state)
+    ordering differs from the mono stack's, so it costs one extra in-stage
+    sort, but zero extra shuffles and zero extra scans vs the composable
+    operator's own full exchange. Cross-bucket restore reuses the boundary
+    frame (the previous non-empty bucket's last state under the same
+    ordering), so the fused lag chain equals the composable per-conv global
+    window exactly — including the (order_col, state) duplicate-key
+    tiebreak, so violations are byte-identical. ``allowed_first`` constrains
+    each conversation's first state as in the composable check. When
+    ``transitions`` is None the plan is byte-identical to the two-check
+    variant (no extra columns, no extra sort).
     """
+    with_tr = transitions is not None
+    sep = "\x1f"  # cannot appear in enum-constrained state values
+    null_tok = "<NULL>"
     bkt = F.floor(F.col(order_col).cast("long") / F.lit(int(bucket_turns)))
     # Single-sort trick: when the Iceberg partition column derives
     # monotonically from ts (part_date = date(ts), the standard layout),
@@ -88,8 +111,17 @@ def conv_scoped_violations(
     # no place in per-conversation checks, and it makes both consumers'
     # subplans canonically identical — the boundary join would otherwise push
     # inferred isnotnull filters into only one branch and defeat reuse.
+    # __cur__ (the coalesced state string, NULL printed as the explicit
+    # <NULL> token exactly like checks.transition_violations) is projected in
+    # dfb itself so BOTH exchange consumers carry the identical column set —
+    # pruning it from only one branch would defeat ReusedExchange.
+    tr_proj = (
+        [F.coalesce(F.col(state_col).cast("string"), F.lit(null_tok)).alias("__cur__")]
+        if with_tr
+        else []
+    )
     dfb = (
-        df.select(*keep, ts_col, bkt.alias("__bkt__"))
+        df.select(*keep, ts_col, bkt.alias("__bkt__"), *tr_proj)
         .filter(F.col(group_col).isNotNull() & F.col("__bkt__").isNotNull())
         .repartition(group_col, "__bkt__")
     )
@@ -106,13 +138,24 @@ def conv_scoped_violations(
     # branch's column set identical to the main branch's so column pruning
     # cannot differentiate the two subplans (which would defeat exchange reuse).
     last_struct = F.struct(*mono_order)
+    # The transition boundary is the bucket's last state under the
+    # (order_col, __cur__) ordering — a second max-struct in the SAME
+    # aggregate, so the fused check adds no boundary pass either.
+    bnd_aggs = [F.max(last_struct).alias("__last__")]
+    if with_tr:
+        bnd_aggs.append(F.max(F.struct(order_col, "__cur__")).alias("__last_tr__"))
     boundary = (
         dfb.groupBy(group_col, "__bkt__")
-        .agg(F.max(last_struct).alias("__last__"))
+        .agg(*bnd_aggs)
         .select(
             group_col,
             "__bkt__",
             F.lag(F.col(f"__last__.{ts_col}")).over(w_bnd).alias("__prev_bucket_ts__"),
+            *(
+                [F.lag(F.col("__last_tr__.__cur__")).over(w_bnd).alias("__prev_bucket_state__")]
+                if with_tr
+                else []
+            ),
         )
     )
 
@@ -122,6 +165,12 @@ def conv_scoped_violations(
     # no third window (row_number over a second ordering) needed. Falls back
     # to the rank window when partition_from_ts=False (ordering by (turn, ts)
     # alone does not keep same-turn rows of different partitions contiguous).
+    # The transition window partitions on the same (conv, bucket) keys — the
+    # one exchange satisfies its clustering — but orders by (order_col,
+    # __cur__): the composable check's duplicate-key tiebreak, kept so the
+    # fused lag chain is byte-identical to checks.transition_violations.
+    if with_tr:
+        w_tr = Window.partitionBy(group_col, "__bkt__").orderBy(order_col, "__cur__")
     annotated = dfb.select(
         *keep,
         ts_col,
@@ -132,10 +181,29 @@ def conv_scoped_violations(
         F.lag(partition_col).over(w_mono).alias("__prev_part__"),
         F.count(F.lit(1)).over(w_dup).alias("__dup_cnt__"),
         *([] if partition_from_ts else [F.row_number().over(w_dup.orderBy(ts_col)).alias("__dup_rn__")]),
+        *(
+            [
+                "__cur__",
+                F.lag("__cur__").over(w_tr).alias("__prev_in_bucket_state__"),
+                F.row_number().over(w_tr).alias("__tr_rn__"),
+            ]
+            if with_tr
+            else []
+        ),
     ).join(boundary, [group_col, "__bkt__"], "left").withColumn(
         "__prev_ts__",
         F.when(F.col("__mono_rn__") == 1, F.col("__prev_bucket_ts__")).otherwise(F.col("__prev_in_bucket__")),
     )
+    if with_tr:
+        # NULL ⟺ the conversation's genuinely-first turn: __cur__ is never
+        # NULL (coalesced), so an in-bucket lag of NULL means bucket-first,
+        # and a NULL boundary lag means no earlier non-empty bucket.
+        annotated = annotated.withColumn(
+            "__prev_state__",
+            F.when(F.col("__tr_rn__") == 1, F.col("__prev_bucket_state__")).otherwise(
+                F.col("__prev_in_bucket_state__")
+            ),
+        )
     # Emit BOTH violation kinds from the SAME windowed branch (array→filter→
     # explode, as in engine.row_violations): one scan, one exchange, no union.
     mono_fail = F.col("__prev_ts__") > F.col(ts_col)
@@ -147,7 +215,7 @@ def conv_scoped_violations(
     else:
         dup_head = F.col("__dup_rn__") == 1
     dup_fail = (F.col("__dup_cnt__") > 1) & dup_head
-    checks_arr = F.array(
+    check_structs = [
         F.struct(
             F.lit(MONO_RULE).alias("rule_id"),
             F.coalesce(~mono_fail, F.lit(True)).alias("ok"),
@@ -158,11 +226,35 @@ def conv_scoped_violations(
             (~dup_fail).alias("ok"),
             F.col("__dup_cnt__").cast("string").alias("observed_value"),
         ),
-    )
+    ]
+    if with_tr:
+        # Identical pair semantics to checks.transition_violations: the
+        # (prev, cur) concat key against the sorted literal allow-list;
+        # allowed_first constrains the first turn when given. __prev_state__
+        # is non-null inside bad_pair's guard, so tr_fail is never NULL.
+        allowed_keys = [f"{p}{sep}{c}" for p, c in sorted(transitions)]
+        bad_pair = ~F.concat_ws(sep, F.col("__prev_state__"), F.col("__cur__")).isin(allowed_keys)
+        tr_fail = F.col("__prev_state__").isNotNull() & bad_pair
+        if allowed_first is not None:
+            tr_fail = tr_fail | (
+                F.col("__prev_state__").isNull() & ~F.col("__cur__").isin(sorted(allowed_first))
+            )
+        check_structs.append(
+            F.struct(
+                F.lit(transition_rule_id).alias("rule_id"),
+                (~tr_fail).alias("ok"),
+                F.concat_ws(
+                    "->", F.coalesce("__prev_state__", F.lit("<FIRST>")), F.col("__cur__")
+                ).alias("observed_value"),
+            )
+        )
+    checks_arr = F.array(*check_structs)
     # Same emit pre-filter as engine.row_violations: only rows where a check
     # is literally failing build the struct array (string casts, per-row
     # allocation); the clean bulk exits on two cheap booleans.
     any_fail = F.coalesce(mono_fail, F.lit(False)) | dup_fail
+    if with_tr:
+        any_fail = any_fail | tr_fail
     return annotated.where(any_fail).select(
         *keep, F.explode(F.filter(checks_arr, lambda x: ~x["ok"])).alias("v")
     ).select(*keep, F.col("v.rule_id").alias("rule_id"), F.col("v.observed_value").alias("observed_value"))
@@ -177,8 +269,14 @@ def validate_transcripts_fused(
     persist: bool = False,
     bucket_turns: int = 4096,
     partition_from_ts: bool = True,
+    transitions: set | None = None,
+    allowed_first: set | None = None,
 ) -> ValidationResult:
     """Full suite in two data passes (see module docstring).
+
+    ``transitions``/``allowed_first`` fuse the sequence-structure check into
+    the conv exchange (see conv_scoped_violations) — the suite stays at two
+    data passes and one shuffle with the third check enabled.
 
     partition_from_ts declares the table-layout invariant part_date = date(ts)
     (the standard Iceberg days(ts) layout), which lets the conv checks share
@@ -193,7 +291,9 @@ def validate_transcripts_fused(
         fused_rules = RuleSet(ruleset.rules + [inline_referential_rule(tools_dim)])
     row_v = row_violations(df, fused_rules, key_cols, partition_col)
     conv_v = conv_scoped_violations(
-        df, key_cols, partition_col, bucket_turns=bucket_turns, partition_from_ts=partition_from_ts
+        df, key_cols, partition_col, bucket_turns=bucket_turns,
+        partition_from_ts=partition_from_ts, transitions=transitions,
+        allowed_first=allowed_first,
     )
     # column order must match for union
     cols = [*key_cols, partition_col, "rule_id", "observed_value"]
@@ -201,6 +301,8 @@ def validate_transcripts_fused(
     if persist:
         viol = viol.persist(StorageLevel.MEMORY_AND_DISK)
     rule_ids = [r.rule_id for r in fused_rules.checks] + [UNIQ_RULE, MONO_RULE]
+    if transitions is not None:
+        rule_ids.append(TRANSITION_RULE)
     from lyra_spark.engine import ruleset_severities
 
     verd = compute_verdicts(df, viol, rule_ids, partition_col,

@@ -34,8 +34,15 @@ def validate_transcripts(
     fused: bool = True,
     persist: bool = False,
     partition_from_ts: bool = True,
+    transitions: set | None = None,
+    allowed_first: set | None = None,
 ) -> ValidationResult:
     """Full suite: row rules + uniqueness + referential + monotone ordering.
+
+    ``transitions`` (an allowed (prev_role, role) pair set) adds the
+    sequence-structure check on BOTH paths: fused into the single conv
+    exchange (lyra_spark.fused), or as the composable window operator;
+    ``allowed_first`` constrains each conversation's first role.
 
     fused=True (default): two-pass plan — one scan for all row rules with the
     tools dim inlined, one conv_id exchange for uniqueness+monotone
@@ -64,19 +71,28 @@ def validate_transcripts(
 
         return validate_transcripts_fused(
             df, tools_dim, ruleset, partition_col=partition_col, persist=persist,
-            partition_from_ts=partition_from_ts,
+            partition_from_ts=partition_from_ts, transitions=transitions,
+            allowed_first=allowed_first,
         )
     extra = [
         checks.uniqueness_violations(df, partition_col=partition_col),
         checks.referential_violations(df, tools_dim, partition_col=partition_col),
         checks.monotone_violations(df, partition_col=partition_col),
     ]
+    extra_ids = [checks.UNIQ_RULE, checks.REF_RULE, checks.MONO_RULE]
+    if transitions is not None:
+        extra.append(
+            checks.transition_violations(
+                df, transitions, allowed_first=allowed_first, partition_col=partition_col
+            )
+        )
+        extra_ids.append(checks.TRANSITION_RULE)
     return validate(
         df,
         ruleset,
         partition_col=partition_col,
         extra_violations=extra,
-        extra_rule_ids=[checks.UNIQ_RULE, checks.REF_RULE, checks.MONO_RULE],
+        extra_rule_ids=extra_ids,
         persist=persist,
     )
 
@@ -90,6 +106,7 @@ def run_suite(
     input_path: str | None = None,
     check_placement: bool = False,
     transitions: set | None = None,
+    allowed_first: set | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Write-then-reuse execution of the full suite — the production shape.
 
@@ -103,7 +120,8 @@ def run_suite(
     must equal the partition value — checks.misplaced_violations); its
     violations merge into the sink and the verdict grid, exactly as the CLI
     --check-placement does. ``transitions``: an allowed (prev_role, role)
-    set enables the sequence-structure check the same way.
+    set enables the sequence-structure check the same way — fused into the
+    suite's single conv exchange (zero extra shuffles), not a separate pass.
 
     ``input_path``: the Hive-partitioned parquet dir ``df`` reads, UNFILTERED.
     When given, per-partition row counts come from table METADATA (parquet
@@ -117,14 +135,11 @@ def run_suite(
     from lyra_spark.fused import REF_RULE, validate_transcripts_fused
 
     ruleset = ruleset or transcript_ruleset()
-    res = validate_transcripts_fused(df, tools_dim, ruleset, partition_col=partition_col, persist=False)
+    res = validate_transcripts_fused(
+        df, tools_dim, ruleset, partition_col=partition_col, persist=False,
+        transitions=transitions, allowed_first=allowed_first,
+    )
     violations = res.violations
-    if transitions is not None:
-        from lyra_spark.checks import transition_violations
-
-        violations = violations.unionByName(
-            transition_violations(df, transitions, partition_col=partition_col)
-        )
     if check_placement:
         from lyra_spark.checks import misplaced_violations
 

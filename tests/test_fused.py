@@ -95,6 +95,71 @@ def test_fused_equals_composable_with_null_keys(spark, fixtures_sf0001):
     assert "uniq_conv_turn" not in null_key_rules and "ts_monotone" not in null_key_rules
 
 
+TRANSITIONS = {
+    ("system", "user"),
+    ("user", "assistant"),
+    ("assistant", "user"),
+    ("assistant", "tool"),
+    ("tool", "assistant"),
+}
+
+
+def test_fused_transitions_equal_composable(spark, fixtures_sf0001):
+    """The transition check fused into the conv exchange must be byte-equal
+    to checks.transition_violations — forced tiny buckets so the cross-bucket
+    state restore and the (turn_idx, state) tiebreak are both exercised, with
+    the first-turn constraint on."""
+    from lyra_spark import checks
+    from lyra_spark.fused import conv_scoped_violations
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    first = {"system", "user"}
+    got = (
+        conv_scoped_violations(tdf, bucket_turns=7, transitions=TRANSITIONS, allowed_first=first)
+        .filter("rule_id = 'role_transition'")
+        .select("conv_id", "turn_idx", "part_date", "observed_value")
+    )
+    want = checks.transition_violations(
+        tdf, TRANSITIONS, allowed_first=first, partition_col="part_date"
+    ).select("conv_id", "turn_idx", "part_date", "observed_value")
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_fused_suite_with_transitions_equals_composable(spark, fixtures_sf0001):
+    """validate_transcripts(transitions=...) — fused and composable paths
+    produce identical violations AND verdict grids with the sequence check on."""
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    fused = validate_transcripts(tdf, dim, fused=True, transitions=TRANSITIONS)
+    comp = validate_transcripts(tdf, dim, fused=False, transitions=TRANSITIONS)
+    assert normalize_violations(fused.violations_sorted().toPandas()) == normalize_violations(
+        comp.violations_sorted().toPandas()
+    )
+    fv = {(str(r["part_date"]), r["rule_id"]): (r["pass"], r["violation_count"], r["row_count"]) for r in fused.verdicts.collect()}
+    cv = {(str(r["part_date"]), r["rule_id"]): (r["pass"], r["violation_count"], r["row_count"]) for r in comp.verdicts.collect()}
+    assert "role_transition" in {k[1] for k in fv}
+    assert fv == cv
+
+
+def test_fused_transitions_still_one_exchange(spark, fixtures_sf0001):
+    """Enabling the fused transition check must not add a shuffle: the state
+    lag is a third window over the SAME (conv_id, __bkt__) exchange (one
+    extra in-stage sort only), and the boundary branch still reuses it."""
+    from lyra_spark.fused import conv_scoped_violations
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    df = conv_scoped_violations(tdf, transitions=TRANSITIONS)
+    df.collect()  # AQE finalizes stage reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final[:2000]
+    real_repart = [
+        l for l in final.splitlines() if "REPARTITION_BY_COL" in l and "ReusedExchange" not in l
+    ]
+    assert len(real_repart) == 1, final[:2000]
+
+
 def test_fused_partition_from_ts_false_matches_composable(spark, fixtures_sf0001):
     """partition_from_ts=False must order equal-turn_idx ties by (turn_idx, ts)
     exactly like the composable monotone window — byte-equal violations."""
