@@ -154,18 +154,22 @@ def transition_violations(
     applies to monotone.
     """
     sep = "\x1f"  # cannot appear in enum-constrained role values
-    # state as tiebreak: duplicate order keys (uniqueness's finding) would
-    # otherwise make lag() run-to-run nondeterministic — at odds with the
-    # sink's byte-stable contract (monotone uses ts the same way). The
-    # tiebreak is the projected __cur__ state string, which still exists in
-    # the lagged frame.
-    w = Window.partitionBy(group_col).orderBy(order_col, "__cur__")
     # keep must carry the window's own columns too: a caller's group/order
     # outside key_cols (session_id sequences) would otherwise be projected
     # away before the window resolves — an UNRESOLVED_COLUMN crash
     keep = list(dict.fromkeys(
         [*key_cols, *([partition_col] if partition_col else []), group_col, order_col]
     ))
+    # Tiebreaks: duplicate order keys (uniqueness's finding) would otherwise
+    # make lag() run-to-run nondeterministic — at odds with the sink's
+    # byte-stable contract. __cur__ keeps equal-state runs contiguous (so the
+    # lag VALUE chain is pinned); the remaining projected columns (partition,
+    # extra keys) pin WHICH physical row carries which prev — without them, a
+    # tie group spanning partitions flags a shuffle-fetch-order-dependent
+    # subset. Output is deterministic modulo rows identical in every
+    # projected column (which emit indistinguishable violation rows anyway).
+    tiebreaks = [c for c in keep if c not in (group_col, order_col)]
+    w = Window.partitionBy(group_col).orderBy(order_col, "__cur__", *tiebreaks)
     df = df.filter(_non_null_keys([group_col, order_col]))
     null_tok = "<NULL>"
     cur = F.coalesce(F.col(state_col).cast("string"), F.lit(null_tok))

@@ -143,7 +143,10 @@ def conv_scoped_violations(
     # aggregate, so the fused check adds no boundary pass either.
     bnd_aggs = [F.max(last_struct).alias("__last__")]
     if with_tr:
-        bnd_aggs.append(F.max(F.struct(order_col, "__cur__")).alias("__last_tr__"))
+        bnd_tiebreaks = [c for c in keep if c not in (group_col, order_col)]
+        bnd_aggs.append(
+            F.max(F.struct(order_col, "__cur__", *bnd_tiebreaks)).alias("__last_tr__")
+        )
     boundary = (
         dfb.groupBy(group_col, "__bkt__")
         .agg(*bnd_aggs)
@@ -167,10 +170,13 @@ def conv_scoped_violations(
     # alone does not keep same-turn rows of different partitions contiguous).
     # The transition window partitions on the same (conv, bucket) keys — the
     # one exchange satisfies its clustering — but orders by (order_col,
-    # __cur__): the composable check's duplicate-key tiebreak, kept so the
-    # fused lag chain is byte-identical to checks.transition_violations.
+    # __cur__, remaining projected columns): the composable check's exact
+    # duplicate-key tiebreak chain, kept so the fused lag assignment is
+    # byte-identical to checks.transition_violations even when a tie group
+    # spans partitions (see the tiebreak note there).
     if with_tr:
-        w_tr = Window.partitionBy(group_col, "__bkt__").orderBy(order_col, "__cur__")
+        tr_tiebreaks = [c for c in keep if c not in (group_col, order_col)]
+        w_tr = Window.partitionBy(group_col, "__bkt__").orderBy(order_col, "__cur__", *tr_tiebreaks)
     annotated = dfb.select(
         *keep,
         ts_col,

@@ -142,6 +142,44 @@ def test_fused_suite_with_transitions_equals_composable(spark, fixtures_sf0001):
     assert fv == cv
 
 
+def test_transitions_deterministic_on_duplicate_key_tie_groups(spark):
+    """A tie group on (turn_idx, role) spanning many partition dates (the
+    shape injected duplicates create): which physical row carries which prev
+    must not depend on shuffle fetch order. Both operators order ties by the
+    remaining projected columns, so output is identical across input
+    partitionings AND between the fused and composable plans."""
+    import datetime
+
+    from lyra_spark import checks
+    from lyra_spark.fused import conv_scoped_violations
+
+    rows = []
+    roles = ["assistant", "user", "tool", "assistant", "user", "assistant", "tool", "user"]
+    for i, role in enumerate(roles * 4):
+        rows.append(
+            ("conv_tie", -1, role, datetime.date(2024, 1, 1 + i % 9),
+             datetime.datetime(2024, 1, 1 + i % 9, i % 24, 0, 0))
+        )
+    rows.append(("conv_tie", 0, "user", datetime.date(2024, 1, 10), datetime.datetime(2024, 1, 10)))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, part_date date, ts timestamp")
+    cols = ["conv_id", "turn_idx", "part_date", "observed_value"]
+
+    def comp(d):
+        return sorted(
+            map(tuple, checks.transition_violations(d, TRANSITIONS, partition_col="part_date")
+                .select(*cols).collect())
+        )
+
+    a = comp(df.repartition(13))
+    b = comp(df.coalesce(1))
+    assert a == b and len(a) > 0
+    fused = sorted(
+        map(tuple, conv_scoped_violations(df.repartition(5), bucket_turns=3, transitions=TRANSITIONS)
+            .filter("rule_id = 'role_transition'").select(*cols).collect())
+    )
+    assert fused == a
+
+
 def test_fused_transitions_still_one_exchange(spark, fixtures_sf0001):
     """Enabling the fused transition check must not add a shuffle: the state
     lag is a third window over the SAME (conv_id, __bkt__) exchange (one
