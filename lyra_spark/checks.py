@@ -134,6 +134,7 @@ def transition_violations(
     key_cols: list[str] = KEY_COLS,
     partition_col: str | None = "part_date",
     rule_id: str = TRANSITION_RULE,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Sequence-structure validation: within each conversation ordered by
     turn_idx, each (previous_state → state) pair must be in ``allowed``
@@ -143,6 +144,12 @@ def transition_violations(
     each conversation's FIRST turn (None = any).
 
     The violating row is the LATER turn; observed_value = "prev->cur".
+
+    ``ts_col``: optional chronological tiebreak for duplicate order keys —
+    pass the table's timestamp column when the sequence has a time axis (the
+    transcripts suite passes "ts", matching the monotone check's conversation
+    order and the fused plan's shared sort); leave None for sequences without
+    one (ordering then ties by state + remaining projected columns).
 
     Plan shape: identical to monotone_violations — one window lag over the
     (group) exchange, pure Catalyst (the transition set folds into a literal
@@ -158,18 +165,23 @@ def transition_violations(
     # outside key_cols (session_id sequences) would otherwise be projected
     # away before the window resolves — an UNRESOLVED_COLUMN crash
     keep = list(dict.fromkeys(
-        [*key_cols, *([partition_col] if partition_col else []), group_col, order_col]
+        [*key_cols, *([partition_col] if partition_col else []),
+         *([ts_col] if ts_col else []), group_col, order_col]
     ))
     # Tiebreaks: duplicate order keys (uniqueness's finding) would otherwise
     # make lag() run-to-run nondeterministic — at odds with the sink's
-    # byte-stable contract. __cur__ keeps equal-state runs contiguous (so the
-    # lag VALUE chain is pinned); the remaining projected columns (partition,
-    # extra keys) pin WHICH physical row carries which prev — without them, a
-    # tie group spanning partitions flags a shuffle-fetch-order-dependent
-    # subset. Output is deterministic modulo rows identical in every
-    # projected column (which emit indistinguishable violation rows anyway).
-    tiebreaks = [c for c in keep if c not in (group_col, order_col)]
-    w = Window.partitionBy(group_col).orderBy(order_col, "__cur__", *tiebreaks)
+    # byte-stable contract. ``ts_col`` (when the sequence has a time axis)
+    # breaks ties chronologically FIRST — the same conversation order the
+    # monotone check pins, and what lets the fused suite share one sort;
+    # __cur__ then keeps equal-state runs contiguous (pinning the lag VALUE
+    # chain), and the remaining projected columns (partition, extra keys) pin
+    # WHICH physical row carries which prev — without them, a tie group
+    # spanning partitions flags a shuffle-fetch-order-dependent subset.
+    # Output is deterministic modulo rows identical in every projected column
+    # (which emit indistinguishable violation rows anyway).
+    order_keys = [order_col, *([ts_col] if ts_col else []), "__cur__"]
+    tiebreaks = [c for c in keep if c not in (group_col, *order_keys)]
+    w = Window.partitionBy(group_col).orderBy(*order_keys, *tiebreaks)
     df = df.filter(_non_null_keys([group_col, order_col]))
     null_tok = "<NULL>"
     cur = F.coalesce(F.col(state_col).cast("string"), F.lit(null_tok))

@@ -75,19 +75,19 @@ def conv_scoped_violations(
     Catalyst plans exactly one Exchange for the whole branch.
 
     ``transitions`` (an allowed (prev_state, state) pair set) additionally
-    fuses the sequence-structure check (checks.transition_violations) into
-    the SAME exchange: the state lag runs as a third window over the
-    identical (conv_id, bucket) partitioning — its (turn_idx, state)
-    ordering differs from the mono stack's, so it costs one extra in-stage
-    sort, but zero extra shuffles and zero extra scans vs the composable
-    operator's own full exchange. Cross-bucket restore reuses the boundary
-    frame (the previous non-empty bucket's last state under the same
-    ordering), so the fused lag chain equals the composable per-conv global
-    window exactly — including the (order_col, state) duplicate-key
-    tiebreak, so violations are byte-identical. ``allowed_first`` constrains
-    each conversation's first state as in the composable check. When
-    ``transitions`` is None the plan is byte-identical to the two-check
-    variant (no extra columns, no extra sort).
+    fuses the sequence-structure check (checks.transition_violations with
+    ts_col — the chronological duplicate-key tiebreak) into the SAME window
+    stack: the shared sort key merely extends by (state, remaining
+    tiebreaks), a suffix that changes nothing for the mono/dup lags (rows
+    tied on the mono keys are interchangeable for them), so the state lag
+    joins the EXISTING window operator — zero extra sorts, zero extra
+    shuffles, zero extra scans; the only cost is one extra shuffled column.
+    Cross-bucket restore reuses the boundary frame (the previous non-empty
+    bucket's last state rides the same max-struct), so the fused lag chain
+    equals the composable per-conv global window exactly. ``allowed_first``
+    constrains each conversation's first state as in the composable check.
+    When ``transitions`` is None the plan is byte-identical to the
+    two-check variant (no extra columns, no wider sort key).
     """
     with_tr = transitions is not None
     sep = "\x1f"  # cannot appear in enum-constrained state values
@@ -100,10 +100,22 @@ def conv_scoped_violations(
     # prefixes of one sort key (conv, bkt, turn, part, ts), so Catalyst plans
     # ONE sort for the whole window stack.
     mono_order = [order_col, partition_col, ts_col] if partition_from_ts else [order_col, ts_col]
-    w_mono = Window.partitionBy(group_col, "__bkt__").orderBy(*mono_order)
-    w_dup = Window.partitionBy(group_col, "__bkt__", order_col, partition_col)
-
     keep = [*key_cols, partition_col]
+    # With transitions fused, the ONE shared sort key extends by (__cur__,
+    # remaining projected tiebreaks): a suffix, so the mono/dup lags are
+    # untouched (rows tied on the full mono key are interchangeable for
+    # them — equal ts / turn / part throughout the tie), while the state lag
+    # gets the composable check's exact total order: ts_col breaks duplicate
+    # turns chronologically, then state, then the projected leftovers. Same
+    # orderSpec for every expression ⇒ ONE Window operator, ONE sort.
+    if with_tr:
+        shared_order = mono_order + ["__cur__"] + [
+            c for c in keep if c not in (group_col, order_col, *mono_order)
+        ]
+    else:
+        shared_order = mono_order
+    w_mono = Window.partitionBy(group_col, "__bkt__").orderBy(*shared_order)
+    w_dup = Window.partitionBy(group_col, "__bkt__", order_col, partition_col)
     # ONE explicit exchange feeds the window stack AND the boundary aggregate
     # (ReusedExchange) — the boundary branch costs no second scan of the table.
     # The explicit NULL-key filter does two jobs: rows with NULL conv_id /
@@ -137,25 +149,20 @@ def conv_scoped_violations(
     # (the ordering equivalence above), and consuming it keeps the boundary
     # branch's column set identical to the main branch's so column pruning
     # cannot differentiate the two subplans (which would defeat exchange reuse).
-    last_struct = F.struct(*mono_order)
-    # The transition boundary is the bucket's last state under the
-    # (order_col, __cur__) ordering — a second max-struct in the SAME
-    # aggregate, so the fused check adds no boundary pass either.
-    bnd_aggs = [F.max(last_struct).alias("__last__")]
-    if with_tr:
-        bnd_tiebreaks = [c for c in keep if c not in (group_col, order_col)]
-        bnd_aggs.append(
-            F.max(F.struct(order_col, "__cur__", *bnd_tiebreaks)).alias("__last_tr__")
-        )
+    # One struct under the SHARED ordering: its lexicographic max is the
+    # bucket's last row, whose ts serves the mono restore and (with
+    # transitions fused) whose state serves the transition restore — the
+    # fused check adds no boundary aggregate of its own.
+    last_struct = F.struct(*shared_order)
     boundary = (
         dfb.groupBy(group_col, "__bkt__")
-        .agg(*bnd_aggs)
+        .agg(F.max(last_struct).alias("__last__"))
         .select(
             group_col,
             "__bkt__",
             F.lag(F.col(f"__last__.{ts_col}")).over(w_bnd).alias("__prev_bucket_ts__"),
             *(
-                [F.lag(F.col("__last_tr__.__cur__")).over(w_bnd).alias("__prev_bucket_state__")]
+                [F.lag(F.col("__last__.__cur__")).over(w_bnd).alias("__prev_bucket_state__")]
                 if with_tr
                 else []
             ),
@@ -168,15 +175,6 @@ def conv_scoped_violations(
     # no third window (row_number over a second ordering) needed. Falls back
     # to the rank window when partition_from_ts=False (ordering by (turn, ts)
     # alone does not keep same-turn rows of different partitions contiguous).
-    # The transition window partitions on the same (conv, bucket) keys — the
-    # one exchange satisfies its clustering — but orders by (order_col,
-    # __cur__, remaining projected columns): the composable check's exact
-    # duplicate-key tiebreak chain, kept so the fused lag assignment is
-    # byte-identical to checks.transition_violations even when a tie group
-    # spans partitions (see the tiebreak note there).
-    if with_tr:
-        tr_tiebreaks = [c for c in keep if c not in (group_col, order_col)]
-        w_tr = Window.partitionBy(group_col, "__bkt__").orderBy(order_col, "__cur__", *tr_tiebreaks)
     annotated = dfb.select(
         *keep,
         ts_col,
@@ -190,8 +188,9 @@ def conv_scoped_violations(
         *(
             [
                 "__cur__",
-                F.lag("__cur__").over(w_tr).alias("__prev_in_bucket_state__"),
-                F.row_number().over(w_tr).alias("__tr_rn__"),
+                # same window, same sort — the state lag rides the existing
+                # operator for free
+                F.lag("__cur__").over(w_mono).alias("__prev_in_bucket_state__"),
             ]
             if with_tr
             else []
@@ -203,10 +202,12 @@ def conv_scoped_violations(
     if with_tr:
         # NULL ⟺ the conversation's genuinely-first turn: __cur__ is never
         # NULL (coalesced), so an in-bucket lag of NULL means bucket-first,
-        # and a NULL boundary lag means no earlier non-empty bucket.
+        # and a NULL boundary lag means no earlier non-empty bucket. The
+        # bucket-first row is the same under the shared ordering (one
+        # row_number serves both restores).
         annotated = annotated.withColumn(
             "__prev_state__",
-            F.when(F.col("__tr_rn__") == 1, F.col("__prev_bucket_state__")).otherwise(
+            F.when(F.col("__mono_rn__") == 1, F.col("__prev_bucket_state__")).otherwise(
                 F.col("__prev_in_bucket_state__")
             ),
         )

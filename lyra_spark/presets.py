@@ -83,7 +83,8 @@ def validate_transcripts(
     if transitions is not None:
         extra.append(
             checks.transition_violations(
-                df, transitions, allowed_first=allowed_first, partition_col=partition_col
+                df, transitions, allowed_first=allowed_first,
+                partition_col=partition_col, ts_col="ts",
             )
         )
         extra_ids.append(checks.TRANSITION_RULE)

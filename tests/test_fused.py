@@ -120,7 +120,7 @@ def test_fused_transitions_equal_composable(spark, fixtures_sf0001):
         .select("conv_id", "turn_idx", "part_date", "observed_value")
     )
     want = checks.transition_violations(
-        tdf, TRANSITIONS, allowed_first=first, partition_col="part_date"
+        tdf, TRANSITIONS, allowed_first=first, partition_col="part_date", ts_col="ts"
     ).select("conv_id", "turn_idx", "part_date", "observed_value")
     assert got.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
@@ -166,7 +166,8 @@ def test_transitions_deterministic_on_duplicate_key_tie_groups(spark):
 
     def comp(d):
         return sorted(
-            map(tuple, checks.transition_violations(d, TRANSITIONS, partition_col="part_date")
+            map(tuple, checks.transition_violations(
+                d, TRANSITIONS, partition_col="part_date", ts_col="ts")
                 .select(*cols).collect())
         )
 
@@ -181,9 +182,10 @@ def test_transitions_deterministic_on_duplicate_key_tie_groups(spark):
 
 
 def test_fused_transitions_still_one_exchange(spark, fixtures_sf0001):
-    """Enabling the fused transition check must not add a shuffle: the state
-    lag is a third window over the SAME (conv_id, __bkt__) exchange (one
-    extra in-stage sort only), and the boundary branch still reuses it."""
+    """Enabling the fused transition check must not add a shuffle OR a window
+    operator: the state lag shares the mono stack's sort (the shared key just
+    extends by a suffix), so the plan has the same three Window operators and
+    the one reused exchange as the two-check variant."""
     from lyra_spark.fused import conv_scoped_violations
 
     tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
@@ -196,6 +198,7 @@ def test_fused_transitions_still_one_exchange(spark, fixtures_sf0001):
         l for l in final.splitlines() if "REPARTITION_BY_COL" in l and "ReusedExchange" not in l
     ]
     assert len(real_repart) == 1, final[:2000]
+    assert final.count("Window") == 3, final[:2000]
 
 
 def test_fused_partition_from_ts_false_matches_composable(spark, fixtures_sf0001):
