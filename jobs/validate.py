@@ -299,18 +299,15 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.perf_counter()
         scoped = lio.partition_scope(df, pk)
-        # transitions fuse into the suite's single conv exchange (no separate
-        # scan + shuffle per partition for the sequence check)
+        # transitions fuse into the suite's single conv exchange and placement
+        # into its row-rule scan — no separate scan or shuffle per partition
+        # for either dataset check
         result = validate_transcripts(
             scoped, dim, ruleset=ruleset,
             transitions=transitions if args.check_transitions else None,
             allowed_first=allowed_first,
+            placement_ts=placement_ts if args.check_placement else None,
         )
-        if args.check_placement:
-            from lyra_spark.checks import misplaced_violations
-
-            pv = misplaced_violations(scoped, ts_col=placement_ts, partition_col="part_date")
-            result.violations = result.violations.unionByName(pv)
         if args.out:
             # write-then-reuse: violations compute once into the sink; the
             # verdict roll-up aggregates the WRITTEN files (never recomputes)
@@ -339,19 +336,9 @@ def main(argv: list[str] | None = None) -> int:
                     "part_date",
                     severities=ruleset_severities(ruleset),
                 )
-        elif args.check_placement:
-            # result.verdicts predates the placement union — rebuild the grid
-            # from the merged violation frame (transitions are already fused
-            # into the suite and its verdict grid)
-            from lyra_spark.engine import compute_verdicts
-
-            verd = compute_verdicts(
-                scoped, result.violations,
-                rule_ids(ruleset, args.check_transitions, args.check_placement),
-                "part_date",
-                severities=ruleset_severities(ruleset),
-            )
         else:
+            # both dataset checks are fused into the suite, so its verdict
+            # grid is already complete — no rebuild pass needed
             verd = result.verdicts
         if args.clean_out:
             from pyspark.sql import functions as F

@@ -368,6 +368,21 @@ def misplaced_violations(
     zero Python; the filter sits beside the row rules and costs nothing
     beyond the scan the suite already pays.
     """
+    passes, observed = placement_check(ts_col, partition_col)
+    return df.filter(~passes).select(
+        *key_cols,
+        partition_col,
+        F.lit(rule_id).alias("rule_id"),
+        observed.alias("observed_value"),
+    )
+
+
+def placement_check(ts_col: str = "ts", partition_col: str = "part_date"):
+    """The placement predicate as a (passes, observed) column pair — the form
+    engine.row_violations takes as an extra compiled check, so the suite can
+    evaluate placement INSIDE the row-rule scan instead of unioning
+    misplaced_violations as a third pass over the table (same semantics,
+    one fewer full scan; see misplaced_violations for the contract)."""
     # try_cast, not to_date: under ANSI (Spark 4 default) a malformed
     # partition value would RAISE mid-job; the contract is to FLAG it
     placed = F.col(partition_col).cast("string").try_cast("date")
@@ -376,12 +391,8 @@ def misplaced_violations(
     ts_ok = F.col(ts_col).try_cast("timestamp")
     actual = F.to_date(ts_ok)
     bad = ts_ok.isNull() | placed.isNull() | (actual != placed)
-    return df.filter(bad).select(
-        *key_cols,
-        partition_col,
-        F.lit(rule_id).alias("rule_id"),
-        F.coalesce(F.col(ts_col).cast("string"), F.lit("NULL")).alias("observed_value"),
-    )
+    observed = F.coalesce(F.col(ts_col).cast("string"), F.lit("NULL"))
+    return ~bad, observed
 
 
 RECONCILE_RULE = "reconcile"

@@ -52,8 +52,15 @@ def row_violations(
     ruleset: RuleSet,
     key_cols: list[str] = KEY_COLS,
     partition_col: str | None = "part_date",
+    extra_checks: list[tuple] | None = None,
 ) -> DataFrame:
     """Evaluate all row-level rules; one violation row per (row, failed rule).
+
+    ``extra_checks``: optional (rule_id, passes, observed) triples appended to
+    the compiled rule array — the hook by which map-only dataset checks
+    (partition placement) ride the SAME scan instead of unioning a second
+    pass. ``passes`` must be a never-NULL boolean Column; both columns are
+    evaluated on the COERCED frame (after the ruleset's cast/trim rules).
 
     Rule predicates MUST be deterministic (pandas-UDF rules included — Spark
     assumes it too): the emit pre-filter below evaluates each rule's
@@ -66,14 +73,15 @@ def row_violations(
     checks = compile_checks(coerced, ruleset)
     if not checks:
         raise ValueError("ruleset has no checking rules")
+    triples = [(c.spec.rule_id, c.passes, c.observed) for c in checks] + list(extra_checks or [])
     arr = F.array(
         *[
             F.struct(
-                F.lit(c.spec.rule_id).alias("rule_id"),
-                c.passes.alias("ok"),
-                c.observed.alias("observed_value"),
+                F.lit(rid).alias("rule_id"),
+                ok.alias("ok"),
+                obs.alias("observed_value"),
             )
-            for c in checks
+            for rid, ok, obs in triples
         ]
     )
     # Violation pre-filter: rows pass a rule unless ok is literally False
@@ -84,8 +92,8 @@ def row_violations(
     # scan's CPU at 10^12 rows — and the filter prunes them in the same
     # codegen stage (no extra pass).
     any_fail = None
-    for c in checks:
-        cond = c.passes.eqNullSafe(F.lit(False))
+    for _, ok, _ in triples:
+        cond = ok.eqNullSafe(F.lit(False))
         any_fail = cond if any_fail is None else (any_fail | cond)
     keep = list(key_cols) + ([partition_col] if partition_col else [])
     return (

@@ -278,12 +278,16 @@ def validate_transcripts_fused(
     partition_from_ts: bool = True,
     transitions: set | None = None,
     allowed_first: set | None = None,
+    placement_ts: str | None = None,
 ) -> ValidationResult:
     """Full suite in two data passes (see module docstring).
 
     ``transitions``/``allowed_first`` fuse the sequence-structure check into
-    the conv exchange (see conv_scoped_violations) — the suite stays at two
-    data passes and one shuffle with the third check enabled.
+    the conv exchange (see conv_scoped_violations); ``placement_ts`` (a ts
+    column name) fuses the partition-placement check into the row-rule scan
+    (checks.placement_check riding engine.row_violations' compiled array) —
+    the suite stays at two data passes and one shuffle with all five checks
+    enabled.
 
     partition_from_ts declares the table-layout invariant part_date = date(ts)
     (the standard Iceberg days(ts) layout), which lets the conv checks share
@@ -296,7 +300,13 @@ def validate_transcripts_fused(
         fused_rules = ruleset  # caller pre-compiled the referential rule
     else:
         fused_rules = RuleSet(ruleset.rules + [inline_referential_rule(tools_dim)])
-    row_v = row_violations(df, fused_rules, key_cols, partition_col)
+    extra_checks = None
+    if placement_ts is not None:
+        from lyra_spark.checks import PLACEMENT_RULE, placement_check
+
+        ok, obs = placement_check(placement_ts, partition_col)
+        extra_checks = [(PLACEMENT_RULE, ok, obs)]
+    row_v = row_violations(df, fused_rules, key_cols, partition_col, extra_checks=extra_checks)
     conv_v = conv_scoped_violations(
         df, key_cols, partition_col, bucket_turns=bucket_turns,
         partition_from_ts=partition_from_ts, transitions=transitions,
@@ -310,6 +320,10 @@ def validate_transcripts_fused(
     rule_ids = [r.rule_id for r in fused_rules.checks] + [UNIQ_RULE, MONO_RULE]
     if transitions is not None:
         rule_ids.append(TRANSITION_RULE)
+    if placement_ts is not None:
+        from lyra_spark.checks import PLACEMENT_RULE
+
+        rule_ids.append(PLACEMENT_RULE)
     from lyra_spark.engine import ruleset_severities
 
     verd = compute_verdicts(df, viol, rule_ids, partition_col,

@@ -36,6 +36,7 @@ def validate_transcripts(
     partition_from_ts: bool = True,
     transitions: set | None = None,
     allowed_first: set | None = None,
+    placement_ts: str | None = None,
 ) -> ValidationResult:
     """Full suite: row rules + uniqueness + referential + monotone ordering.
 
@@ -43,6 +44,8 @@ def validate_transcripts(
     sequence-structure check on BOTH paths: fused into the single conv
     exchange (lyra_spark.fused), or as the composable window operator;
     ``allowed_first`` constrains each conversation's first role.
+    ``placement_ts`` (a ts column name) adds the partition-placement check:
+    fused into the row-rule scan, or as the composable map-only operator.
 
     fused=True (default): two-pass plan — one scan for all row rules with the
     tools dim inlined, one conv_id exchange for uniqueness+monotone
@@ -72,7 +75,7 @@ def validate_transcripts(
         return validate_transcripts_fused(
             df, tools_dim, ruleset, partition_col=partition_col, persist=persist,
             partition_from_ts=partition_from_ts, transitions=transitions,
-            allowed_first=allowed_first,
+            allowed_first=allowed_first, placement_ts=placement_ts,
         )
     extra = [
         checks.uniqueness_violations(df, partition_col=partition_col),
@@ -88,6 +91,11 @@ def validate_transcripts(
             )
         )
         extra_ids.append(checks.TRANSITION_RULE)
+    if placement_ts is not None:
+        extra.append(
+            checks.misplaced_violations(df, ts_col=placement_ts, partition_col=partition_col)
+        )
+        extra_ids.append(checks.PLACEMENT_RULE)
     return validate(
         df,
         ruleset,
@@ -108,6 +116,7 @@ def run_suite(
     check_placement: bool = False,
     transitions: set | None = None,
     allowed_first: set | None = None,
+    placement_ts: str = "ts",
 ) -> tuple[DataFrame, DataFrame]:
     """Write-then-reuse execution of the full suite — the production shape.
 
@@ -118,8 +127,9 @@ def run_suite(
     (violations read back, verdicts).
 
     ``check_placement``: also run the partition-placement check (date(ts)
-    must equal the partition value — checks.misplaced_violations); its
-    violations merge into the sink and the verdict grid, exactly as the CLI
+    must equal the partition value — checks.placement_check, fused into the
+    row-rule scan rather than a third pass over the table); its violations
+    merge into the sink and the verdict grid, exactly as the CLI
     --check-placement does. ``transitions``: an allowed (prev_role, role)
     set enables the sequence-structure check the same way — fused into the
     suite's single conv exchange (zero extra shuffles), not a separate pass.
@@ -139,14 +149,9 @@ def run_suite(
     res = validate_transcripts_fused(
         df, tools_dim, ruleset, partition_col=partition_col, persist=False,
         transitions=transitions, allowed_first=allowed_first,
+        placement_ts=placement_ts if check_placement else None,
     )
     violations = res.violations
-    if check_placement:
-        from lyra_spark.checks import misplaced_violations
-
-        violations = violations.unionByName(
-            misplaced_violations(df, partition_col=partition_col)
-        )
     lio.write_violations(violations, out_dir, partition_col=partition_col)
     # explicit schema: a clean run writes only _SUCCESS (no parquet files) and
     # schema inference would throw UNABLE_TO_INFER_SCHEMA on the empty sink

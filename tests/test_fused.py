@@ -201,6 +201,53 @@ def test_fused_transitions_still_one_exchange(spark, fixtures_sf0001):
     assert final.count("Window") == 3, final[:2000]
 
 
+def test_fused_placement_equals_composable(spark, fixtures_sf0001):
+    """placement_ts fuses the placement check into the row-rule scan; its
+    violations must be byte-equal to the composable misplaced_violations
+    operator, on both suite paths."""
+    from pyspark.sql import functions as F
+
+    from lyra_spark import checks
+
+    base = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    # plant misplaced rows: wrong directory date + a NULL ts (both violate)
+    moved = base.limit(3).withColumn("part_date", F.date_add("part_date", 400))
+    null_ts = base.limit(2).withColumn("ts", F.lit(None).cast("timestamp"))
+    tdf = base.unionByName(moved).unionByName(null_ts)
+    fused = validate_transcripts(tdf, dim, fused=True, placement_ts="ts")
+    comp = validate_transcripts(tdf, dim, fused=False, placement_ts="ts")
+    fv = normalize_violations(fused.violations_sorted().toPandas())
+    assert fv == normalize_violations(comp.violations_sorted().toPandas())
+    got = [t for t in fv if t[2] == "partition_placement"]
+    want = normalize_violations(
+        checks.misplaced_violations(tdf, partition_col="part_date").toPandas()
+    )
+    assert len(got) > 0 and got == want
+    grid = {(str(r["part_date"]), r["rule_id"]) for r in fused.verdicts.collect()}
+    assert any(rid == "partition_placement" for _, rid in grid)
+
+
+def test_fused_suite_all_checks_two_scans(spark, fixtures_sf0001):
+    """The full five-check suite (row rules + referential + uniqueness +
+    monotone + transitions + placement) reads the table exactly TWICE: the
+    row-rule scan (placement fused in) and the conv exchange's scan
+    (transitions fused in) — enabling both dataset checks adds no pass."""
+    from lyra_spark.fused import validate_transcripts_fused
+    from lyra_spark.presets import transcript_ruleset
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    res = validate_transcripts_fused(
+        tdf, dim, transcript_ruleset(), transitions=TRANSITIONS, placement_ts="ts"
+    )
+    res.violations.collect()  # AQE finalizes the boundary's stage reuse only at execution
+    plan = res.violations._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    scans = [l for l in final.splitlines() if "Scan parquet" in l and "ReusedExchange" not in l]
+    assert len(scans) == 2, final[:3000]
+
+
 def test_fused_partition_from_ts_false_matches_composable(spark, fixtures_sf0001):
     """partition_from_ts=False must order equal-turn_idx ties by (turn_idx, ts)
     exactly like the composable monotone window — byte-equal violations."""
