@@ -17,7 +17,7 @@ Scale notes (10^12-turn design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KEY_COLS = ["conv_id", "turn_idx"]
@@ -160,7 +160,6 @@ def transition_violations(
     the bucketed-lag machinery (lyra_spark.fused), which the suite already
     applies to monotone.
     """
-    sep = "\x1f"  # cannot appear in enum-constrained role values
     # keep must carry the window's own columns too: a caller's group/order
     # outside key_cols (session_id sequences) would otherwise be projected
     # away before the window resolves — an UNRESOLVED_COLUMN crash
@@ -183,26 +182,48 @@ def transition_violations(
     tiebreaks = [c for c in keep if c not in (group_col, *order_keys)]
     w = Window.partitionBy(group_col).orderBy(*order_keys, *tiebreaks)
     df = df.filter(_non_null_keys([group_col, order_col]))
-    null_tok = "<NULL>"
-    cur = F.coalesce(F.col(state_col).cast("string"), F.lit(null_tok))
+    cur = transition_state(state_col)
     lagged = df.select(*keep, cur.alias("__cur__")).select(
         *keep, "__cur__", F.lag("__cur__").over(w).alias("__prev__")
     )
-    allowed_keys = [f"{p}{sep}{c}" for p, c in sorted(allowed)]
-    bad_pair = ~F.concat_ws(sep, F.col("__prev__"), F.col("__cur__")).isin(allowed_keys)
-    if allowed_first is None:
-        bad = F.col("__prev__").isNotNull() & bad_pair
-    else:
-        bad_first = F.col("__prev__").isNull() & ~F.col("__cur__").isin(sorted(allowed_first))
-        bad = (F.col("__prev__").isNotNull() & bad_pair) | bad_first
+    bad, observed = transition_predicate(
+        F.col("__prev__"), F.col("__cur__"), allowed, allowed_first
+    )
     return lagged.filter(bad).select(
         *key_cols,
         *([partition_col] if partition_col else []),
         F.lit(rule_id).alias("rule_id"),
-        F.concat_ws("->", F.coalesce("__prev__", F.lit("<FIRST>")), F.col("__cur__")).alias(
-            "observed_value"
-        ),
+        observed.alias("observed_value"),
     )
+
+
+TRANSITION_NULL_TOKEN = "<NULL>"
+
+
+def transition_state(state_col: str) -> Column:
+    """The canonical state projection: string-cast, NULL printed as the
+    explicit <NULL> token (so NULL can be allowed or denied in the pair
+    set). Shared by the composable operator and the fused suite so the two
+    cannot drift."""
+    return F.coalesce(F.col(state_col).cast("string"), F.lit(TRANSITION_NULL_TOKEN))
+
+
+def transition_predicate(
+    prev: Column, cur: Column, allowed: set, allowed_first: set | None = None
+) -> tuple[Column, Column]:
+    """(fail, observed) for the positive-list pair semantics over two state
+    columns built by transition_state (cur never NULL; prev NULL ⟺ the
+    group's first element). Shared by checks.transition_violations and
+    fused.conv_scoped_violations — one definition of the pair encoding,
+    first-turn handling, and the 'prev->cur' observed format."""
+    sep = "\x1f"  # cannot appear in enum-constrained state values
+    allowed_keys = [f"{p}{sep}{c}" for p, c in sorted(allowed)]
+    bad_pair = ~F.concat_ws(sep, prev, cur).isin(allowed_keys)
+    fail = prev.isNotNull() & bad_pair
+    if allowed_first is not None:
+        fail = fail | (prev.isNull() & ~cur.isin(sorted(allowed_first)))
+    observed = F.concat_ws("->", F.coalesce(prev, F.lit("<FIRST>")), cur)
+    return fail, observed
 
 
 FD_RULE = "functional_dependency"

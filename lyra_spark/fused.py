@@ -28,7 +28,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lyra_spark.checks import MONO_RULE, REF_RULE, TRANSITION_RULE, UNIQ_RULE
+from lyra_spark.checks import (
+    MONO_RULE,
+    PLACEMENT_RULE,
+    REF_RULE,
+    TRANSITION_RULE,
+    UNIQ_RULE,
+    placement_check,
+    transition_predicate,
+    transition_state,
+)
 from lyra_spark.engine import ValidationResult, compute_verdicts, row_violations
 from lyra_spark.rules import RuleSet, enum
 from lyra_spark.schema import KEY_COLUMNS, PARTITION_COLUMN
@@ -84,14 +93,18 @@ def conv_scoped_violations(
     shuffles, zero extra scans; the only cost is one extra shuffled column.
     Cross-bucket restore reuses the boundary frame (the previous non-empty
     bucket's last state rides the same max-struct), so the fused lag chain
-    equals the composable per-conv global window exactly. ``allowed_first``
-    constrains each conversation's first state as in the composable check.
+    equals the composable per-conv global window (ts_col passed) — exactly
+    when ``partition_from_ts=False``, and under the declared layout
+    invariant when True: the shared key then ties by (part, ts) where the
+    composable ties by (ts, ..., part), the same orders iff part = date(ts)
+    — the identical caveat the mono single-sort trick documents, and rows
+    violating it are precisely what the placement check flags.
+    ``allowed_first`` constrains each conversation's first state as in the
+    composable check.
     When ``transitions`` is None the plan is byte-identical to the
     two-check variant (no extra columns, no wider sort key).
     """
     with_tr = transitions is not None
-    sep = "\x1f"  # cannot appear in enum-constrained state values
-    null_tok = "<NULL>"
     bkt = F.floor(F.col(order_col).cast("long") / F.lit(int(bucket_turns)))
     # Single-sort trick: when the Iceberg partition column derives
     # monotonically from ts (part_date = date(ts), the standard layout),
@@ -105,9 +118,12 @@ def conv_scoped_violations(
     # remaining projected tiebreaks): a suffix, so the mono/dup lags are
     # untouched (rows tied on the full mono key are interchangeable for
     # them — equal ts / turn / part throughout the tie), while the state lag
-    # gets the composable check's exact total order: ts_col breaks duplicate
-    # turns chronologically, then state, then the projected leftovers. Same
-    # orderSpec for every expression ⇒ ONE Window operator, ONE sort.
+    # gets the composable check's total order — exactly when
+    # partition_from_ts=False ((turn, ts, state, part) on both sides), and
+    # up to the part=date(ts) layout invariant when True (mono_order then
+    # ties by (part, ts) where the composable ties (ts, ..., part); see the
+    # docstring caveat). Same orderSpec for every expression ⇒ ONE Window
+    # operator, ONE sort.
     if with_tr:
         shared_order = mono_order + ["__cur__"] + [
             c for c in keep if c not in (group_col, order_col, *mono_order)
@@ -127,11 +143,7 @@ def conv_scoped_violations(
     # <NULL> token exactly like checks.transition_violations) is projected in
     # dfb itself so BOTH exchange consumers carry the identical column set —
     # pruning it from only one branch would defeat ReusedExchange.
-    tr_proj = (
-        [F.coalesce(F.col(state_col).cast("string"), F.lit(null_tok)).alias("__cur__")]
-        if with_tr
-        else []
-    )
+    tr_proj = [transition_state(state_col).alias("__cur__")] if with_tr else []
     dfb = (
         df.select(*keep, ts_col, bkt.alias("__bkt__"), *tr_proj)
         .filter(F.col(group_col).isNotNull() & F.col("__bkt__").isNotNull())
@@ -235,24 +247,17 @@ def conv_scoped_violations(
         ),
     ]
     if with_tr:
-        # Identical pair semantics to checks.transition_violations: the
-        # (prev, cur) concat key against the sorted literal allow-list;
-        # allowed_first constrains the first turn when given. __prev_state__
-        # is non-null inside bad_pair's guard, so tr_fail is never NULL.
-        allowed_keys = [f"{p}{sep}{c}" for p, c in sorted(transitions)]
-        bad_pair = ~F.concat_ws(sep, F.col("__prev_state__"), F.col("__cur__")).isin(allowed_keys)
-        tr_fail = F.col("__prev_state__").isNotNull() & bad_pair
-        if allowed_first is not None:
-            tr_fail = tr_fail | (
-                F.col("__prev_state__").isNull() & ~F.col("__cur__").isin(sorted(allowed_first))
-            )
+        # The ONE definition of the pair semantics (checks.transition_predicate)
+        # serves both operators, so they cannot drift. __prev_state__ is
+        # non-null inside the predicate's guard, so tr_fail is never NULL.
+        tr_fail, tr_observed = transition_predicate(
+            F.col("__prev_state__"), F.col("__cur__"), transitions, allowed_first
+        )
         check_structs.append(
             F.struct(
                 F.lit(transition_rule_id).alias("rule_id"),
                 (~tr_fail).alias("ok"),
-                F.concat_ws(
-                    "->", F.coalesce("__prev_state__", F.lit("<FIRST>")), F.col("__cur__")
-                ).alias("observed_value"),
+                tr_observed.alias("observed_value"),
             )
         )
     checks_arr = F.array(*check_structs)
@@ -302,9 +307,18 @@ def validate_transcripts_fused(
         fused_rules = RuleSet(ruleset.rules + [inline_referential_rule(tools_dim)])
     extra_checks = None
     if placement_ts is not None:
-        from lyra_spark.checks import PLACEMENT_RULE, placement_check
+        # Placement is a STORAGE-integrity check: it must judge the value as
+        # stored, not as coerced. row_violations evaluates extra checks on
+        # the coerced frame, where a ruleset coercion on ts/partition (e.g.
+        # default('ts', ...) filling the NULLs placement exists to flag)
+        # would mask violations — point the predicate at the __raw__ columns
+        # apply_coercions preserves whenever the column is coerced.
+        from lyra_spark.compiler import RAW_PREFIX
 
-        ok, obs = placement_check(placement_ts, partition_col)
+        coerced_cols = {spec.column for spec in fused_rules.coercions}
+        ts_ref = RAW_PREFIX + placement_ts if placement_ts in coerced_cols else placement_ts
+        part_ref = RAW_PREFIX + partition_col if partition_col in coerced_cols else partition_col
+        ok, obs = placement_check(ts_ref, part_ref)
         extra_checks = [(PLACEMENT_RULE, ok, obs)]
     row_v = row_violations(df, fused_rules, key_cols, partition_col, extra_checks=extra_checks)
     conv_v = conv_scoped_violations(
@@ -321,8 +335,6 @@ def validate_transcripts_fused(
     if transitions is not None:
         rule_ids.append(TRANSITION_RULE)
     if placement_ts is not None:
-        from lyra_spark.checks import PLACEMENT_RULE
-
         rule_ids.append(PLACEMENT_RULE)
     from lyra_spark.engine import ruleset_severities
 

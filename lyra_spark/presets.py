@@ -64,6 +64,11 @@ def validate_transcripts(
     run_suite(), which writes violations to their real sink once and
     aggregates verdicts from the written files."""
     ruleset = ruleset or transcript_ruleset()
+    # placement compares event time AGAINST the partition value — without a
+    # partition column the check has no referent on either path; raise the
+    # contract violation here instead of an opaque planner error
+    if placement_ts is not None and partition_col is None:
+        raise ValueError("placement_ts requires a partition column (partition_col=None)")
     # the fused plan keys its shared exchange and verdict grid on the
     # partition column; with partition_col=None only the composable path is
     # well-defined — route there instead of crashing mid-plan

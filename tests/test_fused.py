@@ -181,6 +181,44 @@ def test_transitions_deterministic_on_duplicate_key_tie_groups(spark):
     assert fused == a
 
 
+def test_fused_transitions_equal_composable_on_misplaced_rows(spark):
+    """Rows violating the part_date = date(ts) layout invariant (misplaced —
+    the placement check's findings) break the shared key's (part, ts) ↔
+    (ts, …, part) tie equivalence under the default partition_from_ts=True;
+    with partition_from_ts=False the fused transition check must equal the
+    composable operator unconditionally, misplaced duplicates included."""
+    import datetime
+
+    from lyra_spark import checks
+    from lyra_spark.fused import conv_scoped_violations
+
+    rows = []
+    # duplicate turn keys where the STORED date contradicts ts ordering
+    for i, (role, day, stored) in enumerate([
+        ("assistant", 2, 1), ("user", 1, 2), ("assistant", 3, 9), ("user", 9, 3),
+        ("tool", 5, 5), ("assistant", 4, 8), ("user", 8, 4), ("assistant", 6, 7),
+    ] * 3):
+        rows.append(
+            ("conv_mis", i % 4, role, datetime.date(2024, 1, stored),
+             datetime.datetime(2024, 1, day, i % 24, 0, 0))
+        )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, part_date date, ts timestamp"
+    )
+    cols = ["conv_id", "turn_idx", "part_date", "observed_value"]
+    got = sorted(
+        map(tuple, conv_scoped_violations(
+            df, bucket_turns=2, transitions=TRANSITIONS, partition_from_ts=False)
+            .filter("rule_id = 'role_transition'").select(*cols).collect())
+    )
+    want = sorted(
+        map(tuple, checks.transition_violations(
+            df, TRANSITIONS, partition_col="part_date", ts_col="ts")
+            .select(*cols).collect())
+    )
+    assert len(want) > 0 and got == want
+
+
 def test_fused_transitions_still_one_exchange(spark, fixtures_sf0001):
     """Enabling the fused transition check must not add a shuffle OR a window
     operator: the state lag shares the mono stack's sort (the shared key just
@@ -226,6 +264,43 @@ def test_fused_placement_equals_composable(spark, fixtures_sf0001):
     assert len(got) > 0 and got == want
     grid = {(str(r["part_date"]), r["rule_id"]) for r in fused.verdicts.collect()}
     assert any(rid == "partition_placement" for _, rid in grid)
+
+
+def test_fused_placement_sees_raw_values_under_coercion(spark, fixtures_sf0001):
+    """Placement judges the STORED value: a ruleset coercion on ts (e.g. a
+    default filling NULLs — exactly the rows placement exists to flag) must
+    not mask fused placement violations, and both suite paths must agree."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from lyra_spark.rules import RuleSet, default, required
+
+    base = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    null_ts = base.limit(3).withColumn("ts", F.lit(None).cast("timestamp"))
+    tdf = base.unionByName(null_ts)
+    rs = RuleSet([
+        required("text", rule_id="text_required"),
+        default("ts", datetime.datetime(2024, 1, 1)),
+    ])
+    fused = validate_transcripts(tdf, dim, ruleset=rs, fused=True, placement_ts="ts")
+    comp = validate_transcripts(tdf, dim, ruleset=rs, fused=False, placement_ts="ts")
+    fv = normalize_violations(fused.violations_sorted().toPandas())
+    assert fv == normalize_violations(comp.violations_sorted().toPandas())
+    placed = [t for t in fv if t[2] == "partition_placement"]
+    assert len(placed) >= 3 and all(t[3] == "NULL" for t in placed)
+
+
+def test_placement_without_partition_column_raises(spark, fixtures_sf0001):
+    """placement compares ts against the partition value — with no partition
+    column the check has no referent; the suite must say so up front."""
+    import pytest
+
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    dim = spark.read.parquet(os.path.join(fixtures_sf0001, "tools_dim.parquet"))
+    with pytest.raises(ValueError, match="placement_ts requires a partition column"):
+        validate_transcripts(tdf, dim, partition_col=None, placement_ts="ts")
 
 
 def test_fused_suite_all_checks_two_scans(spark, fixtures_sf0001):
