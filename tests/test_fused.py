@@ -219,6 +219,60 @@ def test_fused_transitions_equal_composable_on_misplaced_rows(spark):
     assert len(want) > 0 and got == want
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _row = st.tuples(
+        st.sampled_from(["cA", "cB"]),                      # conv_id
+        st.integers(min_value=0, max_value=5),              # turn_idx (dups likely)
+        st.sampled_from(["system", "user", "assistant", "tool", None]),  # role
+        st.integers(min_value=1, max_value=4),              # ts day
+        st.integers(min_value=0, max_value=23),             # ts hour
+        st.integers(min_value=1, max_value=4),              # STORED day (may mismatch ts)
+    )
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(rows=st.lists(_row, min_size=1, max_size=40), first=st.booleans())
+    def test_fused_transitions_equal_composable_hypothesis(spark, rows, first):
+        """Adversarial fuzz: random tiny conversations with duplicate turn
+        keys, NULL roles, and misplaced storage dates — the fused transition
+        check (partition_from_ts=False, tiny buckets) must equal the
+        composable operator on every input, first-turn constraint included."""
+        import datetime
+
+        from lyra_spark import checks
+        from lyra_spark.fused import conv_scoped_violations
+
+        data = [
+            (c, t, r, datetime.date(2024, 1, sd), datetime.datetime(2024, 1, d, h))
+            for c, t, r, d, h, sd in rows
+        ]
+        df = spark.createDataFrame(
+            data, "conv_id string, turn_idx int, role string, part_date date, ts timestamp"
+        )
+        allowed_first = {"system", "user"} if first else None
+        cols = ["conv_id", "turn_idx", "part_date", "observed_value"]
+        got = sorted(
+            map(tuple, conv_scoped_violations(
+                df, bucket_turns=2, transitions=TRANSITIONS,
+                allowed_first=allowed_first, partition_from_ts=False)
+                .filter("rule_id = 'role_transition'").select(*cols).collect())
+        )
+        want = sorted(
+            map(tuple, checks.transition_violations(
+                df, TRANSITIONS, allowed_first=allowed_first,
+                partition_col="part_date", ts_col="ts")
+                .select(*cols).collect())
+        )
+        assert got == want
+
+
 def test_fused_transitions_still_one_exchange(spark, fixtures_sf0001):
     """Enabling the fused transition check must not add a shuffle OR a window
     operator: the state lag shares the mono stack's sort (the shared key just
