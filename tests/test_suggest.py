@@ -1,0 +1,100 @@
+"""Rule suggestion (lyra_spark.suggest): observed-invariant proposals.
+
+Properties pinned here:
+  * exact-mode suggestions on a hand-built frame match the hand-derived set;
+  * the suggested ruleset validates its own profiled table with ZERO
+    violations (suggestions are observed invariants — the module contract);
+  * enum lists are bounded: a high-cardinality column yields no enum and the
+    enum pass never builds a list longer than enum_max_card;
+  * empty tables and all-null columns suggest nothing (no degenerate rules).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lyra_spark.engine import row_violations
+from lyra_spark.suggest import ruleset_from_suggestions, suggest_rules
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, "a", 10.0, "red", datetime.datetime(2024, 1, 1)),
+        (2, "bb", 20.5, "blue", datetime.datetime(2024, 1, 2)),
+        (3, "ccc", -1.0, "red", datetime.datetime(2024, 1, 3)),
+        (4, None, 7.25, "blue", datetime.datetime(2024, 1, 4)),
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, name string, score double, color string, ts timestamp"
+    )
+
+
+def test_exact_suggestions_match_hand_derived(frame):
+    out = suggest_rules(frame, distinct_mode="exact").collect()
+    got = {(r["column"], r["kind"]) for r in out}
+    assert got == {
+        ("id", "required"), ("id", "unique"), ("id", "range"),
+        ("name", "length"), ("name", "enum"),
+        ("score", "required"), ("score", "unique"), ("score", "range"),
+        ("color", "required"), ("color", "length"), ("color", "enum"),
+        ("ts", "required"), ("ts", "unique"), ("ts", "range"),
+    }
+    by = {(r["column"], r["kind"]): r for r in out}
+    assert by[("score", "range")]["lo_num"] == -1.0
+    assert by[("score", "range")]["hi_num"] == 20.5
+    assert by[("ts", "range")]["lo_str"] == "2024-01-01 00:00:00"
+    assert by[("ts", "range")]["hi_str"] == "2024-01-04 00:00:00"
+    assert by[("name", "length")]["len_lo"] == 1
+    assert by[("name", "length")]["len_hi"] == 3
+    assert by[("color", "enum")]["vals"] == "blue|red"
+    # name has a NULL: no required/unique despite distinct values
+    assert ("name", "required") not in got and ("name", "unique") not in got
+
+
+def test_suggested_ruleset_validates_cleanly(frame):
+    sugg = suggest_rules(frame, distinct_mode="exact")
+    ruleset, checks = ruleset_from_suggestions(sugg, int_columns={"id"})
+    assert {"check": "uniqueness", "key": ["id"]} in checks
+    viol = row_violations(frame, ruleset, key_cols=["id"], partition_col=None)
+    assert viol.count() == 0
+
+
+def test_suggested_ruleset_catches_new_violations(frame, spark):
+    ruleset, _ = ruleset_from_suggestions(
+        suggest_rules(frame, distinct_mode="exact"), int_columns={"id"}
+    )
+    bad = spark.createDataFrame(
+        [(9, "toolongname", 999.0, "green", None)],
+        "id bigint, name string, score double, color string, ts timestamp",
+    )
+    got = {
+        (r["rule_id"])
+        for r in row_violations(bad, ruleset, key_cols=["id"], partition_col=None).collect()
+    }
+    assert "suggested_length_name" in got      # 11 chars > observed max 3
+    assert "suggested_range_score" in got      # 999 > observed max 20.5
+    assert "suggested_enum_color" in got       # green not in {blue, red}
+    assert "suggested_required_ts" in got      # NULL where profile saw none
+
+
+def test_high_cardinality_column_gets_no_enum(spark):
+    df = spark.range(200).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    kinds = {r["kind"] for r in suggest_rules(df, distinct_mode="exact").collect() if r["column"] == "v"}
+    assert "enum" not in kinds
+    assert "length" in kinds
+
+
+def test_empty_and_all_null_suggest_nothing(spark):
+    empty = spark.createDataFrame([], "a string, b double")
+    assert suggest_rules(empty, distinct_mode="exact").count() == 0
+    nulls = spark.createDataFrame([(None, None)], "a string, b double")
+    assert suggest_rules(nulls, distinct_mode="exact").count() == 0
+
+
+def test_approx_mode_runs_and_agrees_on_kinds(frame):
+    exact = {(r["column"], r["kind"]) for r in suggest_rules(frame, distinct_mode="exact").collect()}
+    approx = {(r["column"], r["kind"]) for r in suggest_rules(frame).collect()}
+    # at 4 rows the HLL estimate is exact, so kinds agree
+    assert approx == exact
