@@ -189,6 +189,25 @@ def q_profile_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suggest_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule suggestion (suggest.suggest_rules): profile the orders table once
+    and propose a runnable ruleset — required / unique / enum / range /
+    length facts that hold on the data (Deequ ConstraintSuggestion shape).
+    Exact distinct mode so the DuckDB oracle replicates bit-for-bit
+    (approx/HLL is the documented 10¹²-row mode); pass 1 is ONE wide
+    aggregate, pass 2 builds enum value lists only for columns that survive
+    the cardinality cut."""
+    ensure_shipped(spark)
+    from lyra_spark.suggest import suggest_rules
+
+    orders = _read(spark, sf_dir, "orders")
+    return suggest_rules(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+        distinct_mode="exact",
+    )
+
+
 def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day z-score outliers on events.value (stats.outlier_rows): one
     tiny (mean, std) aggregate per day broadcast back over the scan — the
@@ -1838,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "violation_samples": q_violation_samples,
         "profile_findings": q_profile_findings,
+        "suggest_rules": q_suggest_rules,
         "outliers": q_outliers,
         "rollup_counts": q_rollup_counts,
         "pivot_daily": q_pivot_daily,
@@ -2365,6 +2385,60 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'src', 'constant', 'events' FROM s WHERE n > 0
                 UNION ALL SELECT 'src', 'complete', NULL FROM s WHERE n > 0
                 UNION ALL SELECT 'dead', 'all_null', NULL FROM s WHERE n >= 0
+            )
+        """,
+        "suggest_rules": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                       COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS d1,
+                       CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+                       COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS d2,
+                       CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+                       COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS d3,
+                       CAST(MIN(LENGTH(o_orderstatus)) AS BIGINT) AS ln3, CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT) AS lx3,
+                       COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS d4,
+                       MIN(o_totalprice) AS mn4, MAX(o_totalprice) AS mx4,
+                       COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS d5,
+                       CAST(MIN(o_orderdate) AS VARCHAR) AS mn5, CAST(MAX(o_orderdate) AS VARCHAR) AS mx5,
+                       COUNT(o_orderpriority) AS nn6, COUNT(DISTINCT o_orderpriority) AS d6,
+                       CAST(MIN(LENGTH(o_orderpriority)) AS BIGINT) AS ln6, CAST(MAX(LENGTH(o_orderpriority)) AS BIGINT) AS lx6
+                FROM orders
+            ),
+            enums AS (
+                SELECT col, array_to_string(list_sort(list(DISTINCT v)), '|') AS ev
+                FROM (
+                    SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders WHERE o_orderstatus IS NOT NULL
+                    UNION ALL
+                    SELECT 'o_orderpriority', o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL
+                )
+                GROUP BY col
+                HAVING COUNT(DISTINCT v) BETWEEN 1 AND 20
+            )
+            SELECT * FROM (
+                SELECT 'o_orderkey' AS "column", 'required' AS kind,
+                       CAST(NULL AS DOUBLE) AS lo_num, CAST(NULL AS DOUBLE) AS hi_num,
+                       CAST(NULL AS VARCHAR) AS lo_str, CAST(NULL AS VARCHAR) AS hi_str,
+                       CAST(NULL AS BIGINT) AS len_lo, CAST(NULL AS BIGINT) AS len_hi,
+                       CAST(NULL AS VARCHAR) AS vals
+                  FROM s WHERE n > 0 AND nn1 = n
+                UNION ALL SELECT 'o_custkey', 'required', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn2 = n
+                UNION ALL SELECT 'o_orderstatus', 'required', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn3 = n
+                UNION ALL SELECT 'o_totalprice', 'required', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn4 = n
+                UNION ALL SELECT 'o_orderdate', 'required', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn5 = n
+                UNION ALL SELECT 'o_orderpriority', 'required', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn6 = n
+                UNION ALL SELECT 'o_orderkey', 'unique', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn1 = n AND d1 >= n
+                UNION ALL SELECT 'o_custkey', 'unique', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn2 = n AND d2 >= n
+                UNION ALL SELECT 'o_orderstatus', 'unique', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn3 = n AND d3 >= n
+                UNION ALL SELECT 'o_totalprice', 'unique', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn4 = n AND d4 >= n
+                UNION ALL SELECT 'o_orderdate', 'unique', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn5 = n AND d5 >= n
+                UNION ALL SELECT 'o_orderpriority', 'unique', NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM s WHERE n > 0 AND nn6 = n AND d6 >= n
+                UNION ALL SELECT 'o_orderkey', 'range', mn1, mx1, NULL, NULL, NULL, NULL, NULL FROM s WHERE nn1 > 0
+                UNION ALL SELECT 'o_custkey', 'range', mn2, mx2, NULL, NULL, NULL, NULL, NULL FROM s WHERE nn2 > 0
+                UNION ALL SELECT 'o_totalprice', 'range', mn4, mx4, NULL, NULL, NULL, NULL, NULL FROM s WHERE nn4 > 0
+                UNION ALL SELECT 'o_orderdate', 'range', NULL, NULL, mn5, mx5, NULL, NULL, NULL FROM s WHERE nn5 > 0
+                UNION ALL SELECT 'o_orderstatus', 'length', NULL, NULL, NULL, NULL, ln3, lx3, NULL FROM s WHERE nn3 > 0
+                UNION ALL SELECT 'o_orderpriority', 'length', NULL, NULL, NULL, NULL, ln6, lx6, NULL FROM s WHERE nn6 > 0
+                UNION ALL SELECT col, 'enum', NULL, NULL, NULL, NULL, NULL, NULL, ev FROM enums
             )
         """,
         "conv_dedup": """
