@@ -35,6 +35,9 @@ TOPANDAS_ALLOWED = {"dedup.py"}
 COLLECT_ALLOWED = {
     "drift.py", "io.py", "fused.py", "presets.py", "dedup.py", "similarity.py",
     "pack.py", "sample.py",
+    # ruleset_from_suggestions collects the suggestion frame: bounded by
+    # profiled columns x suggestion kinds, never by row count
+    "suggest.py",
 }
 
 # Per-row iteration inside Arrow batches is the hidden flavor of the same
