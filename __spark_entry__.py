@@ -1792,6 +1792,34 @@ def q_severity_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_pass(res.verdicts, partition_col="day").withColumnRenamed("pass", "passed")
 
 
+def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-aware rule verdicts (Deequ/GE "mostly" semantics): a rule
+    passes a day when its violation RATE is within the declared fraction —
+    violation_count stays the raw report. value_range at 13% and
+    event_type_enum at 20% both split the sf0.01 days into passing and
+    failing; event_type_required keeps the strict 0.0 default."""
+    import dataclasses
+
+    from lyra_spark.engine import validate
+
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    rs = RuleSet(
+        [
+            dataclasses.replace(
+                R.enum("event_type", ["click", "view", "purchase", "signup"], rule_id="event_type_enum"),
+                tolerance=0.20,
+            ),
+            dataclasses.replace(
+                R.range_rule("value", min=0.0, max=100.0, rule_id="value_range"), tolerance=0.13
+            ),
+            R.required("event_type", rule_id="event_type_required"),
+        ]
+    )
+    res = validate(events, rs, key_cols=["event_id"], partition_col="day")
+    return res.verdicts.withColumnRenamed("pass", "passed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -1879,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_rules": q_format_rules,
         "compare_columns": q_compare_columns,
         "severity_verdicts": q_severity_verdicts,
+        "tolerance_verdicts": q_tolerance_verdicts,
     }
 
 
@@ -2248,6 +2277,39 @@ def oracle_sql() -> dict[str, str]:
             FROM days d
             LEFT JOIN errv e USING (day)
             LEFT JOIN warnv w USING (day)
+        """,
+        "tolerance_verdicts": """
+            WITH ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
+            days AS (SELECT day, COUNT(*) AS row_count FROM ev GROUP BY day),
+            enumv AS (
+                SELECT day, COUNT(*) AS c FROM ev
+                WHERE event_type IS NOT NULL
+                  AND event_type NOT IN ('click','view','purchase','signup')
+                GROUP BY day
+            ),
+            rangev AS (
+                SELECT day, COUNT(*) AS c FROM ev
+                WHERE value IS NOT NULL AND NOT (value >= 0.0 AND value <= 100.0)
+                GROUP BY day
+            ),
+            reqv AS (
+                SELECT day, COUNT(*) AS c FROM ev WHERE event_type IS NULL GROUP BY day
+            ),
+            grid AS (
+                SELECT d.day, 'event_type_enum' AS rule_id, COALESCE(e.c, 0) AS violation_count,
+                       d.row_count, CAST(0.20 AS DOUBLE) AS tolerance
+                FROM days d LEFT JOIN enumv e USING (day)
+                UNION ALL
+                SELECT d.day, 'value_range', COALESCE(r.c, 0), d.row_count, CAST(0.13 AS DOUBLE)
+                FROM days d LEFT JOIN rangev r USING (day)
+                UNION ALL
+                SELECT d.day, 'event_type_required', COALESCE(q.c, 0), d.row_count, CAST(0.0 AS DOUBLE)
+                FROM days d LEFT JOIN reqv q USING (day)
+            )
+            SELECT day, rule_id,
+                   violation_count <= tolerance * row_count AS passed,
+                   violation_count, row_count, tolerance
+            FROM grid
         """,
         "dup_samples": """
             WITH corpus AS (

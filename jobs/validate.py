@@ -295,7 +295,7 @@ def main(argv: list[str] | None = None) -> int:
 
 
     def validate_partition(pk: str) -> tuple[str, int, int, float]:
-        from lyra_spark.engine import ruleset_severities
+        from lyra_spark.engine import ruleset_severities, ruleset_tolerances
 
         t0 = time.perf_counter()
         scoped = lio.partition_scope(df, pk)
@@ -326,6 +326,7 @@ def main(argv: list[str] | None = None) -> int:
                     rule_ids(ruleset, args.check_transitions, args.check_placement),
                     "part_date", {pk: meta_counts[pk]},
                     severities=ruleset_severities(ruleset),
+                    tolerances=ruleset_tolerances(ruleset),
                 )
             else:
                 from lyra_spark.engine import compute_verdicts
@@ -335,6 +336,7 @@ def main(argv: list[str] | None = None) -> int:
                     rule_ids(ruleset, args.check_transitions, args.check_placement),
                     "part_date",
                     severities=ruleset_severities(ruleset),
+                    tolerances=ruleset_tolerances(ruleset),
                 )
         else:
             # both dataset checks are fused into the suite, so its verdict

@@ -32,6 +32,16 @@ def ruleset_severities(ruleset: RuleSet) -> dict[str, str] | None:
     return {r.rule_id: r.severity for r in ruleset.checks}
 
 
+def ruleset_tolerances(ruleset: RuleSet) -> dict[str, float] | None:
+    """rule_id → violation-rate tolerance for the verdict grid — or None when
+    every rule is default-0.0 (exact same schema-stability contract as
+    ruleset_severities: the tolerance column appears exactly when the ruleset
+    declares non-zero tolerances)."""
+    if all(r.tolerance == 0.0 for r in ruleset.checks):
+        return None
+    return {r.rule_id: r.tolerance for r in ruleset.checks}
+
+
 @dataclass
 class ValidationResult:
     violations: DataFrame  # (*key_cols, [partition_col], rule_id, observed_value)
@@ -142,6 +152,7 @@ def compute_verdicts(
     rule_ids: list[str],
     partition_col: str = "part_date",
     severities: dict[str, str] | None = None,
+    tolerances: dict[str, float] | None = None,
 ) -> DataFrame:
     """Per (partition, rule) pass/fail with counts (BASELINE.json:6,14).
 
@@ -151,9 +162,15 @@ def compute_verdicts(
 
     ``severities`` (rule_id → "error"/"warn"): when given, the grid gains a
     ``severity`` column (unknown rule_ids — e.g. dataset checks — default
-    "error"); ``pass`` stays FACTUAL (violation_count == 0) regardless —
+    "error"); ``pass`` stays FACTUAL (within tolerance) regardless —
     severity changes what GATES a partition (partition_pass), never what is
     reported. Omitted (the default), the output schema is unchanged.
+
+    ``tolerances`` (rule_id → max violation fraction, Deequ/GE "mostly"
+    semantics): when given, the grid gains a ``tolerance`` column (unknown
+    rule_ids default 0.0) and ``pass`` becomes violation_count ≤
+    tolerance · row_count — the rule's verdict, since a tolerance rule IS
+    satisfied within threshold. violation_count stays the raw count.
     """
     import pandas as pd
 
@@ -166,6 +183,8 @@ def compute_verdicts(
     rframe = {"rule_id": rule_ids}
     if severities is not None:
         rframe["severity"] = [severities.get(r, "error") for r in rule_ids]
+    if tolerances is not None:
+        rframe["tolerance"] = [float(tolerances.get(r, 0.0)) for r in rule_ids]
     rules = spark.createDataFrame(pd.DataFrame(rframe))
     grid = rows.crossJoin(F.broadcast(rules))
     vc = violations.groupBy(partition_col, "rule_id").agg(F.count(F.lit(1)).alias("violation_count"))
@@ -178,23 +197,31 @@ def compute_verdicts(
     out_cols = [partition_col, "rule_id", "pass", "violation_count", "row_count"]
     if severities is not None:
         out_cols.append("severity")
+    if tolerances is not None:
+        out_cols.append("tolerance")
+    ok = (
+        F.col("violation_count") <= F.col("tolerance") * F.col("row_count")
+        if tolerances is not None
+        else F.col("violation_count") == 0
+    )
     return (
         grid.withColumn("__pk", pk)
         .join(vc.withColumn("__pk", pk).drop(partition_col), ["__pk", "rule_id"], "left")
         .drop("__pk")
         .withColumn("violation_count", F.coalesce(F.col("violation_count"), F.lit(0)))
-        .withColumn("pass", F.col("violation_count") == 0)
+        .withColumn("pass", ok)
         .select(*out_cols)
     )
 
 
 def partition_pass(verdicts: DataFrame, partition_col: str = "part_date") -> DataFrame:
     """Per-partition overall verdict from a verdict grid: a partition passes
-    iff every GATING rule has zero violations. Rules with severity "warn"
-    never gate (lyra severity semantics: warn = report, don't fail) — their
-    counts still surface as ``warn_violations``. A grid without a severity
-    column (compute_verdicts default) gates on every rule. Driver-scale
-    input (partitions × rules), one tiny aggregation."""
+    iff every GATING rule is within tolerance (zero violations unless the
+    grid carries a ``tolerance`` column). Rules with severity "warn" never
+    gate (lyra severity semantics: warn = report, don't fail) — their counts
+    still surface as ``warn_violations``. A grid without a severity column
+    (compute_verdicts default) gates on every rule. Driver-scale input
+    (partitions × rules), one tiny aggregation."""
     sev = (
         # coalesce: a NULL severity cell (e.g. a 5-col grid unioned into a
         # 6-col one with allowMissingColumns) must fail SAFE as gating —
@@ -206,8 +233,14 @@ def partition_pass(verdicts: DataFrame, partition_col: str = "part_date") -> Dat
     )
     gating = sev != "warn"
     vc = F.col("violation_count")
+    ok = (
+        # NULL tolerance cells (column-mismatched unions) fail safe to strict
+        vc <= F.coalesce(F.col("tolerance"), F.lit(0.0)) * F.col("row_count")
+        if "tolerance" in verdicts.columns
+        else vc == 0
+    )
     return verdicts.groupBy(partition_col).agg(
-        F.min(F.when(gating, vc == 0).otherwise(F.lit(True))).alias("pass"),
+        F.min(F.when(gating, ok).otherwise(F.lit(True))).alias("pass"),
         F.sum(F.when(gating, vc).otherwise(F.lit(0))).alias("error_violations"),
         F.sum(F.when(~gating, vc).otherwise(F.lit(0))).alias("warn_violations"),
         F.max("row_count").alias("row_count"),
@@ -238,7 +271,8 @@ def validate(
     rule_ids = [r.rule_id for r in ruleset.checks] + list(extra_rule_ids or [])
     verd = (
         compute_verdicts(df, viol, rule_ids, partition_col,
-                         severities=ruleset_severities(ruleset))
+                         severities=ruleset_severities(ruleset),
+                         tolerances=ruleset_tolerances(ruleset))
         if partition_col
         else None
     )

@@ -336,8 +336,9 @@ def validate_transcripts_fused(
         rule_ids.append(TRANSITION_RULE)
     if placement_ts is not None:
         rule_ids.append(PLACEMENT_RULE)
-    from lyra_spark.engine import ruleset_severities
+    from lyra_spark.engine import ruleset_severities, ruleset_tolerances
 
     verd = compute_verdicts(df, viol, rule_ids, partition_col,
-                            severities=ruleset_severities(fused_rules))
+                            severities=ruleset_severities(fused_rules),
+                            tolerances=ruleset_tolerances(fused_rules))
     return ValidationResult(violations=viol, verdicts=verd, key_cols=list(key_cols), partition_col=partition_col)

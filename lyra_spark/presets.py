@@ -169,14 +169,16 @@ def run_suite(
         rule_ids.append(TRANSITION_RULE)
     if check_placement:
         rule_ids.append(PLACEMENT_RULE)
-    from lyra_spark.engine import ruleset_severities
+    from lyra_spark.engine import ruleset_severities, ruleset_tolerances
 
     sev = ruleset_severities(ruleset)
+    tol = ruleset_tolerances(ruleset)
     counts = lio.partition_row_counts(input_path, partition_col) if input_path else None
     if counts is None:
-        verd = compute_verdicts(df, viol, rule_ids, partition_col, severities=sev)
+        verd = compute_verdicts(df, viol, rule_ids, partition_col, severities=sev, tolerances=tol)
     else:
-        verd = verdicts_from_metadata(df, viol, rule_ids, partition_col, counts, severities=sev)
+        verd = verdicts_from_metadata(df, viol, rule_ids, partition_col, counts,
+                                      severities=sev, tolerances=tol)
     return viol, verd
 
 
@@ -187,6 +189,7 @@ def verdicts_from_metadata(
     partition_col: str,
     counts: dict[str, int],
     severities: dict[str, str] | None = None,
+    tolerances: dict[str, float] | None = None,
 ) -> DataFrame:
     """Verdict grid from metadata row counts + one tiny violation aggregate.
 
@@ -215,15 +218,23 @@ def verdicts_from_metadata(
         # same schema rule as compute_verdicts: severity column appears
         # exactly when the ruleset declares non-default severities
         gpdf["severity"] = [severities.get(r, "error") for r in gpdf["rule_id"]]
+    if tolerances is not None:
+        gpdf["tolerance"] = [float(tolerances.get(r, 0.0)) for r in gpdf["rule_id"]]
+    ok = (
+        F.col("violation_count") <= F.col("tolerance") * F.col("row_count")
+        if tolerances is not None
+        else F.col("violation_count") == 0
+    )
     out = (
         spark.createDataFrame(gpdf)
         .select(
             F.col("pk").cast(part_type).alias(partition_col),
             "rule_id",
-            (F.col("violation_count") == 0).alias("pass"),
+            ok.alias("pass"),
             "violation_count",
             "row_count",
             *(["severity"] if severities is not None else []),
+            *(["tolerance"] if tolerances is not None else []),
         )
     )
     return out

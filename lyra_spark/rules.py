@@ -35,6 +35,12 @@ class RuleSpec:
     # excluded from the fingerprint. Wired through the verdict grid —
     # engine.partition_pass gates a partition on error-severity rules only;
     # warn rules report (violation rows + counts) but never fail it.
+    # `tolerance` (0.0 default): max allowed violation FRACTION per partition
+    # before the rule's verdict fails — Deequ `hasCompleteness(_ >= 1-t)` /
+    # Great Expectations `mostly`. Like severity it is gating metadata, not
+    # predicate semantics: violations still report row-level, and it is
+    # excluded from the fingerprint so tuning a threshold never invalidates
+    # a resumable run's checkpoint.
     rule_id: str
     kind: str
     column: str
@@ -42,6 +48,7 @@ class RuleSpec:
     when: Cond | None = None
     severity: str = "error"
     version: str = "1"
+    tolerance: float = 0.0
 
     @property
     def p(self) -> dict[str, Any]:
@@ -248,6 +255,7 @@ def conditional(rule: RuleSpec, when: Cond) -> RuleSpec:
         when=when,
         severity=rule.severity,
         version=rule.version,
+        tolerance=rule.tolerance,
     )
 
 
@@ -322,6 +330,8 @@ def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
             d["when"] = list(r.when)
         if r.severity != "error":
             d["severity"] = r.severity
+        if r.tolerance:
+            d["tolerance"] = r.tolerance
         if r.version != "1":
             d["version"] = r.version
         out.append(d)
@@ -333,7 +343,7 @@ _CONFIG_KINDS = {
     "range", "integer", "multiple_of", "cast", "default", "transform", "custom",
     "format", "compare",
 }
-_META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version"}
+_META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version", "tolerance"}
 
 
 def ruleset_from_json(source: str) -> RuleSet:
@@ -406,7 +416,7 @@ def ruleset_from_json(source: str) -> RuleSet:
                 spec = _BUILDERS[kind](d["column"], rule_id=d.get("rule_id"), when=when, **params)
         except TypeError as e:
             raise ValueError(f"rule #{i} ({kind}/{d['column']}): {e}") from None
-        if "severity" in d or "version" in d:
+        if "severity" in d or "version" in d or "tolerance" in d:
             import dataclasses
 
             # validate like kinds/params: a typo'd severity ("warning",
@@ -416,10 +426,16 @@ def ruleset_from_json(source: str) -> RuleSet:
                 raise ValueError(
                     f"rule #{i}: unknown severity {d['severity']!r} (known: error, warn)"
                 )
+            tol = d.get("tolerance", spec.tolerance)
+            if not isinstance(tol, (int, float)) or isinstance(tol, bool) or not (0.0 <= tol < 1.0):
+                raise ValueError(
+                    f"rule #{i}: tolerance must be a fraction in [0, 1), got {tol!r}"
+                )
             spec = dataclasses.replace(
                 spec,
                 severity=d.get("severity", spec.severity),
                 version=str(d.get("version", spec.version)),
+                tolerance=float(tol),
             )
         rules.append(spec)
     return RuleSet(rules)
