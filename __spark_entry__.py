@@ -1820,6 +1820,28 @@ def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.withColumnRenamed("pass", "passed")
 
 
+def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric constraint rules (Deequ hasSize/hasMean/hasStandardDeviation/
+    hasCompleteness/hasDistinctCount): five aggregate bounds on events
+    per day, ALL evaluated in one wide agg pass (plan pinned in
+    test_metric_rules). Bounds chosen so daily_volume, mean_value and
+    stddev_value each split the sf0.01 days into passing AND failing, while
+    completeness and cardinality hold everywhere."""
+    from lyra_spark import metrics as M
+
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    rules = [
+        M.size(min=320, rule_id="daily_volume"),
+        M.mean("value", min=46.0, max=53.0, rule_id="mean_value"),
+        M.stddev("value", max=50.0, rule_id="stddev_value"),
+        M.completeness("event_type", min=0.99, rule_id="event_type_complete"),
+        M.distinct_count("event_type", min=5, max=5, rule_id="event_type_card"),
+    ]
+    mv = M.evaluate_metric_rules(events, rules, partition_col="day")
+    return mv.withColumnRenamed("pass", "passed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
@@ -1908,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_columns": q_compare_columns,
         "severity_verdicts": q_severity_verdicts,
         "tolerance_verdicts": q_tolerance_verdicts,
+        "metric_rules": q_metric_rules,
     }
 
 
@@ -2310,6 +2333,41 @@ def oracle_sql() -> dict[str, str]:
                    violation_count <= tolerance * row_count AS passed,
                    violation_count, row_count, tolerance
             FROM grid
+        """,
+        "metric_rules": """
+            WITH ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
+            g AS (
+                SELECT day,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       AVG(value) AS mean_v,
+                       STDDEV_SAMP(value) AS sd,
+                       AVG(CASE WHEN event_type IS NULL THEN 0.0 ELSE 1.0 END) AS comp,
+                       CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS card
+                FROM ev GROUP BY day
+            )
+            SELECT day, 'daily_volume' AS rule_id, 'row_count' AS metric,
+                   CAST(NULL AS VARCHAR) AS "column", ROUND(n, 6) AS value,
+                   CAST(320 AS DOUBLE) AS min_bound, CAST(NULL AS DOUBLE) AS max_bound,
+                   COALESCE(n >= 320, FALSE) AS passed
+            FROM g
+            UNION ALL
+            SELECT day, 'mean_value', 'mean', 'value', ROUND(mean_v, 6),
+                   46.0, 53.0, COALESCE(mean_v >= 46.0 AND mean_v <= 53.0, FALSE)
+            FROM g
+            UNION ALL
+            SELECT day, 'stddev_value', 'stddev', 'value', ROUND(sd, 6),
+                   CAST(NULL AS DOUBLE), 50.0, COALESCE(sd <= 50.0, FALSE)
+            FROM g
+            UNION ALL
+            SELECT day, 'event_type_complete', 'completeness', 'event_type',
+                   ROUND(comp, 6), 0.99, CAST(NULL AS DOUBLE),
+                   COALESCE(comp >= 0.99, FALSE)
+            FROM g
+            UNION ALL
+            SELECT day, 'event_type_card', 'distinct', 'event_type',
+                   ROUND(card, 6), 5.0, 5.0,
+                   COALESCE(card >= 5.0 AND card <= 5.0, FALSE)
+            FROM g
         """,
         "dup_samples": """
             WITH corpus AS (

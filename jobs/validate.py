@@ -124,6 +124,14 @@ def main(argv: list[str] | None = None) -> int:
                          "ship as reviewed config, not code changes. Fingerprints "
                          "match the equivalent code-built ruleset, so moving rules "
                          "to config does not invalidate existing checkpoints")
+    ap.add_argument("--metric-rules", default=None,
+                    help="JSON metric-rule config (lyra_spark.metrics."
+                         "metric_rules_from_json format): aggregate bounds — "
+                         "mean/sum/min/max/stddev/completeness/distinct/size — "
+                         "checked per partition in ONE extra scan regardless of "
+                         "rule count; verdicts land in "
+                         "<checkpoint>/<run-id>/metric_verdicts and failing "
+                         "partitions are reported")
     ap.add_argument("--freshness-hours", type=float, default=None,
                     help="also report per-partition freshness: lag of max(ts) behind "
                          "the freshest partition, stale when above this many hours. "
@@ -459,6 +467,34 @@ def main(argv: list[str] | None = None) -> int:
         print(f"[lyra] freshness ({src}): {len(fr)} partitions, "
               f"stale(>{args.freshness_hours}h)={stale[:10]}"
               f"{'...' if len(stale) > 10 else ''}")
+
+    if args.metric_rules:
+        # One scan evaluates EVERY declared metric for every partition (the
+        # wide-agg plan is pinned in test_metric_rules); the grid is
+        # partitions × rules — driver-scale — so it collects once, writes as
+        # a no-scan Arrow LocalRelation (the verdict-write pattern above),
+        # and rolls up locally. Metric rules are a REPORTING gate alongside
+        # the row-rule verdicts: they never affect checkpoint completion.
+        import pandas as pd
+
+        from lyra_spark.metrics import (
+            evaluate_metric_rules,
+            metric_partition_pass,
+            metric_rules_from_json,
+        )
+
+        mrules = metric_rules_from_json(args.metric_rules)
+        mv = evaluate_metric_rules(df, mrules, partition_col="part_date")
+        mrows = mv.collect()
+        mp = pd.DataFrame([r.asDict() for r in mrows], columns=mv.columns)
+        local = spark.createDataFrame(mp, schema=mv.schema)
+        local.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.checkpoint, args.run_id, "metric_verdicts")
+        )
+        pp = metric_partition_pass(local, "part_date").collect()
+        failing = sorted(str(r["part_date"]) for r in pp if not r["pass"])
+        print(f"[lyra] metrics: {len(mrules)} rule(s) x {len(pp)} partition(s), "
+              f"failing={failing[:10]}{'...' if len(failing) > 10 else ''}")
 
     # final drift pass over ALL partitions (cheap: sketches only)
     from lyra_spark.drift import drift_verdicts, load_reference, save_reference, sketch_by_partition

@@ -1,0 +1,305 @@
+"""Declarative metric constraint rules — bounds on AGGREGATE metrics of a
+table or of each partition (the Deequ ``Check`` surface: ``hasSize``,
+``hasMean``, ``hasMin``/``hasMax``, ``hasStandardDeviation``,
+``hasCompleteness``, ``hasDistinctCount`` / approx variants).
+
+Row rules (rules.py → engine.py) judge individual rows; metric rules judge
+the COHORT. A partition whose every row is individually legal can still be
+broken — the mean shifted, volume halved, a category collapsed — and no
+per-row predicate can see it. Metric rules make those expectations reviewed,
+versioned config instead of ad-hoc notebook queries, and report through the
+same pass/fail verdict shape the row-rule grid uses.
+
+Scale: ALL declared metrics evaluate in ONE wide aggregation pass
+(``evaluate_metric_rules`` emits a single groupBy(partition).agg(...) — one
+scan + one exchange for any number of rules). Every metric is a built-in
+Catalyst aggregate with constant-size buffers that partial-aggregate
+map-side and merge tree-wise (avg/sum/min/max/stddev moments;
+approx_count_distinct's HLL++). The one exception is ``distinct`` (exact
+COUNT(DISTINCT)): Spark plans it with an Expand — still one scan, but the
+exchange carries (group, value) pairs, i.e. cost grows with column
+cardinality. That is the oracle/gate mode; at 10⁹+ distinct values declare
+``approx_distinct`` (rsd-bounded HLL, constant buffers) instead.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METRICS = {
+    "row_count",
+    "mean",
+    "sum",
+    "min",
+    "max",
+    "stddev",
+    "completeness",
+    "distinct",
+    "approx_distinct",
+}
+
+
+@dataclass(frozen=True)
+class MetricRule:
+    """One bounded metric: ``pass`` ⇔ min ≤ metric(column) ≤ max (inclusive,
+    either bound optional but at least one required). A metric that cannot be
+    computed (all-NULL column for mean, single row for stddev) yields a NULL
+    value and FAILS — an unmeasurable expectation is a broken one, never a
+    silent pass. ``severity`` follows the row-rule convention: "warn" rules
+    report but never gate a partition (metric_partition_pass)."""
+
+    rule_id: str
+    metric: str
+    column: str | None = None  # None for row_count only
+    min: float | None = None
+    max: float | None = None
+    severity: str = "error"
+    rsd: float = 0.05  # approx_distinct precision
+
+    def __post_init__(self) -> None:
+        if self.metric not in METRICS:
+            raise ValueError(f"unknown metric {self.metric!r} (known: {sorted(METRICS)})")
+        if self.metric == "row_count":
+            if self.column is not None:
+                raise ValueError("row_count is a table metric — no column")
+        elif not self.column:
+            raise ValueError(f"metric {self.metric!r} requires a column")
+        if self.min is None and self.max is None:
+            raise ValueError(f"{self.rule_id}: at least one of min/max is required")
+        if self.min is not None and self.max is not None and self.min > self.max:
+            raise ValueError(f"{self.rule_id}: min {self.min} > max {self.max}")
+        if self.severity not in ("error", "warn"):
+            raise ValueError(f"unknown severity {self.severity!r} (known: error, warn)")
+        if not (0.0 < self.rsd < 1.0):
+            raise ValueError(f"rsd must be in (0, 1), got {self.rsd!r}")
+
+
+# --- builders (Deequ naming: size/mean/sum/minimum/maximum/stddev/...) ----------
+def _mk(metric: str, column: str | None, rule_id: str | None, **kw: Any) -> MetricRule:
+    rid = rule_id or (f"{metric}_{column}" if column else metric)
+    return MetricRule(rule_id=rid, metric=metric, column=column, **kw)
+
+
+def size(min: float | None = None, max: float | None = None, rule_id: str | None = None,
+         severity: str = "error") -> MetricRule:
+    """Partition/table row count within bounds (Deequ hasSize)."""
+    return _mk("row_count", None, rule_id, min=min, max=max, severity=severity)
+
+
+def mean(column: str, min: float | None = None, max: float | None = None,
+         rule_id: str | None = None, severity: str = "error") -> MetricRule:
+    return _mk("mean", column, rule_id, min=min, max=max, severity=severity)
+
+
+def total(column: str, min: float | None = None, max: float | None = None,
+          rule_id: str | None = None, severity: str = "error") -> MetricRule:
+    """SUM(column) within bounds (Deequ hasSum; `total` because `sum` shadows)."""
+    return _mk("sum", column, rule_id, min=min, max=max, severity=severity)
+
+
+def minimum(column: str, min: float | None = None, max: float | None = None,
+            rule_id: str | None = None, severity: str = "error") -> MetricRule:
+    return _mk("min", column, rule_id, min=min, max=max, severity=severity)
+
+
+def maximum(column: str, min: float | None = None, max: float | None = None,
+            rule_id: str | None = None, severity: str = "error") -> MetricRule:
+    return _mk("max", column, rule_id, min=min, max=max, severity=severity)
+
+
+def stddev(column: str, min: float | None = None, max: float | None = None,
+           rule_id: str | None = None, severity: str = "error") -> MetricRule:
+    """Sample standard deviation within bounds (Deequ hasStandardDeviation)."""
+    return _mk("stddev", column, rule_id, min=min, max=max, severity=severity)
+
+
+def completeness(column: str, min: float = 1.0, rule_id: str | None = None,
+                 severity: str = "error") -> MetricRule:
+    """Non-NULL fraction ≥ min (Deequ hasCompleteness / isComplete at 1.0).
+    The metric twin of a `required` row rule with tolerance 1-min: this one
+    reports the measured rate, that one reports the violating ROWS."""
+    return _mk("completeness", column, rule_id, min=min, max=None, severity=severity)
+
+
+def distinct_count(column: str, min: float | None = None, max: float | None = None,
+                   rule_id: str | None = None, severity: str = "error",
+                   approx: bool = False, rsd: float = 0.05) -> MetricRule:
+    """Distinct values within bounds (Deequ hasDistinctCount). approx=True
+    swaps COUNT(DISTINCT) for the HLL++ estimate — the 10⁹-cardinality mode;
+    leave bounds slack by ~3·rsd there."""
+    m = "approx_distinct" if approx else "distinct"
+    return _mk(m, column, rule_id, min=min, max=max, severity=severity, rsd=rsd)
+
+
+# --- evaluation -----------------------------------------------------------------
+def _agg_expr(r: MetricRule):
+    c = F.col(r.column) if r.column else None
+    if r.metric == "row_count":
+        return F.count(F.lit(1)).cast("double")
+    if r.metric == "mean":
+        return F.avg(c)
+    if r.metric == "sum":
+        return F.sum(c.cast("double"))
+    if r.metric == "min":
+        return F.min(c).cast("double")
+    if r.metric == "max":
+        return F.max(c).cast("double")
+    if r.metric == "stddev":
+        return F.stddev_samp(c)
+    if r.metric == "completeness":
+        return F.avg(c.isNotNull().cast("double"))
+    if r.metric == "distinct":
+        return F.count_distinct(c).cast("double")
+    return F.approx_count_distinct(r.column, r.rsd).cast("double")
+
+
+def evaluate_metric_rules(
+    df: DataFrame,
+    rules: list[MetricRule],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Evaluate every rule in ONE aggregation pass; long-format verdict frame
+    ([partition_col], rule_id, metric, column, value, min_bound, max_bound,
+    pass[, severity]).
+
+    ``value`` is reported rounded to 6 dp; ``pass`` is decided on the
+    UNROUNDED metric (a boundary case never flips with the report rounding).
+    The ``severity`` column appears exactly when some rule declares a
+    non-default severity — the row-rule grid's schema-stability contract.
+    NULL metric → pass FALSE (see MetricRule). With partition_col=None the
+    whole frame is one cohort (one output row per rule).
+    """
+    ids = [r.rule_id for r in rules]
+    if len(set(ids)) != len(ids):
+        dup = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(f"duplicate metric rule_id(s): {dup}")
+    if not rules:
+        raise ValueError("no metric rules given")
+    group = [partition_col] if partition_col else []
+    aggs = [_agg_expr(r).alias(f"__m_{i}") for i, r in enumerate(rules)]
+    wide = df.groupBy(*group).agg(*aggs)
+    with_sev = any(r.severity != "error" for r in rules)
+    structs = []
+    for i, r in enumerate(rules):
+        v = F.col(f"__m_{i}")
+        ok = v.isNotNull()
+        if r.min is not None:
+            ok = ok & (v >= F.lit(float(r.min)))
+        if r.max is not None:
+            ok = ok & (v <= F.lit(float(r.max)))
+        fields = [
+            F.lit(r.rule_id).alias("rule_id"),
+            F.lit(r.metric).alias("metric"),
+            F.lit(r.column).cast("string").alias("column"),
+            F.round(v, 6).alias("value"),
+            F.lit(r.min).cast("double").alias("min_bound"),
+            F.lit(r.max).cast("double").alias("max_bound"),
+            ok.alias("pass"),
+        ]
+        if with_sev:
+            fields.append(F.lit(r.severity).alias("severity"))
+        structs.append(F.struct(*fields))
+    return wide.select(*group, F.explode(F.array(*structs)).alias("s")).select(*group, "s.*")
+
+
+def metric_partition_pass(verdicts: DataFrame, partition_col: str = "part_date") -> DataFrame:
+    """Per-partition roll-up of a metric verdict grid: pass ⇔ every GATING
+    (non-warn) metric rule passed; failed_metrics / warn_failed count the
+    misses. NULL pass cells (column-mismatched unions) fail safe. Same
+    driver-scale shape as engine.partition_pass (partitions × rules rows in,
+    one tiny aggregation out) — combine the two gates with a join on the
+    partition key and AND of the pass columns."""
+    sev = (
+        F.coalesce(F.col("severity"), F.lit("error"))
+        if "severity" in verdicts.columns
+        else F.lit("error")
+    )
+    gating = sev != "warn"
+    p = F.coalesce(F.col("pass"), F.lit(False))
+    return verdicts.groupBy(partition_col).agg(
+        F.min(F.when(gating, p).otherwise(F.lit(True))).alias("pass"),
+        F.sum(F.when(gating & ~p, 1).otherwise(0)).cast("long").alias("failed_metrics"),
+        F.sum(F.when(~gating & ~p, 1).otherwise(0)).cast("long").alias("warn_failed"),
+    )
+
+
+# --- config-file (de)serialization ----------------------------------------------
+_CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd"}
+
+
+def metric_rules_to_json(rules: list[MetricRule], indent: int = 2) -> str:
+    """Serialize to the JSON list ``metric_rules_from_json`` reads; defaults
+    are omitted so configs stay reviewable."""
+    out = []
+    for r in rules:
+        d: dict[str, Any] = {"metric": r.metric, "rule_id": r.rule_id}
+        if r.column is not None:
+            d["column"] = r.column
+        if r.min is not None:
+            d["min"] = r.min
+        if r.max is not None:
+            d["max"] = r.max
+        if r.severity != "error":
+            d["severity"] = r.severity
+        if r.metric == "approx_distinct" and r.rsd != 0.05:
+            d["rsd"] = r.rsd
+        out.append(d)
+    return json.dumps(out, indent=indent)
+
+
+def metric_rules_from_json(source: str) -> list[MetricRule]:
+    """Load metric rules from a JSON config (string or file path) — a list of
+    objects like ``{"metric": "mean", "column": "value", "min": 40,
+    "max": 60}``. Unknown metrics/keys and malformed bounds raise at load
+    (same fail-loud contract as ruleset_from_json: a typo'd constraint
+    silently checking nothing is the classic config failure)."""
+    import os
+
+    text = source
+    if "\n" not in source and not source.lstrip().startswith("["):
+        if not os.path.exists(source):
+            raise FileNotFoundError(f"metric rules config not found: {source}")
+        with open(source) as f:
+            text = f.read()
+    items = json.loads(text)
+    if not isinstance(items, list):
+        raise ValueError("metric rules config must be a JSON LIST of objects")
+    rules: list[MetricRule] = []
+    for i, d in enumerate(items):
+        if not isinstance(d, dict):
+            raise ValueError(f"metric rule #{i}: expected a JSON object, got {type(d).__name__}")
+        unknown = set(d) - _CONFIG_KEYS
+        if unknown:
+            raise ValueError(
+                f"metric rule #{i}: unknown key(s) {sorted(unknown)} — known: {sorted(_CONFIG_KEYS)}"
+            )
+        if "metric" not in d:
+            raise ValueError(f"metric rule #{i}: 'metric' is required")
+        for b in ("min", "max", "rsd"):
+            v = d.get(b)
+            if v is not None and (not isinstance(v, (int, float)) or isinstance(v, bool)):
+                raise ValueError(f"metric rule #{i}: {b} must be a number, got {v!r}")
+        try:
+            rules.append(
+                _mk(
+                    d["metric"],
+                    d.get("column"),
+                    d.get("rule_id"),
+                    min=d.get("min"),
+                    max=d.get("max"),
+                    severity=d.get("severity", "error"),
+                    **({"rsd": float(d["rsd"])} if "rsd" in d else {}),
+                )
+            )
+        except TypeError as e:
+            raise ValueError(f"metric rule #{i}: {e}") from None
+    ids = [r.rule_id for r in rules]
+    if len(set(ids)) != len(ids):
+        dup = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(f"duplicate metric rule_id(s): {dup}")
+    return rules

@@ -868,6 +868,38 @@ def test_cli_freshness_report(tmp_path, spark, fixtures_sf0001, capsys):
     assert "stale(>24.0h)=[" in out and "stale(>24.0h)=[]" not in out
 
 
+def test_cli_metric_rules(tmp_path, spark, fixtures_sf0001, capsys):
+    """--metric-rules: one extra scan evaluates the declared aggregate bounds
+    per partition, writes the grid under the checkpoint, and reports failing
+    partitions (the fixture plants NULL text → completeness 1.0 must fail
+    somewhere; size(min=1) passes everywhere)."""
+    from jobs.validate import main
+
+    cfg = tmp_path / "metrics.json"
+    cfg.write_text(json.dumps([
+        {"metric": "row_count", "min": 1, "rule_id": "nonempty_day"},
+        {"metric": "completeness", "column": "text", "min": 1.0, "rule_id": "text_complete"},
+        {"metric": "mean", "column": "turn_idx", "min": 0, "rule_id": "mean_turn"},
+    ]))
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--limit-partitions", "0",
+        "--metric-rules", str(cfg),
+    ]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "metrics: 3 rule(s) x 90 partition(s)" in out
+    assert "failing=[" in out and "failing=[]" not in out
+    grid = spark.read.parquet(str(tmp_path / "ck" / "r1" / "metric_verdicts"))
+    assert grid.count() == 3 * 90
+    rows = {(r["part_date"], r["rule_id"]): r["pass"] for r in grid.collect()}
+    assert all(p for (d, rid), p in rows.items() if rid == "nonempty_day")
+    assert not all(p for (d, rid), p in rows.items() if rid == "text_complete")
+
+
 def test_structurally_corrupt_manifest_starts_clean(tmp_path, ruleset):
     """Valid JSON with drifted structure (extra field / wrong shape) must hit
     the start-clean fallback, not crash every resume with TypeError."""

@@ -1,0 +1,170 @@
+"""Metric constraint rules (Deequ Check parity): aggregate bounds evaluated
+in ONE wide agg pass, long-format verdicts, severity-aware partition gating,
+JSON config round-trip."""
+
+import contextlib
+import io
+
+import pytest
+
+from lyra_spark import metrics as M
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _frame(spark):
+    # 2024-01-01: values 10,20,30 (mean 20); 2024-01-02: 80,100,NULL (mean 90,
+    # completeness 2/3); day 2 also has a repeated category.
+    rows = [
+        ("2024-01-01", 10.0, "a"),
+        ("2024-01-01", 20.0, "b"),
+        ("2024-01-01", 30.0, "c"),
+        ("2024-01-02", 80.0, "a"),
+        ("2024-01-02", 100.0, "a"),
+        ("2024-01-02", None, "b"),
+    ]
+    return spark.createDataFrame(rows, "part_date string, value double, cat string")
+
+
+def test_bounds_pass_and_fail_per_partition(spark):
+    rules = [
+        M.mean("value", min=15.0, max=50.0, rule_id="mean_value"),
+        M.size(min=3, rule_id="size"),
+        M.distinct_count("cat", min=3, rule_id="cat_card"),
+    ]
+    mv = M.evaluate_metric_rules(_frame(spark), rules, partition_col="part_date")
+    got = {(r["part_date"], r["rule_id"]): (r["pass"], r["value"]) for r in mv.collect()}
+    assert got[("2024-01-01", "mean_value")] == (True, 20.0)
+    assert got[("2024-01-02", "mean_value")] == (False, 90.0)
+    assert got[("2024-01-01", "size")] == (True, 3.0)
+    assert got[("2024-01-01", "cat_card")] == (True, 3.0)
+    assert got[("2024-01-02", "cat_card")] == (False, 2.0)  # a,a,b
+    # severity column absent when nothing declares one (schema stability)
+    assert "severity" not in mv.columns
+
+
+def test_null_metric_fails_never_passes_silently(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01", None), ("2024-01-01", None)], "part_date string, value double"
+    )
+    mv = M.evaluate_metric_rules(
+        df, [M.mean("value", min=0.0, rule_id="m")], partition_col="part_date"
+    )
+    row = mv.collect()[0]
+    assert row["value"] is None and row["pass"] is False
+
+
+def test_single_agg_pass_for_all_rules(spark):
+    """Any number of declared metrics must cost ONE scan + ONE aggregation
+    exchange — the plan has exactly one Exchange (plus AQE wrappers), never
+    one per rule."""
+    rules = [
+        M.mean("value", min=0.0),
+        M.stddev("value", max=100.0),
+        M.size(min=1),
+        M.completeness("value", min=0.5),
+        M.total("value", min=0.0),
+        M.minimum("value", min=0.0),
+        M.maximum("value", max=1000.0),
+    ]
+    mv = M.evaluate_metric_rules(_frame(spark), rules, partition_col="part_date")
+    p = plan_str(mv, "simple")
+    assert p.count("Exchange") == 1, p
+    assert mv.count() == 2 * len(rules)
+
+
+def test_global_mode_one_row_per_rule(spark):
+    rules = [M.mean("value", min=0.0, rule_id="m"), M.size(min=1, rule_id="n")]
+    mv = M.evaluate_metric_rules(_frame(spark), rules, partition_col=None)
+    got = {r["rule_id"]: r["value"] for r in mv.collect()}
+    assert got == {"m": 48.0, "n": 6.0}
+
+
+def test_completeness_and_stddev(spark):
+    rules = [
+        M.completeness("value", min=0.9, rule_id="comp"),
+        M.stddev("value", min=5.0, max=15.0, rule_id="sd"),
+    ]
+    mv = M.evaluate_metric_rules(_frame(spark), rules, partition_col="part_date")
+    got = {(r["part_date"], r["rule_id"]): r for r in mv.collect()}
+    assert got[("2024-01-01", "comp")]["pass"] is True
+    c2 = got[("2024-01-02", "comp")]
+    assert c2["pass"] is False and abs(c2["value"] - 2 / 3) < 1e-6
+    assert got[("2024-01-01", "sd")]["pass"] is True  # stddev_samp = 10
+    assert got[("2024-01-01", "sd")]["value"] == 10.0
+
+
+def test_approx_distinct_within_rsd(spark):
+    df = spark.range(0, 5000).selectExpr("cast(id % 1000 as string) AS k", "'d' AS part_date")
+    mv = M.evaluate_metric_rules(
+        df,
+        [M.distinct_count("k", min=800, max=1200, approx=True, rsd=0.05, rule_id="ad")],
+        partition_col="part_date",
+    )
+    row = mv.collect()[0]
+    assert row["metric"] == "approx_distinct"
+    assert row["pass"] is True and abs(row["value"] - 1000) <= 4 * 0.05 * 1000
+
+
+def test_warn_severity_reports_but_never_gates(spark):
+    rules = [
+        M.mean("value", min=15.0, max=50.0, rule_id="mean_value", severity="warn"),
+        M.size(min=3, rule_id="size"),
+    ]
+    mv = M.evaluate_metric_rules(_frame(spark), rules, partition_col="part_date")
+    assert "severity" in mv.columns
+    pp = {r["part_date"]: r for r in M.metric_partition_pass(mv).collect()}
+    # day 2's mean fails but it's warn-only → partition still passes
+    assert pp["2024-01-02"]["pass"] is True
+    assert pp["2024-01-02"]["warn_failed"] == 1
+    assert pp["2024-01-02"]["failed_metrics"] == 0
+    # flip to error severity → gates
+    rules[0] = M.mean("value", min=15.0, max=50.0, rule_id="mean_value")
+    mv2 = M.evaluate_metric_rules(_frame(spark), rules, partition_col="part_date")
+    pp2 = {r["part_date"]: r for r in M.metric_partition_pass(mv2).collect()}
+    assert pp2["2024-01-02"]["pass"] is False
+    assert pp2["2024-01-02"]["failed_metrics"] == 1
+
+
+def test_builder_validation():
+    with pytest.raises(ValueError, match="at least one"):
+        M.mean("value")
+    with pytest.raises(ValueError, match="min .* > max|min 5.0 > max"):
+        M.mean("value", min=5.0, max=1.0)
+    with pytest.raises(ValueError, match="severity"):
+        M.size(min=1, severity="warning")
+    with pytest.raises(ValueError, match="requires a column"):
+        M.MetricRule(rule_id="x", metric="mean", min=0.0)
+    with pytest.raises(ValueError, match="no column"):
+        M.MetricRule(rule_id="x", metric="row_count", column="c", min=0.0)
+    with pytest.raises(ValueError, match="unknown metric"):
+        M.MetricRule(rule_id="x", metric="median", column="c", min=0.0)
+    with pytest.raises(ValueError, match="duplicate"):
+        M.evaluate_metric_rules(None, [M.size(min=1), M.size(min=2)])
+
+
+def test_config_roundtrip_and_validation():
+    rules = [
+        M.mean("value", min=40.0, max=60.0),
+        M.size(min=100),
+        M.completeness("cat", min=0.99, severity="warn"),
+        M.distinct_count("cat", max=10, approx=True, rsd=0.1),
+    ]
+    rules2 = M.metric_rules_from_json(M.metric_rules_to_json(rules))
+    assert rules2 == rules
+    with pytest.raises(ValueError, match="unknown metric"):
+        M.metric_rules_from_json('[{"metric": "median", "column": "v", "min": 1}]')
+    with pytest.raises(ValueError, match="unknown key"):
+        M.metric_rules_from_json('[{"metric": "mean", "column": "v", "min": 1, "mx": 2}]')
+    with pytest.raises(ValueError, match="must be a number"):
+        M.metric_rules_from_json('[{"metric": "mean", "column": "v", "min": "low"}]')
+    with pytest.raises(ValueError, match="duplicate"):
+        M.metric_rules_from_json(
+            '[{"metric": "mean", "column": "v", "min": 1, "rule_id": "a"},'
+            ' {"metric": "sum", "column": "v", "min": 1, "rule_id": "a"}]'
+        )
