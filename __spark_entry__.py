@@ -1822,11 +1822,12 @@ def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric constraint rules (Deequ hasSize/hasMean/hasStandardDeviation/
-    hasCompleteness/hasDistinctCount): five aggregate bounds on events
-    per day, ALL evaluated in one wide agg pass (plan pinned in
-    test_metric_rules). Bounds chosen so daily_volume, mean_value and
-    stddev_value each split the sf0.01 days into passing AND failing, while
-    completeness and cardinality hold everywhere."""
+    hasCompleteness/hasDistinctCount, plus a Check.where-restricted mean):
+    six aggregate bounds on events per day, ALL evaluated in one wide agg
+    pass (plan pinned in test_metric_rules). Bounds chosen so daily_volume,
+    mean_value, stddev_value and purchase_mean each split the sf0.01 days
+    into passing AND failing, while completeness and cardinality hold
+    everywhere."""
     from lyra_spark import metrics as M
 
     ensure_shipped(spark)
@@ -1837,6 +1838,7 @@ def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.stddev("value", max=50.0, rule_id="stddev_value"),
         M.completeness("event_type", min=0.99, rule_id="event_type_complete"),
         M.distinct_count("event_type", min=5, max=5, rule_id="event_type_card"),
+        M.mean("value", min=48.0, rule_id="purchase_mean", where="event_type = 'purchase'"),
     ]
     mv = M.evaluate_metric_rules(events, rules, partition_col="day")
     return mv.withColumnRenamed("pass", "passed")
@@ -2342,7 +2344,8 @@ def oracle_sql() -> dict[str, str]:
                        AVG(value) AS mean_v,
                        STDDEV_SAMP(value) AS sd,
                        AVG(CASE WHEN event_type IS NULL THEN 0.0 ELSE 1.0 END) AS comp,
-                       CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS card
+                       CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS card,
+                       AVG(CASE WHEN event_type = 'purchase' THEN value END) AS pmean
                 FROM ev GROUP BY day
             )
             SELECT day, 'daily_volume' AS rule_id, 'row_count' AS metric,
@@ -2367,6 +2370,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, 'event_type_card', 'distinct', 'event_type',
                    ROUND(card, 6), 5.0, 5.0,
                    COALESCE(card >= 5.0 AND card <= 5.0, FALSE)
+            FROM g
+            UNION ALL
+            SELECT day, 'purchase_mean', 'mean', 'value',
+                   ROUND(pmean, 6), 48.0, CAST(NULL AS DOUBLE),
+                   COALESCE(pmean >= 48.0, FALSE)
             FROM g
         """,
         "dup_samples": """

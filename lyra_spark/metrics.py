@@ -60,6 +60,12 @@ class MetricRule:
     max: float | None = None
     severity: str = "error"
     rsd: float = 0.05  # approx_distinct precision
+    # Deequ Check.where(): a SQL boolean expression restricting which rows
+    # this rule's metric measures ("event_type = 'purchase'"). Evaluated as
+    # CONDITIONAL aggregation inside the same single agg pass — a where'd
+    # mean is avg(CASE WHEN cond THEN col END), so N filtered rules still
+    # cost one scan, never one scan per predicate.
+    where: str | None = None
 
     def __post_init__(self) -> None:
         if self.metric not in METRICS:
@@ -77,6 +83,8 @@ class MetricRule:
             raise ValueError(f"unknown severity {self.severity!r} (known: error, warn)")
         if not (0.0 < self.rsd < 1.0):
             raise ValueError(f"rsd must be in (0, 1), got {self.rsd!r}")
+        if self.where is not None and (not isinstance(self.where, str) or not self.where.strip()):
+            raise ValueError(f"{self.rule_id}: where must be a non-empty SQL boolean expression")
 
 
 # --- builders (Deequ naming: size/mean/sum/minimum/maximum/stddev/...) ----------
@@ -86,61 +94,80 @@ def _mk(metric: str, column: str | None, rule_id: str | None, **kw: Any) -> Metr
 
 
 def size(min: float | None = None, max: float | None = None, rule_id: str | None = None,
-         severity: str = "error") -> MetricRule:
+         severity: str = "error", where: str | None = None) -> MetricRule:
     """Partition/table row count within bounds (Deequ hasSize)."""
-    return _mk("row_count", None, rule_id, min=min, max=max, severity=severity)
+    return _mk("row_count", None, rule_id, min=min, max=max, severity=severity, where=where)
 
 
 def mean(column: str, min: float | None = None, max: float | None = None,
-         rule_id: str | None = None, severity: str = "error") -> MetricRule:
-    return _mk("mean", column, rule_id, min=min, max=max, severity=severity)
+         rule_id: str | None = None, severity: str = "error",
+         where: str | None = None) -> MetricRule:
+    return _mk("mean", column, rule_id, min=min, max=max, severity=severity, where=where)
 
 
 def total(column: str, min: float | None = None, max: float | None = None,
-          rule_id: str | None = None, severity: str = "error") -> MetricRule:
+          rule_id: str | None = None, severity: str = "error",
+          where: str | None = None) -> MetricRule:
     """SUM(column) within bounds (Deequ hasSum; `total` because `sum` shadows)."""
-    return _mk("sum", column, rule_id, min=min, max=max, severity=severity)
+    return _mk("sum", column, rule_id, min=min, max=max, severity=severity, where=where)
 
 
 def minimum(column: str, min: float | None = None, max: float | None = None,
-            rule_id: str | None = None, severity: str = "error") -> MetricRule:
-    return _mk("min", column, rule_id, min=min, max=max, severity=severity)
+            rule_id: str | None = None, severity: str = "error",
+            where: str | None = None) -> MetricRule:
+    return _mk("min", column, rule_id, min=min, max=max, severity=severity, where=where)
 
 
 def maximum(column: str, min: float | None = None, max: float | None = None,
-            rule_id: str | None = None, severity: str = "error") -> MetricRule:
-    return _mk("max", column, rule_id, min=min, max=max, severity=severity)
+            rule_id: str | None = None, severity: str = "error",
+            where: str | None = None) -> MetricRule:
+    return _mk("max", column, rule_id, min=min, max=max, severity=severity, where=where)
 
 
 def stddev(column: str, min: float | None = None, max: float | None = None,
-           rule_id: str | None = None, severity: str = "error") -> MetricRule:
+           rule_id: str | None = None, severity: str = "error",
+           where: str | None = None) -> MetricRule:
     """Sample standard deviation within bounds (Deequ hasStandardDeviation)."""
-    return _mk("stddev", column, rule_id, min=min, max=max, severity=severity)
+    return _mk("stddev", column, rule_id, min=min, max=max, severity=severity, where=where)
 
 
 def completeness(column: str, min: float = 1.0, rule_id: str | None = None,
-                 severity: str = "error") -> MetricRule:
+                 severity: str = "error", where: str | None = None) -> MetricRule:
     """Non-NULL fraction ≥ min (Deequ hasCompleteness / isComplete at 1.0).
     The metric twin of a `required` row rule with tolerance 1-min: this one
     reports the measured rate, that one reports the violating ROWS."""
-    return _mk("completeness", column, rule_id, min=min, max=None, severity=severity)
+    return _mk("completeness", column, rule_id, min=min, max=None, severity=severity, where=where)
 
 
 def distinct_count(column: str, min: float | None = None, max: float | None = None,
                    rule_id: str | None = None, severity: str = "error",
-                   approx: bool = False, rsd: float = 0.05) -> MetricRule:
+                   approx: bool = False, rsd: float = 0.05,
+                   where: str | None = None) -> MetricRule:
     """Distinct values within bounds (Deequ hasDistinctCount). approx=True
     swaps COUNT(DISTINCT) for the HLL++ estimate — the 10⁹-cardinality mode;
     leave bounds slack by ~3·rsd there."""
     m = "approx_distinct" if approx else "distinct"
-    return _mk(m, column, rule_id, min=min, max=max, severity=severity, rsd=rsd)
+    return _mk(m, column, rule_id, min=min, max=max, severity=severity, rsd=rsd, where=where)
 
 
 # --- evaluation -----------------------------------------------------------------
 def _agg_expr(r: MetricRule):
-    c = F.col(r.column) if r.column else None
+    # where-restriction via conditional aggregation: rows failing the
+    # predicate become NULL inputs, which every aggregate here ignores —
+    # the whole ruleset stays ONE agg pass however many predicates it mixes.
+    cond = F.expr(r.where) if r.where else None
     if r.metric == "row_count":
-        return F.count(F.lit(1)).cast("double")
+        return (
+            F.count(F.lit(1)) if cond is None else F.count(F.when(cond, F.lit(1)))
+        ).cast("double")
+    if r.metric == "completeness":
+        # condition wraps the 0/1 indicator, NOT the column: a row excluded
+        # by where must drop out of the ratio entirely, not count as a NULL
+        base = F.col(r.column).isNotNull().cast("double")
+        return F.avg(F.when(cond, base)) if cond is not None else F.avg(base)
+    c = F.col(r.column) if r.column else None
+    if c is not None and cond is not None:
+        c = F.when(cond, c)
     if r.metric == "mean":
         return F.avg(c)
     if r.metric == "sum":
@@ -151,11 +178,9 @@ def _agg_expr(r: MetricRule):
         return F.max(c).cast("double")
     if r.metric == "stddev":
         return F.stddev_samp(c)
-    if r.metric == "completeness":
-        return F.avg(c.isNotNull().cast("double"))
     if r.metric == "distinct":
         return F.count_distinct(c).cast("double")
-    return F.approx_count_distinct(r.column, r.rsd).cast("double")
+    return F.approx_count_distinct(c, r.rsd).cast("double")
 
 
 def evaluate_metric_rules(
@@ -229,7 +254,7 @@ def metric_partition_pass(verdicts: DataFrame, partition_col: str = "part_date")
 
 
 # --- config-file (de)serialization ----------------------------------------------
-_CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd"}
+_CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd", "where"}
 
 
 def metric_rules_to_json(rules: list[MetricRule], indent: int = 2) -> str:
@@ -248,6 +273,8 @@ def metric_rules_to_json(rules: list[MetricRule], indent: int = 2) -> str:
             d["severity"] = r.severity
         if r.metric == "approx_distinct" and r.rsd != 0.05:
             d["rsd"] = r.rsd
+        if r.where is not None:
+            d["where"] = r.where
         out.append(d)
     return json.dumps(out, indent=indent)
 
@@ -293,6 +320,7 @@ def metric_rules_from_json(source: str) -> list[MetricRule]:
                     min=d.get("min"),
                     max=d.get("max"),
                     severity=d.get("severity", "error"),
+                    where=d.get("where"),
                     **({"rsd": float(d["rsd"])} if "rsd" in d else {}),
                 )
             )

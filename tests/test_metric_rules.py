@@ -131,6 +131,41 @@ def test_warn_severity_reports_but_never_gates(spark):
     assert pp2["2024-01-02"]["failed_metrics"] == 1
 
 
+def test_where_restricts_metric_in_same_pass(spark):
+    """Deequ Check.where(): the predicate restricts which rows a rule
+    measures via CONDITIONAL aggregation — still one Exchange for a mixed
+    where'd/unrestricted ruleset, and excluded rows drop out of ratios
+    entirely (they must not count as NULLs in completeness)."""
+    rows = [
+        ("2024-01-01", 10.0, "a"),
+        ("2024-01-01", 20.0, "a"),
+        ("2024-01-01", 100.0, "b"),   # excluded by where cat='a'
+        ("2024-01-01", None, "b"),    # NULL value, excluded too
+    ]
+    df = spark.createDataFrame(rows, "part_date string, value double, cat string")
+    rules = [
+        M.mean("value", min=0.0, max=50.0, rule_id="mean_a", where="cat = 'a'"),
+        M.size(min=2, max=2, rule_id="n_a", where="cat = 'a'"),
+        M.completeness("value", min=1.0, rule_id="comp_a", where="cat = 'a'"),
+        M.mean("value", min=0.0, rule_id="mean_all"),
+    ]
+    mv = M.evaluate_metric_rules(df, rules, partition_col="part_date")
+    assert plan_str(mv, "simple").count("Exchange") == 1
+    got = {r["rule_id"]: (r["pass"], r["value"]) for r in mv.collect()}
+    assert got["mean_a"] == (True, 15.0)       # (10+20)/2, the 100 excluded
+    assert got["n_a"] == (True, 2.0)           # row_count counts cond rows only
+    assert got["comp_a"] == (True, 1.0)        # the NULL row is excluded, not incomplete
+    assert abs(got["mean_all"][1] - 130.0 / 3) < 1e-6
+
+
+def test_where_roundtrips_config():
+    rules = [M.mean("value", min=1.0, rule_id="m", where="cat = 'a'")]
+    rules2 = M.metric_rules_from_json(M.metric_rules_to_json(rules))
+    assert rules2 == rules and rules2[0].where == "cat = 'a'"
+    with pytest.raises(ValueError, match="where"):
+        M.mean("value", min=1.0, where="   ")
+
+
 def test_builder_validation():
     with pytest.raises(ValueError, match="at least one"):
         M.mean("value")
