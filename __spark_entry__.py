@@ -1822,12 +1822,14 @@ def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric constraint rules (Deequ hasSize/hasMean/hasStandardDeviation/
-    hasCompleteness/hasDistinctCount, plus a Check.where-restricted mean):
-    six aggregate bounds on events per day, ALL evaluated in one wide agg
-    pass (plan pinned in test_metric_rules). Bounds chosen so daily_volume,
-    mean_value, stddev_value and purchase_mean each split the sf0.01 days
-    into passing AND failing, while completeness and cardinality hold
-    everywhere."""
+    hasCompleteness/hasDistinctCount, a Check.where-restricted mean, and the
+    grid metrics hasUniqueness/hasDistinctness): nine aggregate bounds on
+    events per day — the moment metrics share ONE wide agg pass and the
+    uniqueness-family ones share ONE value-grid pass (both plan-pinned in
+    test_metric_rules). Bounds chosen so daily_volume, mean_value,
+    stddev_value, purchase_mean, user_uniqueness and user_distinctness each
+    split the sf0.01 days into passing AND failing, while completeness,
+    cardinality and event-id uniqueness hold everywhere."""
     from lyra_spark import metrics as M
 
     ensure_shipped(spark)
@@ -1839,6 +1841,9 @@ def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.completeness("event_type", min=0.99, rule_id="event_type_complete"),
         M.distinct_count("event_type", min=5, max=5, rule_id="event_type_card"),
         M.mean("value", min=48.0, rule_id="purchase_mean", where="event_type = 'purchase'"),
+        M.uniqueness("event_id", min=1.0, rule_id="event_id_unique"),
+        M.uniqueness("user_id", min=0.12, rule_id="user_uniqueness"),
+        M.distinctness("user_id", min=0.40, rule_id="user_distinctness"),
     ]
     mv = M.evaluate_metric_rules(events, rules, partition_col="day")
     return mv.withColumnRenamed("pass", "passed")
@@ -2376,6 +2381,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(pmean, 6), 48.0, CAST(NULL AS DOUBLE),
                    COALESCE(pmean >= 48.0, FALSE)
             FROM g
+            UNION ALL
+            SELECT day, 'event_id_unique', 'uniqueness', 'event_id',
+                   ROUND(u, 6), 1.0, CAST(NULL AS DOUBLE), COALESCE(u >= 1.0, FALSE)
+            FROM (SELECT day, CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(c) AS u
+                  FROM (SELECT day, event_id, COUNT(*) AS c FROM ev
+                        WHERE event_id IS NOT NULL GROUP BY day, event_id)
+                  GROUP BY day)
+            UNION ALL
+            SELECT day, 'user_uniqueness', 'uniqueness', 'user_id',
+                   ROUND(u, 6), 0.12, CAST(NULL AS DOUBLE), COALESCE(u >= 0.12, FALSE)
+            FROM (SELECT day, CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(c) AS u
+                  FROM (SELECT day, user_id, COUNT(*) AS c FROM ev
+                        WHERE user_id IS NOT NULL GROUP BY day, user_id)
+                  GROUP BY day)
+            UNION ALL
+            SELECT day, 'user_distinctness', 'distinctness', 'user_id',
+                   ROUND(u, 6), 0.40, CAST(NULL AS DOUBLE), COALESCE(u >= 0.40, FALSE)
+            FROM (SELECT day, CAST(COUNT(*) AS DOUBLE) / SUM(c) AS u
+                  FROM (SELECT day, user_id, COUNT(*) AS c FROM ev
+                        WHERE user_id IS NOT NULL GROUP BY day, user_id)
+                  GROUP BY day)
         """,
         "dup_samples": """
             WITH corpus AS (

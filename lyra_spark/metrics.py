@@ -41,7 +41,14 @@ METRICS = {
     "completeness",
     "distinct",
     "approx_distinct",
+    "uniqueness",
+    "distinctness",
 }
+
+# Metrics that need the per-value count grid (they are functions of the value
+# histogram, not of constant-size moments): evaluated in ONE shared extra
+# scan — see _evaluate_grid_rules.
+_GRID_METRICS = {"uniqueness", "distinctness"}
 
 
 @dataclass(frozen=True)
@@ -150,6 +157,23 @@ def distinct_count(column: str, min: float | None = None, max: float | None = No
     return _mk(m, column, rule_id, min=min, max=max, severity=severity, rsd=rsd, where=where)
 
 
+def uniqueness(column: str, min: float = 1.0, rule_id: str | None = None,
+               severity: str = "error", where: str | None = None) -> MetricRule:
+    """Fraction of non-NULL values occurring EXACTLY ONCE, over non-NULL rows
+    (Deequ hasUniqueness; 1.0 = the column is a key). Grid metric: costs one
+    shared extra scan (see evaluate_metric_rules)."""
+    return _mk("uniqueness", column, rule_id, min=min, max=None, severity=severity, where=where)
+
+
+def distinctness(column: str, min: float | None = None, max: float | None = None,
+                 rule_id: str | None = None, severity: str = "error",
+                 where: str | None = None) -> MetricRule:
+    """Distinct non-NULL values / non-NULL rows (Deequ hasDistinctness):
+    near-1.0 flags an accidental id column, near-0 a collapsed one. Grid
+    metric: costs one shared extra scan (see evaluate_metric_rules)."""
+    return _mk("distinctness", column, rule_id, min=min, max=max, severity=severity, where=where)
+
+
 # --- evaluation -----------------------------------------------------------------
 def _agg_expr(r: MetricRule):
     # where-restriction via conditional aggregation: rows failing the
@@ -183,14 +207,90 @@ def _agg_expr(r: MetricRule):
     return F.approx_count_distinct(c, r.rsd).cast("double")
 
 
+def _verdict_struct(r: MetricRule, v, with_sev: bool):
+    """Shared verdict-row shape: pass decided on the UNROUNDED metric, value
+    reported rounded to 6 dp; NULL metric fails (see MetricRule)."""
+    ok = v.isNotNull()
+    if r.min is not None:
+        ok = ok & (v >= F.lit(float(r.min)))
+    if r.max is not None:
+        ok = ok & (v <= F.lit(float(r.max)))
+    fields = [
+        F.lit(r.rule_id).alias("rule_id"),
+        F.lit(r.metric).alias("metric"),
+        F.lit(r.column).cast("string").alias("column"),
+        F.round(v, 6).alias("value"),
+        F.lit(r.min).cast("double").alias("min_bound"),
+        F.lit(r.max).cast("double").alias("max_bound"),
+        ok.alias("pass"),
+    ]
+    if with_sev:
+        fields.append(F.lit(r.severity).alias("severity"))
+    return F.struct(*fields)
+
+
+def _evaluate_grid_rules(
+    df: DataFrame,
+    rules: list[MetricRule],
+    group: list[str],
+    with_sev: bool,
+) -> DataFrame:
+    """Uniqueness-family metrics are functions of the VALUE HISTOGRAM, not of
+    constant-size moments, so they cannot ride the wide-agg pass. All of them
+    share ONE extra scan: unpivot every rule's (possibly where-restricted)
+    value into (group, rule_idx, value) pairs, build the per-value count grid
+    (constant buffers — a hot value partially aggregates map-side), then roll
+    each rule's ratios up from that grid, whose size is value cardinality,
+    never row count. Values compare by their string form (the unpivot must
+    stack heterogeneous column types).
+
+    Rows excluded by ``where`` (and NULL values) become NULL grid entries:
+    they keep the (partition, rule) row PRESENT — a partition with zero
+    measurable values reports metric NULL → pass FALSE instead of silently
+    vanishing from the verdict frame."""
+    structs = []
+    for i, r in enumerate(rules):
+        v = F.col(r.column).cast("string")
+        if r.where:
+            v = F.when(F.expr(r.where), v)
+        structs.append(F.struct(F.lit(i).alias("rid"), v.alias("value")))
+    pairs = df.select(*group, F.explode(F.array(*structs)).alias("p")).select(
+        *group, "p.rid", "p.value"
+    )
+    counts = pairs.groupBy(*group, "rid", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    nn = F.col("value").isNotNull()
+    aggs = counts.groupBy(*group, "rid").agg(
+        F.sum(F.when(nn & (F.col("cnt") == 1), 1).otherwise(0)).cast("double").alias("__u"),
+        F.sum(F.when(nn, 1).otherwise(0)).cast("double").alias("__d"),
+        F.sum(F.when(nn, F.col("cnt")).otherwise(0)).cast("double").alias("__n"),
+    )
+    n = F.col("__n")
+    verdicts = [
+        F.when(
+            F.col("rid") == i,
+            _verdict_struct(
+                r,
+                F.when(n > 0, (F.col("__u") if r.metric == "uniqueness" else F.col("__d")) / n),
+                with_sev,
+            ),
+        )
+        for i, r in enumerate(rules)
+    ]
+    s = verdicts[0] if len(verdicts) == 1 else F.coalesce(*verdicts)
+    return aggs.select(*group, s.alias("s")).select(*group, "s.*")
+
+
 def evaluate_metric_rules(
     df: DataFrame,
     rules: list[MetricRule],
     partition_col: str | None = None,
 ) -> DataFrame:
-    """Evaluate every rule in ONE aggregation pass; long-format verdict frame
-    ([partition_col], rule_id, metric, column, value, min_bound, max_bound,
-    pass[, severity]).
+    """Evaluate every rule; long-format verdict frame ([partition_col],
+    rule_id, metric, column, value, min_bound, max_bound, pass[, severity]).
+
+    Cost: ONE wide aggregation pass for every moment-style metric (however
+    many rules), plus — only when uniqueness/distinctness rules are declared
+    — ONE shared value-grid scan for all of those (see _evaluate_grid_rules).
 
     ``value`` is reported rounded to 6 dp; ``pass`` is decided on the
     UNROUNDED metric (a boundary case never flips with the report rounding).
@@ -206,30 +306,21 @@ def evaluate_metric_rules(
     if not rules:
         raise ValueError("no metric rules given")
     group = [partition_col] if partition_col else []
-    aggs = [_agg_expr(r).alias(f"__m_{i}") for i, r in enumerate(rules)]
-    wide = df.groupBy(*group).agg(*aggs)
     with_sev = any(r.severity != "error" for r in rules)
-    structs = []
-    for i, r in enumerate(rules):
-        v = F.col(f"__m_{i}")
-        ok = v.isNotNull()
-        if r.min is not None:
-            ok = ok & (v >= F.lit(float(r.min)))
-        if r.max is not None:
-            ok = ok & (v <= F.lit(float(r.max)))
-        fields = [
-            F.lit(r.rule_id).alias("rule_id"),
-            F.lit(r.metric).alias("metric"),
-            F.lit(r.column).cast("string").alias("column"),
-            F.round(v, 6).alias("value"),
-            F.lit(r.min).cast("double").alias("min_bound"),
-            F.lit(r.max).cast("double").alias("max_bound"),
-            ok.alias("pass"),
+    agg_rules = [r for r in rules if r.metric not in _GRID_METRICS]
+    grid_rules = [r for r in rules if r.metric in _GRID_METRICS]
+    out = None
+    if agg_rules:
+        aggs = [_agg_expr(r).alias(f"__m_{i}") for i, r in enumerate(agg_rules)]
+        wide = df.groupBy(*group).agg(*aggs)
+        structs = [
+            _verdict_struct(r, F.col(f"__m_{i}"), with_sev) for i, r in enumerate(agg_rules)
         ]
-        if with_sev:
-            fields.append(F.lit(r.severity).alias("severity"))
-        structs.append(F.struct(*fields))
-    return wide.select(*group, F.explode(F.array(*structs)).alias("s")).select(*group, "s.*")
+        out = wide.select(*group, F.explode(F.array(*structs)).alias("s")).select(*group, "s.*")
+    if grid_rules:
+        gv = _evaluate_grid_rules(df, grid_rules, group, with_sev)
+        out = gv if out is None else out.unionByName(gv)
+    return out
 
 
 def metric_partition_pass(verdicts: DataFrame, partition_col: str = "part_date") -> DataFrame:

@@ -166,6 +166,62 @@ def test_where_roundtrips_config():
         M.mean("value", min=1.0, where="   ")
 
 
+def test_uniqueness_and_distinctness(spark):
+    """Grid metrics: uniqueness = values occurring exactly once / non-NULL
+    rows; distinctness = distinct / non-NULL rows. Day 1: a,a,b,c → uniq 2/4,
+    dist 3/4. Day 2: x,x → uniq 0, dist 1/2. NULLs drop from both."""
+    rows = [
+        ("2024-01-01", "a"), ("2024-01-01", "a"), ("2024-01-01", "b"),
+        ("2024-01-01", "c"), ("2024-01-01", None),
+        ("2024-01-02", "x"), ("2024-01-02", "x"),
+    ]
+    df = spark.createDataFrame(rows, "part_date string, cat string")
+    rules = [
+        M.uniqueness("cat", min=0.4, rule_id="u"),
+        M.distinctness("cat", min=0.6, rule_id="d"),
+    ]
+    mv = M.evaluate_metric_rules(df, rules, partition_col="part_date")
+    got = {(r["part_date"], r["rule_id"]): (r["pass"], r["value"]) for r in mv.collect()}
+    assert got[("2024-01-01", "u")] == (True, 0.5)
+    assert got[("2024-01-01", "d")] == (True, 0.75)
+    assert got[("2024-01-02", "u")] == (False, 0.0)
+    assert got[("2024-01-02", "d")] == (False, 0.5)
+
+
+def test_grid_metric_zero_measurable_rows_fails_not_vanishes(spark):
+    """A partition whose every value is NULL (or where-excluded) must still
+    emit its verdict row — metric NULL, pass False — never silently drop
+    from the frame."""
+    rows = [("2024-01-01", "a", "keep"), ("2024-01-02", "b", "skip"), ("2024-01-03", None, "keep")]
+    df = spark.createDataFrame(rows, "part_date string, cat string, flag string")
+    mv = M.evaluate_metric_rules(
+        df,
+        [M.uniqueness("cat", min=1.0, rule_id="u", where="flag = 'keep'")],
+        partition_col="part_date",
+    )
+    got = {r["part_date"]: (r["pass"], r["value"]) for r in mv.collect()}
+    assert got["2024-01-01"] == (True, 1.0)
+    assert got["2024-01-02"] == (False, None)  # where-excluded everything
+    assert got["2024-01-03"] == (False, None)  # all NULL
+
+
+def test_mixed_ruleset_is_two_scans_not_per_rule(spark):
+    """Moment rules share one agg pass; ALL grid rules share one value-grid
+    pass — a mixed ruleset scans the source exactly twice, however many
+    rules of each family it declares."""
+    df = _frame(spark)
+    rules = [
+        M.mean("value", min=0.0), M.size(min=1), M.stddev("value", max=1e9),
+        M.uniqueness("cat", min=0.0, rule_id="u1"),
+        M.distinctness("cat", min=0.0, rule_id="d1"),
+        M.uniqueness("value", min=0.0, rule_id="u2"),
+    ]
+    mv = M.evaluate_metric_rules(df, rules, partition_col="part_date")
+    p = plan_str(mv, "simple")
+    assert p.count("Scan ExistingRDD") == 2, p
+    assert mv.count() == 2 * len(rules)
+
+
 def test_builder_validation():
     with pytest.raises(ValueError, match="at least one"):
         M.mean("value")
