@@ -1822,14 +1822,15 @@ def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric constraint rules (Deequ hasSize/hasMean/hasStandardDeviation/
-    hasCompleteness/hasDistinctCount, a Check.where-restricted mean, and the
-    grid metrics hasUniqueness/hasDistinctness): nine aggregate bounds on
-    events per day — the moment metrics share ONE wide agg pass and the
-    uniqueness-family ones share ONE value-grid pass (both plan-pinned in
-    test_metric_rules). Bounds chosen so daily_volume, mean_value,
-    stddev_value, purchase_mean, user_uniqueness and user_distinctness each
-    split the sf0.01 days into passing AND failing, while completeness,
-    cardinality and event-id uniqueness hold everywhere."""
+    hasCompleteness/hasDistinctCount, a Check.where-restricted mean, a
+    satisfies() compliance fraction, and the grid metrics hasUniqueness/
+    hasDistinctness): ten aggregate bounds on events per day — the moment +
+    compliance metrics share ONE wide agg pass and the uniqueness-family
+    ones share ONE value-grid pass (both plan-pinned in test_metric_rules).
+    Bounds chosen so daily_volume, mean_value, stddev_value, purchase_mean,
+    value_under_120, user_uniqueness and user_distinctness each split the
+    sf0.01 days into passing AND failing, while completeness, cardinality
+    and event-id uniqueness hold everywhere."""
     from lyra_spark import metrics as M
 
     ensure_shipped(spark)
@@ -1841,6 +1842,7 @@ def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.completeness("event_type", min=0.99, rule_id="event_type_complete"),
         M.distinct_count("event_type", min=5, max=5, rule_id="event_type_card"),
         M.mean("value", min=48.0, rule_id="purchase_mean", where="event_type = 'purchase'"),
+        M.compliance("value <= 120", min=0.90, rule_id="value_under_120"),
         M.uniqueness("event_id", min=1.0, rule_id="event_id_unique"),
         M.uniqueness("user_id", min=0.12, rule_id="user_uniqueness"),
         M.distinctness("user_id", min=0.40, rule_id="user_distinctness"),
@@ -2350,7 +2352,8 @@ def oracle_sql() -> dict[str, str]:
                        STDDEV_SAMP(value) AS sd,
                        AVG(CASE WHEN event_type IS NULL THEN 0.0 ELSE 1.0 END) AS comp,
                        CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS card,
-                       AVG(CASE WHEN event_type = 'purchase' THEN value END) AS pmean
+                       AVG(CASE WHEN event_type = 'purchase' THEN value END) AS pmean,
+                       AVG(CASE WHEN COALESCE(value <= 120, FALSE) THEN 1.0 ELSE 0.0 END) AS compv
                 FROM ev GROUP BY day
             )
             SELECT day, 'daily_volume' AS rule_id, 'row_count' AS metric,
@@ -2380,6 +2383,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, 'purchase_mean', 'mean', 'value',
                    ROUND(pmean, 6), 48.0, CAST(NULL AS DOUBLE),
                    COALESCE(pmean >= 48.0, FALSE)
+            FROM g
+            UNION ALL
+            SELECT day, 'value_under_120', 'compliance', CAST(NULL AS VARCHAR),
+                   ROUND(compv, 6), 0.90, CAST(NULL AS DOUBLE),
+                   COALESCE(compv >= 0.90, FALSE)
             FROM g
             UNION ALL
             SELECT day, 'event_id_unique', 'uniqueness', 'event_id',

@@ -43,6 +43,7 @@ METRICS = {
     "approx_distinct",
     "uniqueness",
     "distinctness",
+    "compliance",
 }
 
 # Metrics that need the per-value count grid (they are functions of the value
@@ -73,13 +74,17 @@ class MetricRule:
     # mean is avg(CASE WHEN cond THEN col END), so N filtered rules still
     # cost one scan, never one scan per predicate.
     where: str | None = None
+    # compliance only (Deequ satisfies): the SQL boolean predicate whose
+    # satisfied-row fraction is the metric. NULL predicate results count as
+    # NOT satisfied (fail-safe).
+    expr: str | None = None
 
     def __post_init__(self) -> None:
         if self.metric not in METRICS:
             raise ValueError(f"unknown metric {self.metric!r} (known: {sorted(METRICS)})")
-        if self.metric == "row_count":
+        if self.metric in ("row_count", "compliance"):
             if self.column is not None:
-                raise ValueError("row_count is a table metric — no column")
+                raise ValueError(f"{self.metric} is a table metric — no column")
         elif not self.column:
             raise ValueError(f"metric {self.metric!r} requires a column")
         if self.min is None and self.max is None:
@@ -92,6 +97,11 @@ class MetricRule:
             raise ValueError(f"rsd must be in (0, 1), got {self.rsd!r}")
         if self.where is not None and (not isinstance(self.where, str) or not self.where.strip()):
             raise ValueError(f"{self.rule_id}: where must be a non-empty SQL boolean expression")
+        if self.metric == "compliance":
+            if not self.expr or not str(self.expr).strip():
+                raise ValueError(f"{self.rule_id}: compliance requires expr (a SQL boolean predicate)")
+        elif self.expr is not None:
+            raise ValueError(f"{self.rule_id}: expr is only valid for the compliance metric")
 
 
 # --- builders (Deequ naming: size/mean/sum/minimum/maximum/stddev/...) ----------
@@ -157,6 +167,19 @@ def distinct_count(column: str, min: float | None = None, max: float | None = No
     return _mk(m, column, rule_id, min=min, max=max, severity=severity, rsd=rsd, where=where)
 
 
+def compliance(expr: str, min: float = 1.0, max: float | None = None,
+               rule_id: str | None = None, severity: str = "error",
+               where: str | None = None) -> MetricRule:
+    """Fraction of rows satisfying a SQL boolean predicate (Deequ
+    Check.satisfies): compliance("value >= 0 OR event_type = 'refund'",
+    min=0.99). NULL predicate results count as NOT satisfied. Rides the
+    single wide agg pass like every moment metric."""
+    return MetricRule(
+        rule_id=rule_id or "compliance", metric="compliance", column=None,
+        min=min, max=max, severity=severity, where=where, expr=expr,
+    )
+
+
 def uniqueness(column: str, min: float = 1.0, rule_id: str | None = None,
                severity: str = "error", where: str | None = None) -> MetricRule:
     """Fraction of non-NULL values occurring EXACTLY ONCE, over non-NULL rows
@@ -189,6 +212,11 @@ def _agg_expr(r: MetricRule):
         # by where must drop out of the ratio entirely, not count as a NULL
         base = F.col(r.column).isNotNull().cast("double")
         return F.avg(F.when(cond, base)) if cond is not None else F.avg(base)
+    if r.metric == "compliance":
+        # NULL predicate result = NOT satisfied (coalesce false), while a
+        # where-excluded row drops out of the denominator entirely
+        sat = F.coalesce(F.expr(r.expr), F.lit(False)).cast("double")
+        return F.avg(F.when(cond, sat)) if cond is not None else F.avg(sat)
     c = F.col(r.column) if r.column else None
     if c is not None and cond is not None:
         c = F.when(cond, c)
@@ -345,7 +373,7 @@ def metric_partition_pass(verdicts: DataFrame, partition_col: str = "part_date")
 
 
 # --- config-file (de)serialization ----------------------------------------------
-_CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd", "where"}
+_CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd", "where", "expr"}
 
 
 def metric_rules_to_json(rules: list[MetricRule], indent: int = 2) -> str:
@@ -366,6 +394,8 @@ def metric_rules_to_json(rules: list[MetricRule], indent: int = 2) -> str:
             d["rsd"] = r.rsd
         if r.where is not None:
             d["where"] = r.where
+        if r.expr is not None:
+            d["expr"] = r.expr
         out.append(d)
     return json.dumps(out, indent=indent)
 
@@ -413,6 +443,7 @@ def metric_rules_from_json(source: str) -> list[MetricRule]:
                     severity=d.get("severity", "error"),
                     where=d.get("where"),
                     **({"rsd": float(d["rsd"])} if "rsd" in d else {}),
+                    **({"expr": d["expr"]} if "expr" in d else {}),
                 )
             )
         except TypeError as e:

@@ -166,6 +166,35 @@ def test_where_roundtrips_config():
         M.mean("value", min=1.0, where="   ")
 
 
+def test_compliance_fraction_of_predicate(spark):
+    """Deequ satisfies(): fraction of rows where a SQL predicate holds; NULL
+    predicate results count as NOT satisfied; where-restriction drops rows
+    from the denominator; rides the single wide agg pass."""
+    rows = [
+        ("2024-01-01", 10.0, "a"),   # value<=50 ok
+        ("2024-01-01", 20.0, "a"),   # ok
+        ("2024-01-01", 90.0, "b"),   # fails predicate
+        ("2024-01-01", None, "a"),   # NULL predicate -> not satisfied
+    ]
+    df = spark.createDataFrame(rows, "part_date string, value double, cat string")
+    rules = [
+        M.compliance("value <= 50", min=0.5, rule_id="c_all"),
+        M.compliance("value <= 50", min=1.0, rule_id="c_a", where="cat = 'a' AND value IS NOT NULL"),
+        M.mean("value", min=0.0, rule_id="m"),
+    ]
+    mv = M.evaluate_metric_rules(df, rules, partition_col="part_date")
+    assert plan_str(mv, "simple").count("Exchange") == 1  # still one pass
+    got = {r["rule_id"]: (r["pass"], r["value"]) for r in mv.collect()}
+    assert got["c_all"] == (True, 0.5)   # 2 of 4 (NULL counts in denominator, unsatisfied)
+    assert got["c_a"] == (True, 1.0)     # 2 of 2 after where
+    with pytest.raises(ValueError, match="compliance requires expr"):
+        M.compliance("")
+    with pytest.raises(ValueError, match="only valid for the compliance"):
+        M.mean("value", min=0.0).__class__(rule_id="x", metric="mean", column="value", min=0.0, expr="1=1")
+    rules2 = M.metric_rules_from_json(M.metric_rules_to_json(rules))
+    assert rules2 == rules
+
+
 def test_uniqueness_and_distinctness(spark):
     """Grid metrics: uniqueness = values occurring exactly once / non-NULL
     rows; distinctness = distinct / non-NULL rows. Day 1: a,a,b,c → uniq 2/4,
