@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="HLL relative standard deviation (approx mode)")
     ap.add_argument("--out", default=None,
                     help="write the rules JSON here (default: print to stdout)")
+    ap.add_argument("--metrics-out", default=None,
+                    help="also write the metric-rule dual of the suggestions "
+                         "(lyra_spark.metrics JSON — the jobs/validate.py "
+                         "--metric-rules format): completeness/uniqueness/"
+                         "min/max/cardinality gates derived from the SAME "
+                         "profiling pass")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -80,6 +86,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.out:
         with open(args.out, "w") as f:
             f.write(config + "\n")
+    mrules = []
+    if args.metrics_out:
+        from lyra_spark.metrics import metric_rules_to_json
+        from lyra_spark.suggest import metric_rules_from_suggestions
+
+        mrules = metric_rules_from_suggestions(suggestions)
+        with open(args.metrics_out, "w") as f:
+            f.write(metric_rules_to_json(mrules) + "\n")
 
     by_kind: dict[str, int] = {}
     for r in suggestions:
@@ -90,7 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         "unique_candidates": sorted(k for c in checks for k in c.get("key", [])),
         "distinct_mode": args.distinct_mode,
         "fingerprint": ruleset.fingerprint(),
+        "n_metric_rules": len(mrules),
         "out": args.out,
+        "metrics_out": args.metrics_out,
         "sec": round(time.time() - t0, 3),
     }
     print(json.dumps(summary))

@@ -233,3 +233,47 @@ def ruleset_from_suggestions(
         else:
             raise ValueError(f"unknown suggestion kind {kind!r}")
     return R.RuleSet(specs), checks
+
+
+def metric_rules_from_suggestions(
+    suggestions,
+    enum_sep: str = "|",
+    slack: float = 0.0,
+) -> list:
+    """The metric-rule dual of ``ruleset_from_suggestions`` (Deequ's
+    ConstraintSuggestion emits both): the same suggestion rows become
+    aggregate gates — row rules catch the violating ROWS, these gate the
+    COHORT, and both derive from the one profiling pass.
+
+      required        → completeness(column, min=1.0)
+      unique          → uniqueness(column, min=1.0)
+      range (numeric) → minimum(column, min=lo) + maximum(column, max=hi)
+      enum            → distinct_count(column, min=1, max=len(values))
+      length / temporal range → no aggregate dual (the row rule pins those)
+
+    ``slack`` widens each numeric range bound by that fraction of the
+    observed span (live tables drift; 0.0 = exact observed invariants, so
+    self-validation passes by construction — pinned in tests).
+    """
+    from lyra_spark import metrics as M
+
+    if isinstance(suggestions, DataFrame):
+        suggestions = suggestions.collect()
+    rules: list[M.MetricRule] = []
+    for row in sorted(suggestions, key=lambda r: (r["column"], r["kind"])):
+        c, kind = row["column"], row["kind"]
+        if kind == "required":
+            rules.append(M.completeness(c, min=1.0, rule_id=f"suggested_completeness_{c}"))
+        elif kind == "unique":
+            rules.append(M.uniqueness(c, min=1.0, rule_id=f"suggested_uniqueness_{c}"))
+        elif kind == "enum":
+            n_vals = len(row["vals"].split(enum_sep)) if row["vals"] else 0
+            rules.append(
+                M.distinct_count(c, min=1, max=n_vals, rule_id=f"suggested_card_{c}")
+            )
+        elif kind == "range" and row["lo_num"] is not None:
+            lo, hi = float(row["lo_num"]), float(row["hi_num"])
+            pad = slack * (hi - lo)
+            rules.append(M.minimum(c, min=lo - pad, rule_id=f"suggested_min_{c}"))
+            rules.append(M.maximum(c, max=hi + pad, rule_id=f"suggested_max_{c}"))
+    return rules

@@ -57,3 +57,22 @@ def test_cli_suggest_reports_unique_candidates(spark, tmp_path, capsys):
     rng = next(r for r in cfg if r["column"] == "id" and r["kind"] == "range")
     assert rng["min"] == 0 and rng["max"] == 49
     assert isinstance(rng["min"], int) and isinstance(rng["max"], int)
+
+
+def test_cli_suggest_metrics_out(spark, fixtures_sf0001, tmp_path, capsys):
+    """--metrics-out writes the metric-rule dual in the exact --metric-rules
+    format; the gates hold on the profiled table (observed invariants)."""
+    from lyra_spark.metrics import evaluate_metric_rules, metric_rules_from_json
+
+    table = os.path.join(fixtures_sf0001, "transcripts")
+    out = str(tmp_path / "rules.json")
+    mout = str(tmp_path / "metrics.json")
+    summary = run_cli(
+        ["--table", table, "--out", out, "--metrics-out", mout, "--distinct-mode", "exact"],
+        capsys,
+    )
+    mrules = metric_rules_from_json(mout)
+    assert summary["n_metric_rules"] == len(mrules) > 0
+    assert summary["metrics_out"] == mout
+    mv = evaluate_metric_rules(spark.read.parquet(table), mrules, partition_col=None)
+    assert all(r["pass"] for r in mv.collect())

@@ -98,3 +98,48 @@ def test_approx_mode_runs_and_agrees_on_kinds(frame):
     approx = {(r["column"], r["kind"]) for r in suggest_rules(frame).collect()}
     # at 4 rows the HLL estimate is exact, so kinds agree
     assert approx == exact
+
+
+def test_metric_rules_from_suggestions_self_validate(spark, frame):
+    """The metric-rule dual: suggested aggregate gates hold on the profiled
+    table by construction (zero failures in exact mode), and a drifted table
+    fails the right gates."""
+    from lyra_spark.metrics import evaluate_metric_rules
+    from lyra_spark.suggest import metric_rules_from_suggestions
+
+    sugg = suggest_rules(frame, distinct_mode="exact").collect()
+    mrules = metric_rules_from_suggestions(sugg)
+    by_id = {r.rule_id: r for r in mrules}
+    # required -> completeness, unique -> uniqueness, numeric range -> min+max,
+    # enum -> cardinality; temporal range and length have no aggregate dual
+    assert by_id["suggested_completeness_id"].metric == "completeness"
+    assert by_id["suggested_uniqueness_score"].metric == "uniqueness"
+    assert by_id["suggested_min_score"].min == -1.0
+    assert by_id["suggested_max_score"].max == 20.5
+    assert by_id["suggested_card_color"].max == 2.0
+    assert "suggested_min_ts" not in by_id
+
+    mv = evaluate_metric_rules(frame, mrules, partition_col=None)
+    assert all(r["pass"] for r in mv.collect())
+
+    drifted = frame.unionByName(
+        spark.createDataFrame(
+            [(1, "dd", 999.0, "green", None)],
+            "id bigint, name string, score double, color string, ts timestamp",
+        )
+    )
+    mv2 = {r["rule_id"]: r["pass"] for r in evaluate_metric_rules(drifted, mrules, partition_col=None).collect()}
+    assert mv2["suggested_max_score"] is False      # 999 above observed max
+    assert mv2["suggested_card_color"] is False     # green is a 3rd value
+    assert mv2["suggested_uniqueness_id"] is False  # duplicate id 1
+    assert mv2["suggested_min_score"] is True
+
+
+def test_metric_rules_slack_widens_bounds(frame):
+    from lyra_spark.suggest import metric_rules_from_suggestions
+
+    sugg = suggest_rules(frame, distinct_mode="exact").collect()
+    mrules = {r.rule_id: r for r in metric_rules_from_suggestions(sugg, slack=0.1)}
+    span = 20.5 - (-1.0)
+    assert mrules["suggested_min_score"].min == -1.0 - 0.1 * span
+    assert mrules["suggested_max_score"].max == 20.5 + 0.1 * span
