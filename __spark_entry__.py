@@ -1824,11 +1824,11 @@ def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric constraint rules (Deequ hasSize/hasMean/hasStandardDeviation/
     hasCompleteness/hasDistinctCount, a Check.where-restricted mean, a
     satisfies() compliance fraction, and the grid metrics hasUniqueness/
-    hasDistinctness): ten aggregate bounds on events per day — the moment +
+    hasDistinctness, and an exact p90 quantile bound): eleven aggregate bounds on events per day — the moment +
     compliance metrics share ONE wide agg pass and the uniqueness-family
     ones share ONE value-grid pass (both plan-pinned in test_metric_rules).
     Bounds chosen so daily_volume, mean_value, stddev_value, purchase_mean,
-    value_under_120, user_uniqueness and user_distinctness each split the
+    value_under_120, value_p90, user_uniqueness and user_distinctness each split the
     sf0.01 days into passing AND failing, while completeness, cardinality
     and event-id uniqueness hold everywhere."""
     from lyra_spark import metrics as M
@@ -1843,6 +1843,7 @@ def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.distinct_count("event_type", min=5, max=5, rule_id="event_type_card"),
         M.mean("value", min=48.0, rule_id="purchase_mean", where="event_type = 'purchase'"),
         M.compliance("value <= 120", min=0.90, rule_id="value_under_120"),
+        M.quantile("value", q=0.90, max=115.0, rule_id="value_p90"),
         M.uniqueness("event_id", min=1.0, rule_id="event_id_unique"),
         M.uniqueness("user_id", min=0.12, rule_id="user_uniqueness"),
         M.distinctness("user_id", min=0.40, rule_id="user_distinctness"),
@@ -2353,7 +2354,8 @@ def oracle_sql() -> dict[str, str]:
                        AVG(CASE WHEN event_type IS NULL THEN 0.0 ELSE 1.0 END) AS comp,
                        CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS card,
                        AVG(CASE WHEN event_type = 'purchase' THEN value END) AS pmean,
-                       AVG(CASE WHEN COALESCE(value <= 120, FALSE) THEN 1.0 ELSE 0.0 END) AS compv
+                       AVG(CASE WHEN COALESCE(value <= 120, FALSE) THEN 1.0 ELSE 0.0 END) AS compv,
+                       quantile_cont(value, 0.90) AS p90
                 FROM ev GROUP BY day
             )
             SELECT day, 'daily_volume' AS rule_id, 'row_count' AS metric,
@@ -2388,6 +2390,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, 'value_under_120', 'compliance', CAST(NULL AS VARCHAR),
                    ROUND(compv, 6), 0.90, CAST(NULL AS DOUBLE),
                    COALESCE(compv >= 0.90, FALSE)
+            FROM g
+            UNION ALL
+            SELECT day, 'value_p90', 'quantile', 'value',
+                   ROUND(p90, 6), CAST(NULL AS DOUBLE), 115.0,
+                   COALESCE(p90 <= 115.0, FALSE)
             FROM g
             UNION ALL
             SELECT day, 'event_id_unique', 'uniqueness', 'event_id',

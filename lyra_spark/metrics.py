@@ -44,6 +44,8 @@ METRICS = {
     "uniqueness",
     "distinctness",
     "compliance",
+    "quantile",
+    "approx_quantile",
 }
 
 # Metrics that need the per-value count grid (they are functions of the value
@@ -78,6 +80,14 @@ class MetricRule:
     # satisfied-row fraction is the metric. NULL predicate results count as
     # NOT satisfied (fail-safe).
     expr: str | None = None
+    # quantile metrics only: which quantile (0 < q < 1). `quantile` is the
+    # EXACT interpolated percentile (SQL PERCENTILE_CONT / Hyndman-Fan 7) —
+    # oracle-checkable, but its aggregate buffers the group's values, so at
+    # 10^12-row scale declare `approx_quantile` (percentile_approx, a
+    # constant-memory quantile sketch with `accuracy` trading memory for
+    # rank error <= 1/accuracy).
+    q: float | None = None
+    accuracy: int = 10000
 
     def __post_init__(self) -> None:
         if self.metric not in METRICS:
@@ -102,6 +112,13 @@ class MetricRule:
                 raise ValueError(f"{self.rule_id}: compliance requires expr (a SQL boolean predicate)")
         elif self.expr is not None:
             raise ValueError(f"{self.rule_id}: expr is only valid for the compliance metric")
+        if self.metric in ("quantile", "approx_quantile"):
+            if self.q is None or not (0.0 < self.q < 1.0):
+                raise ValueError(f"{self.rule_id}: quantile metrics need q in (0, 1), got {self.q!r}")
+        elif self.q is not None:
+            raise ValueError(f"{self.rule_id}: q is only valid for quantile metrics")
+        if self.accuracy < 1:
+            raise ValueError(f"accuracy must be >= 1, got {self.accuracy!r}")
 
 
 # --- builders (Deequ naming: size/mean/sum/minimum/maximum/stddev/...) ----------
@@ -180,6 +197,22 @@ def compliance(expr: str, min: float = 1.0, max: float | None = None,
     )
 
 
+def quantile(column: str, q: float, min: float | None = None, max: float | None = None,
+             rule_id: str | None = None, severity: str = "error",
+             approx: bool = False, accuracy: int = 10000,
+             where: str | None = None) -> MetricRule:
+    """The q-quantile of a numeric column within bounds (Deequ
+    hasApproxQuantile). Default is the EXACT interpolated percentile
+    (PERCENTILE_CONT semantics — the oracle/gate mode; buffers group values
+    at the final merge, like stats.percentile_stats documents); approx=True
+    swaps in percentile_approx, the constant-memory sketch for 10^12-row
+    scale (rank error <= 1/accuracy)."""
+    m = "approx_quantile" if approx else "quantile"
+    rid = rule_id or f"{m}_{column}"
+    return MetricRule(rule_id=rid, metric=m, column=column, min=min, max=max,
+                      severity=severity, where=where, q=q, accuracy=accuracy)
+
+
 def uniqueness(column: str, min: float = 1.0, rule_id: str | None = None,
                severity: str = "error", where: str | None = None) -> MetricRule:
     """Fraction of non-NULL values occurring EXACTLY ONCE, over non-NULL rows
@@ -232,6 +265,10 @@ def _agg_expr(r: MetricRule):
         return F.stddev_samp(c)
     if r.metric == "distinct":
         return F.count_distinct(c).cast("double")
+    if r.metric == "quantile":
+        return F.percentile(c, F.lit(float(r.q))).cast("double")
+    if r.metric == "approx_quantile":
+        return F.percentile_approx(c, F.lit(float(r.q)), F.lit(int(r.accuracy))).cast("double")
     return F.approx_count_distinct(c, r.rsd).cast("double")
 
 
@@ -373,7 +410,7 @@ def metric_partition_pass(verdicts: DataFrame, partition_col: str = "part_date")
 
 
 # --- config-file (de)serialization ----------------------------------------------
-_CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd", "where", "expr"}
+_CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd", "where", "expr", "q", "accuracy"}
 
 
 def metric_rules_to_json(rules: list[MetricRule], indent: int = 2) -> str:
@@ -396,6 +433,10 @@ def metric_rules_to_json(rules: list[MetricRule], indent: int = 2) -> str:
             d["where"] = r.where
         if r.expr is not None:
             d["expr"] = r.expr
+        if r.q is not None:
+            d["q"] = r.q
+        if r.metric == "approx_quantile" and r.accuracy != 10000:
+            d["accuracy"] = r.accuracy
         out.append(d)
     return json.dumps(out, indent=indent)
 
@@ -428,7 +469,7 @@ def metric_rules_from_json(source: str) -> list[MetricRule]:
             )
         if "metric" not in d:
             raise ValueError(f"metric rule #{i}: 'metric' is required")
-        for b in ("min", "max", "rsd"):
+        for b in ("min", "max", "rsd", "q", "accuracy"):
             v = d.get(b)
             if v is not None and (not isinstance(v, (int, float)) or isinstance(v, bool)):
                 raise ValueError(f"metric rule #{i}: {b} must be a number, got {v!r}")
@@ -444,6 +485,8 @@ def metric_rules_from_json(source: str) -> list[MetricRule]:
                     where=d.get("where"),
                     **({"rsd": float(d["rsd"])} if "rsd" in d else {}),
                     **({"expr": d["expr"]} if "expr" in d else {}),
+                    **({"q": float(d["q"])} if "q" in d else {}),
+                    **({"accuracy": int(d["accuracy"])} if "accuracy" in d else {}),
                 )
             )
         except TypeError as e:

@@ -166,6 +166,31 @@ def test_where_roundtrips_config():
         M.mean("value", min=1.0, where="   ")
 
 
+def test_quantile_exact_and_approx(spark):
+    """quantile = exact interpolated percentile (PERCENTILE_CONT); approx
+    variant within rank tolerance; q validation; config round-trip."""
+    vals = [float(i) for i in range(1, 101)]  # p90 = 90.1 (type-7)
+    df = spark.createDataFrame([("d", v) for v in vals], "part_date string, value double")
+    rules = [
+        M.quantile("value", q=0.9, max=95.0, rule_id="p90"),
+        M.quantile("value", q=0.5, min=50.0, max=51.0, rule_id="p50"),
+        M.quantile("value", q=0.9, max=95.0, approx=True, accuracy=10000, rule_id="p90a"),
+        M.mean("value", min=0.0, rule_id="m"),
+    ]
+    mv = M.evaluate_metric_rules(df, rules, partition_col="part_date")
+    assert plan_str(mv, "simple").count("Exchange") == 1  # rides the one pass
+    got = {r["rule_id"]: (r["pass"], r["value"]) for r in mv.collect()}
+    assert got["p90"] == (True, 90.1)
+    assert got["p50"] == (True, 50.5)
+    assert got["p90a"][0] is True and abs(got["p90a"][1] - 90) <= 2
+    with pytest.raises(ValueError, match="q in"):
+        M.quantile("value", q=1.5, max=1.0)
+    with pytest.raises(ValueError, match="only valid for quantile"):
+        M.MetricRule(rule_id="x", metric="mean", column="v", min=0.0, q=0.5)
+    rules2 = M.metric_rules_from_json(M.metric_rules_to_json(rules))
+    assert rules2 == rules
+
+
 def test_compliance_fraction_of_predicate(spark):
     """Deequ satisfies(): fraction of rows where a SQL predicate holds; NULL
     predicate results count as NOT satisfied; where-restriction drops rows
