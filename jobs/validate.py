@@ -495,6 +495,18 @@ def main(argv: list[str] | None = None) -> int:
         failing = sorted(str(r["part_date"]) for r in pp if not r["pass"])
         print(f"[lyra] metrics: {len(mrules)} rule(s) x {len(pp)} partition(s), "
               f"failing={failing[:10]}{'...' if len(failing) > 10 else ''}")
+        # run-over-run complement (Deequ addAnomalyCheck): a metric that
+        # tripled against its own trailing mean flags even while inside its
+        # absolute bounds — O(partitions x rules) on the collected grid,
+        # zero further scans
+        from lyra_spark.metrics import metric_anomalies
+
+        # min_ref_parts=3: a 1-2 sample trailing window is warm-up noise, not
+        # history (the library default 1 stays for callers who want day 2)
+        anom = metric_anomalies(local, "part_date", min_ref_parts=3).collect()
+        flagged = sorted((str(r["part_date"]), r["rule_id"]) for r in anom)
+        print(f"[lyra] metric anomalies (trailing): {flagged[:10]}"
+              f"{'...' if len(flagged) > 10 else ''}")
 
     # final drift pass over ALL partitions (cheap: sketches only)
     from lyra_spark.drift import drift_verdicts, load_reference, save_reference, sketch_by_partition

@@ -409,6 +409,56 @@ def metric_partition_pass(verdicts: DataFrame, partition_col: str = "part_date")
     )
 
 
+def metric_anomalies(
+    verdicts: DataFrame,
+    partition_col: str = "part_date",
+    trailing: int = 7,
+    threshold: float = 0.5,
+    min_ref_parts: int = 1,
+) -> DataFrame:
+    """Trailing-mean anomaly detection over EVERY metric rule's value series
+    at once (Deequ addAnomalyCheck): a partition whose metric deviates from
+    the trailing-``trailing``-partition mean of the SAME rule by more than
+    ``threshold`` (relative) flags — the run-over-run complement of the
+    absolute bounds, catching a mean that tripled while still inside its
+    declared range.
+
+    Input is a metric verdict grid (evaluate_metric_rules output) — already
+    one row per (partition, rule), so the per-rule ordering window is
+    partitioned BY RULE and the whole check is O(partitions × rules) with no
+    data-file reads (stats.metric_anomaly semantics, generalized across
+    rules). Same warm-up dials: only the first partition of a rule has no
+    expectation, ``n_ref_parts`` reports the actual window size,
+    ``min_ref_parts`` suppresses early-window noise, and an all-zero or NULL
+    history never flags.
+
+    Returns ([partition_col], rule_id, metric, value, expected, deviation,
+    n_ref_parts) for anomalous rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rule_id").orderBy(partition_col).rowsBetween(-trailing, -1)
+    v = F.col("value").cast("double")
+    scored = verdicts.select(
+        partition_col,
+        "rule_id",
+        "metric",
+        v.alias("value"),
+        F.round(F.avg(v).over(w), 6).alias("expected"),
+        F.count(v).over(w).alias("n_ref_parts"),
+    ).withColumn(
+        "deviation",
+        F.round(F.abs(F.col("value") - F.col("expected")) / F.abs(F.col("expected")), 6),
+    )
+    return scored.filter(
+        F.col("value").isNotNull()
+        & F.col("expected").isNotNull()
+        & (F.col("expected") != 0)
+        & (F.col("deviation") > threshold)
+        & (F.col("n_ref_parts") >= int(min_ref_parts))
+    )
+
+
 # --- config-file (de)serialization ----------------------------------------------
 _CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd", "where", "expr", "q", "accuracy"}
 

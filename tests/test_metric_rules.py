@@ -276,6 +276,31 @@ def test_mixed_ruleset_is_two_scans_not_per_rule(spark):
     assert mv.count() == 2 * len(rules)
 
 
+def test_metric_anomalies_trailing(spark):
+    """Deequ addAnomalyCheck shape: each rule's value series is judged
+    against ITS OWN trailing mean — a mean that triples flags even while
+    inside its absolute bounds; the stable rule stays quiet; warm-up and
+    zero-history never flag."""
+    rows = []
+    for i, d in enumerate(["2024-01-0%d" % k for k in range(1, 8)]):
+        m = 300.0 if i == 6 else 100.0  # last day triples
+        rows += [(d, m, "a"), (d, m, "b")]
+    df = spark.createDataFrame(rows, "part_date string, value double, cat string")
+    mv = M.evaluate_metric_rules(
+        df,
+        [M.mean("value", min=0.0, max=1000.0, rule_id="mean_v"),
+         M.size(min=1, rule_id="n")],
+        partition_col="part_date",
+    )
+    # absolute gate: everything passes (300 < 1000)
+    assert all(r["pass"] for r in mv.collect())
+    anom = M.metric_anomalies(mv, "part_date", trailing=7, threshold=0.5).collect()
+    got = {(r["part_date"], r["rule_id"]) for r in anom}
+    assert got == {("2024-01-07", "mean_v")}  # size series is flat -> quiet
+    row = anom[0]
+    assert row["value"] == 300.0 and row["expected"] == 100.0 and row["deviation"] == 2.0
+
+
 def test_builder_validation():
     with pytest.raises(ValueError, match="at least one"):
         M.mean("value")
