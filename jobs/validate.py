@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
                          "rule count; verdicts land in "
                          "<checkpoint>/<run-id>/metric_verdicts and failing "
                          "partitions are reported")
+    ap.add_argument("--metric-history", default=None,
+                    help="metrics store dir (Deequ MetricsRepository): append "
+                         "this run's metric grid under run=<run-id>/ and flag "
+                         "(partition, rule) pairs whose value deviates from "
+                         "the SAME partition+rule's trailing mean over "
+                         "previous runs — the reprocessing-regression check. "
+                         "Requires --metric-rules; use sortable run ids "
+                         "(dates), since runs order lexically")
     ap.add_argument("--freshness-hours", type=float, default=None,
                     help="also report per-partition freshness: lag of max(ts) behind "
                          "the freshest partition, stale when above this many hours. "
@@ -507,6 +515,20 @@ def main(argv: list[str] | None = None) -> int:
         flagged = sorted((str(r["part_date"]), r["rule_id"]) for r in anom)
         print(f"[lyra] metric anomalies (trailing): {flagged[:10]}"
               f"{'...' if len(flagged) > 10 else ''}")
+        if args.metric_history:
+            # run-over-run store: THIS run's grid vs the same (partition,
+            # rule) across previous runs — the reprocessing-regression check
+            # within-run trailing can't see. History is runs x partitions x
+            # rules driver-scale rows; no data-file reads.
+            from lyra_spark.metrics import append_metric_history, metric_run_anomalies
+
+            append_metric_history(local, args.metric_history, args.run_id)
+            hist = spark.read.parquet(args.metric_history)
+            runs = hist.select("run_id").distinct().count()
+            ra = metric_run_anomalies(hist, args.run_id, "part_date").collect()
+            rflag = sorted((str(r["part_date"]), r["rule_id"]) for r in ra)
+            print(f"[lyra] metric run-anomalies (vs {runs - 1} previous run(s)): "
+                  f"{rflag[:10]}{'...' if len(rflag) > 10 else ''}")
 
     # final drift pass over ALL partitions (cheap: sketches only)
     from lyra_spark.drift import drift_verdicts, load_reference, save_reference, sketch_by_partition

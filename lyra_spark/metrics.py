@@ -459,6 +459,84 @@ def metric_anomalies(
     )
 
 
+def append_metric_history(verdicts: DataFrame, history_dir: str, run_id: str) -> str:
+    """Persist a run-stamped copy of a metric verdict grid under
+    ``history_dir/run=<run_id>/`` — the metrics store (Deequ
+    MetricsRepository): every validation run appends its grid, and
+    ``metric_run_anomalies`` reads the accumulated history to judge THIS
+    run against previous ones. The grid is partitions × rules (driver
+    scale), so the write is a tiny single-file parquet; re-running the same
+    run_id overwrites its own directory and nothing else."""
+    import os
+
+    out = os.path.join(history_dir, f"run={run_id}")
+    verdicts.withColumn("run_id", F.lit(run_id)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def metric_run_anomalies(
+    history: DataFrame,
+    current_run_id: str,
+    partition_col: str = "part_date",
+    trailing: int = 7,
+    threshold: float = 0.5,
+    min_ref_runs: int = 1,
+) -> DataFrame:
+    """RUN-over-run anomaly detection (the Deequ MetricsRepository +
+    anomaly-check loop): for each (partition, rule), the CURRENT run's metric
+    value is judged against the trailing mean of the SAME partition+rule over
+    previous runs. This catches what the within-run trailing check
+    (metric_anomalies) cannot: a reprocessing regression, where re-validating
+    the same partition after a pipeline change shifts its metric — every
+    partition can be individually in-bounds and the within-run series flat,
+    yet today's run disagrees with every previous run about the same data.
+
+    ``history`` is the accumulated store (read ``history_dir`` written by
+    append_metric_history; Spark derives the ``run_id`` column from the
+    directory names). Runs are ordered by run_id's LEXICAL order — use
+    sortable run ids (dates: nightly-2026-08-20) — and only runs strictly
+    before ``current_run_id`` in that order form the reference window.
+    O(runs × partitions × rules) driver-scale rows, zero data-file reads.
+
+    Returns ([partition_col], rule_id, metric, value, expected, deviation,
+    n_ref_runs) for anomalous (partition, rule) pairs of the current run.
+    """
+    from pyspark.sql import Window
+
+    v = F.col("value").cast("double")
+    w = (
+        Window.partitionBy(partition_col, "rule_id")
+        .orderBy("run_id")
+        .rowsBetween(-trailing, -1)
+    )
+    scored = (
+        history.filter(F.col("run_id") <= F.lit(current_run_id))
+        .select(
+            partition_col,
+            "rule_id",
+            "metric",
+            "run_id",
+            v.alias("value"),
+            F.round(F.avg(v).over(w), 6).alias("expected"),
+            F.count(v).over(w).alias("n_ref_runs"),
+        )
+        .filter(F.col("run_id") == F.lit(current_run_id))
+        .withColumn(
+            "deviation",
+            F.round(F.abs(F.col("value") - F.col("expected")) / F.abs(F.col("expected")), 6),
+        )
+    )
+    return scored.filter(
+        F.col("value").isNotNull()
+        & F.col("expected").isNotNull()
+        & (F.col("expected") != 0)
+        & (F.col("deviation") > threshold)
+        & (F.col("n_ref_runs") >= int(min_ref_runs))
+    ).drop("run_id")
+
+
 # --- config-file (de)serialization ----------------------------------------------
 _CONFIG_KEYS = {"rule_id", "metric", "column", "min", "max", "severity", "rsd", "where", "expr", "q", "accuracy"}
 

@@ -888,6 +888,7 @@ def test_cli_metric_rules(tmp_path, spark, fixtures_sf0001, capsys):
         "--run-id", "r1",
         "--limit-partitions", "0",
         "--metric-rules", str(cfg),
+        "--metric-history", str(tmp_path / "mhist"),
     ]
     assert main(args) == 0
     out = capsys.readouterr().out
@@ -898,6 +899,12 @@ def test_cli_metric_rules(tmp_path, spark, fixtures_sf0001, capsys):
     rows = {(r["part_date"], r["rule_id"]): r["pass"] for r in grid.collect()}
     assert all(p for (d, rid), p in rows.items() if rid == "nonempty_day")
     assert not all(p for (d, rid), p in rows.items() if rid == "text_complete")
+    # run 1 seeded the metrics store; an identical run 2 must be quiet
+    assert main(args[:7] + ["r2"] + args[8:]) == 0
+    out2 = capsys.readouterr().out
+    assert "run-anomalies (vs 1 previous run(s)): []" in out2
+    hist = spark.read.parquet(str(tmp_path / "mhist"))
+    assert hist.select("run_id").distinct().count() == 2
 
 
 def test_structurally_corrupt_manifest_starts_clean(tmp_path, ruleset):

@@ -301,6 +301,41 @@ def test_metric_anomalies_trailing(spark):
     assert row["value"] == 300.0 and row["expected"] == 100.0 and row["deviation"] == 2.0
 
 
+def test_metric_run_anomalies_across_runs(spark, tmp_path):
+    """MetricsRepository loop: each run appends its grid; the current run's
+    (partition, rule) values are judged against the SAME pair's history.
+    Stable reruns are quiet; a reprocessing regression (one partition's mean
+    shifts between runs) flags exactly that pair."""
+    hist_dir = str(tmp_path / "mhist")
+
+    def grid(mean_d2):
+        rows = [("2024-01-01", 10.0), ("2024-01-01", 20.0),
+                ("2024-01-02", mean_d2 - 5), ("2024-01-02", mean_d2 + 5)]
+        df = spark.createDataFrame(rows, "part_date string, value double")
+        return M.evaluate_metric_rules(
+            df, [M.mean("value", min=0.0, max=1e9, rule_id="m"), M.size(min=1, rule_id="n")],
+            partition_col="part_date",
+        )
+
+    for rid, m in [("r2026-01-01", 50.0), ("r2026-01-02", 50.0), ("r2026-01-03", 50.0)]:
+        M.append_metric_history(grid(m), hist_dir, rid)
+    hist = spark.read.parquet(hist_dir)
+    # stable third run: no flags
+    assert M.metric_run_anomalies(hist, "r2026-01-03", min_ref_runs=2).count() == 0
+    # fourth run triples day 2's mean — still inside absolute bounds
+    M.append_metric_history(grid(150.0), hist_dir, "r2026-01-04")
+    hist = spark.read.parquet(hist_dir)
+    ra = M.metric_run_anomalies(hist, "r2026-01-04", min_ref_runs=2).collect()
+    assert {(r["part_date"], r["rule_id"]) for r in ra} == {("2024-01-02", "m")}
+    assert ra[0]["expected"] == 50.0 and ra[0]["value"] == 150.0
+    # earlier runs are unaffected retroactively (only runs BEFORE current count)
+    assert M.metric_run_anomalies(hist, "r2026-01-03", min_ref_runs=2).count() == 0
+    # rerunning the same run_id overwrites its own directory, no duplicates
+    M.append_metric_history(grid(150.0), hist_dir, "r2026-01-04")
+    hist = spark.read.parquet(hist_dir)
+    assert hist.select("run_id").distinct().count() == 4
+
+
 def test_builder_validation():
     with pytest.raises(ValueError, match="at least one"):
         M.mean("value")
