@@ -108,7 +108,7 @@ class MetricRule:
         if self.where is not None and (not isinstance(self.where, str) or not self.where.strip()):
             raise ValueError(f"{self.rule_id}: where must be a non-empty SQL boolean expression")
         if self.metric == "compliance":
-            if not self.expr or not str(self.expr).strip():
+            if not isinstance(self.expr, str) or not self.expr.strip():
                 raise ValueError(f"{self.rule_id}: compliance requires expr (a SQL boolean predicate)")
         elif self.expr is not None:
             raise ValueError(f"{self.rule_id}: expr is only valid for the compliance metric")
@@ -269,7 +269,11 @@ def _agg_expr(r: MetricRule):
         return F.percentile(c, F.lit(float(r.q))).cast("double")
     if r.metric == "approx_quantile":
         return F.percentile_approx(c, F.lit(float(r.q)), F.lit(int(r.accuracy))).cast("double")
-    return F.approx_count_distinct(c, r.rsd).cast("double")
+    if r.metric == "approx_distinct":
+        return F.approx_count_distinct(c, r.rsd).cast("double")
+    # a metric in METRICS but without a branch here would otherwise silently
+    # compute SOMETHING plausible — fail loudly instead
+    raise AssertionError(f"no aggregation defined for metric {r.metric!r}")
 
 
 def _verdict_struct(r: MetricRule, v, with_sev: bool):
@@ -341,6 +345,14 @@ def _evaluate_grid_rules(
         )
         for i, r in enumerate(rules)
     ]
+    if not group:
+        # global-cohort symmetry with groupBy().agg() (one row even on an
+        # empty frame): an empty input must still emit one NULL-metric →
+        # pass-FALSE row per rule, never vanish
+        rid_universe = df.sparkSession.range(len(rules)).select(
+            F.col("id").cast("int").alias("rid")
+        )
+        aggs = rid_universe.join(aggs, "rid", "left")
     s = verdicts[0] if len(verdicts) == 1 else F.coalesce(*verdicts)
     return aggs.select(*group, s.alias("s")).select(*group, "s.*")
 
@@ -370,6 +382,12 @@ def evaluate_metric_rules(
         raise ValueError(f"duplicate metric rule_id(s): {dup}")
     if not rules:
         raise ValueError("no metric rules given")
+    reserved = {"rule_id", "metric", "column", "value", "min_bound", "max_bound",
+                "pass", "severity", "rid", "cnt"}
+    if partition_col in reserved:
+        # the verdict frame and the grid pass own these names; a same-named
+        # partition column would collide ambiguously — fail loudly up front
+        raise ValueError(f"partition_col {partition_col!r} collides with a verdict column name")
     group = [partition_col] if partition_col else []
     with_sev = any(r.severity != "error" for r in rules)
     agg_rules = [r for r in rules if r.metric not in _GRID_METRICS]
@@ -438,24 +456,46 @@ def metric_anomalies(
     from pyspark.sql import Window
 
     w = Window.partitionBy("rule_id").orderBy(partition_col).rowsBetween(-trailing, -1)
-    v = F.col("value").cast("double")
     scored = verdicts.select(
         partition_col,
         "rule_id",
         "metric",
-        v.alias("value"),
-        F.round(F.avg(v).over(w), 6).alias("expected"),
-        F.count(v).over(w).alias("n_ref_parts"),
-    ).withColumn(
-        "deviation",
-        F.round(F.abs(F.col("value") - F.col("expected")) / F.abs(F.col("expected")), 6),
+        F.col("value").cast("double").alias("value"),
     )
-    return scored.filter(
-        F.col("value").isNotNull()
-        & F.col("expected").isNotNull()
-        & (F.col("expected") != 0)
-        & (F.col("deviation") > threshold)
-        & (F.col("n_ref_parts") >= int(min_ref_parts))
+    return _anomaly_filter(scored, w, "n_ref_parts", threshold, min_ref_parts)
+
+
+def _anomaly_filter(
+    scored: DataFrame, w, n_alias: str, threshold: float, min_ref: int, keep=None
+) -> DataFrame:
+    """Shared trailing-mean anomaly scorer: expected / deviation are DECIDED
+    on unrounded values (a near-zero trailing mean must not round to 0.0 and
+    dodge the flag; a boundary deviation must not round onto the threshold)
+    and only the REPORTED columns are rounded to 6 dp. ``keep`` is an
+    optional row filter applied AFTER the window is materialized (run-mode:
+    history rows feed every window but only the current run reports)."""
+    v = F.col("value")
+    exp_raw = F.avg(v).over(w)
+    dev_raw = F.abs(v - exp_raw) / F.abs(exp_raw)
+    out = (
+        scored.withColumn("__exp", exp_raw)
+        .withColumn("__dev", dev_raw)
+        .withColumn("__n", F.count(v).over(w))
+    )
+    if keep is not None:
+        out = out.filter(keep)
+    return (
+        out.filter(
+            v.isNotNull()
+            & F.col("__exp").isNotNull()
+            & (F.col("__exp") != 0)
+            & (F.col("__dev") > threshold)
+            & (F.col("__n") >= int(min_ref))
+        )
+        .withColumn("expected", F.round(F.col("__exp"), 6))
+        .withColumn("deviation", F.round(F.col("__dev"), 6))
+        .withColumn(n_alias, F.col("__n"))
+        .drop("__exp", "__dev", "__n")
     )
 
 
@@ -468,7 +508,12 @@ def append_metric_history(verdicts: DataFrame, history_dir: str, run_id: str) ->
     scale), so the write is a tiny single-file parquet; re-running the same
     run_id overwrites its own directory and nothing else."""
     import os
+    import re
 
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", run_id or ""):
+        # '/', '=', spaces etc. would corrupt the run=<id> partition layout
+        # (and break the same-id-overwrites-itself guarantee)
+        raise ValueError(f"run_id {run_id!r} must match [A-Za-z0-9._-]+")
     out = os.path.join(history_dir, f"run={run_id}")
     verdicts.withColumn("run_id", F.lit(run_id)).coalesce(1).write.mode(
         "overwrite"
@@ -505,35 +550,25 @@ def metric_run_anomalies(
     """
     from pyspark.sql import Window
 
-    v = F.col("value").cast("double")
+    if history.filter(F.col("run_id") == F.lit(current_run_id)).limit(1).count() == 0:
+        # a typo'd run id would otherwise return an empty frame —
+        # indistinguishable from "no anomalies" (silent false-negative)
+        raise ValueError(f"run_id {current_run_id!r} not found in the metric history")
     w = (
         Window.partitionBy(partition_col, "rule_id")
         .orderBy("run_id")
         .rowsBetween(-trailing, -1)
     )
-    scored = (
-        history.filter(F.col("run_id") <= F.lit(current_run_id))
-        .select(
-            partition_col,
-            "rule_id",
-            "metric",
-            "run_id",
-            v.alias("value"),
-            F.round(F.avg(v).over(w), 6).alias("expected"),
-            F.count(v).over(w).alias("n_ref_runs"),
-        )
-        .filter(F.col("run_id") == F.lit(current_run_id))
-        .withColumn(
-            "deviation",
-            F.round(F.abs(F.col("value") - F.col("expected")) / F.abs(F.col("expected")), 6),
-        )
+    scored = history.filter(F.col("run_id") <= F.lit(current_run_id)).select(
+        partition_col,
+        "rule_id",
+        "metric",
+        "run_id",
+        F.col("value").cast("double").alias("value"),
     )
-    return scored.filter(
-        F.col("value").isNotNull()
-        & F.col("expected").isNotNull()
-        & (F.col("expected") != 0)
-        & (F.col("deviation") > threshold)
-        & (F.col("n_ref_runs") >= int(min_ref_runs))
+    return _anomaly_filter(
+        scored, w, "n_ref_runs", threshold, min_ref_runs,
+        keep=F.col("run_id") == F.lit(current_run_id),
     ).drop("run_id")
 
 
@@ -601,6 +636,12 @@ def metric_rules_from_json(source: str) -> list[MetricRule]:
             v = d.get(b)
             if v is not None and (not isinstance(v, (int, float)) or isinstance(v, bool)):
                 raise ValueError(f"metric rule #{i}: {b} must be a number, got {v!r}")
+        # a tuning knob on a metric it does not tune is a config typo, not a
+        # no-op (same strictness MetricRule applies to q/expr)
+        if "rsd" in d and d["metric"] != "approx_distinct":
+            raise ValueError(f"metric rule #{i}: rsd only applies to approx_distinct")
+        if "accuracy" in d and d["metric"] != "approx_quantile":
+            raise ValueError(f"metric rule #{i}: accuracy only applies to approx_quantile")
         try:
             rules.append(
                 _mk(

@@ -336,6 +336,48 @@ def test_metric_run_anomalies_across_runs(spark, tmp_path):
     assert hist.select("run_id").distinct().count() == 4
 
 
+def test_review_fixes_fail_loud_and_fail_safe(spark, tmp_path):
+    """Regression battery for the review findings: empty-input grid rules
+    still report, near-zero trailing means still flag, and every misuse path
+    raises instead of silently doing nothing."""
+    # 1. empty frame, global mode: grid rule emits NULL-metric -> fail row
+    empty = spark.createDataFrame([], "part_date string, cat string")
+    mv = M.evaluate_metric_rules(empty, [M.uniqueness("cat", min=1.0, rule_id="u")],
+                                 partition_col=None)
+    rows = mv.collect()
+    assert len(rows) == 1 and rows[0]["value"] is None and rows[0]["pass"] is False
+    # 2. anomaly DECISION runs on unrounded deviation: 150.00004 vs a 100.0
+    #    trailing mean is deviation 0.5000004 — rounding it to 6 dp first
+    #    would land exactly ON the 0.5 threshold and the strict > would
+    #    silently unflag it
+    seq = [("2024-01-0%d" % k, 100.0) for k in range(1, 7)] + [("2024-01-07", 150.00004)]
+    df = spark.createDataFrame(seq, "part_date string, value double")
+    grid = M.evaluate_metric_rules(df, [M.mean("value", min=-1e9, rule_id="m")],
+                                   partition_col="part_date")
+    anom = M.metric_anomalies(grid, "part_date", threshold=0.5).collect()
+    assert {r["part_date"] for r in anom} == {"2024-01-07"}
+    assert anom[0]["deviation"] == 0.5  # reported rounded, decided unrounded
+    # 3. compliance expr must be a string at load time
+    with pytest.raises(ValueError, match="compliance requires expr"):
+        M.metric_rules_from_json('[{"metric": "compliance", "expr": 123, "min": 0.9}]')
+    # 4. unknown current run id raises, not silently-empty
+    M.append_metric_history(grid, str(tmp_path / "h"), "r1")
+    hist = spark.read.parquet(str(tmp_path / "h"))
+    with pytest.raises(ValueError, match="not found in the metric history"):
+        M.metric_run_anomalies(hist, "r1-typo")
+    # 5. partition_col colliding with a verdict column name raises up front
+    with pytest.raises(ValueError, match="collides"):
+        M.evaluate_metric_rules(df, [M.mean("value", min=0.0)], partition_col="value")
+    # 6. run ids that would corrupt the run=<id> layout are rejected
+    with pytest.raises(ValueError, match="run_id"):
+        M.append_metric_history(grid, str(tmp_path / "h"), "a/b")
+    # 7. tuning knobs on metrics they don't tune are config errors
+    with pytest.raises(ValueError, match="rsd only applies"):
+        M.metric_rules_from_json('[{"metric": "mean", "column": "v", "min": 0, "rsd": 0.1}]')
+    with pytest.raises(ValueError, match="accuracy only applies"):
+        M.metric_rules_from_json('[{"metric": "distinct", "column": "v", "min": 1, "accuracy": 99}]')
+
+
 def test_builder_validation():
     with pytest.raises(ValueError, match="at least one"):
         M.mean("value")
