@@ -415,3 +415,73 @@ def test_config_roundtrip_and_validation():
             '[{"metric": "mean", "column": "v", "min": 1, "rule_id": "a"},'
             ' {"metric": "sum", "column": "v", "min": 1, "rule_id": "a"}]'
         )
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _vrow = st.tuples(
+        st.sampled_from(["d1", "d2"]),                                   # partition
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),    # value (int-valued: no fp ambiguity)
+        st.sampled_from(["a", "b", "c", None]),                          # cat
+    )
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(rows=st.lists(_vrow, min_size=1, max_size=30))
+    def test_metric_rules_match_pandas_oracle_hypothesis(spark, rows):
+        """Adversarial fuzz: random tiny frames with NULL values, NULL
+        categories, and lopsided partitions — every metric family must equal
+        an independent pandas computation (within fp tolerance), including
+        the NULL-metric->fail rule."""
+        import math
+
+        data = [(p, float(v) if v is not None else None, c) for p, v, c in rows]
+        df = spark.createDataFrame(data, "part_date string, value double, cat string")
+        rules = [
+            M.mean("value", min=-100.0, rule_id="mean_v"),
+            M.total("value", min=-1e9, rule_id="sum_v"),
+            M.minimum("value", min=-1e9, rule_id="min_v"),
+            M.maximum("value", max=1e9, rule_id="max_v"),
+            M.size(min=0, rule_id="n"),
+            M.completeness("value", min=0.0, rule_id="comp_v"),
+            M.distinct_count("cat", min=0, rule_id="card_c"),
+            M.uniqueness("cat", min=0.0, rule_id="uniq_c"),
+            M.distinctness("cat", min=0.0, rule_id="dist_c"),
+            M.compliance("value > 0", min=0.0, rule_id="pos_v"),
+        ]
+        got = {
+            (r["part_date"], r["rule_id"]): r["value"]
+            for r in M.evaluate_metric_rules(df, rules, partition_col="part_date").collect()
+        }
+        parts = sorted({p for p, _, _ in rows})
+        for p in parts:
+            vals = [v for q, v, _ in data if q == p]
+            nn = [v for v in vals if v is not None]
+            cats = [c for q, _, c in data if q == p and c is not None]
+            from collections import Counter
+
+            cc = Counter(cats)
+            want = {
+                "mean_v": sum(nn) / len(nn) if nn else None,
+                "sum_v": sum(nn) if nn else None,
+                "min_v": min(nn) if nn else None,
+                "max_v": max(nn) if nn else None,
+                "n": float(len(vals)),
+                "comp_v": len(nn) / len(vals),
+                "card_c": float(len(cc)),
+                "uniq_c": (sum(1 for c in cc.values() if c == 1) / len(cats)) if cats else None,
+                "dist_c": (len(cc) / len(cats)) if cats else None,
+                "pos_v": sum(1 for v in vals if v is not None and v > 0) / len(vals),
+            }
+            for rid, exp in want.items():
+                g = got[(p, rid)]
+                if exp is None:
+                    assert g is None, (p, rid, g)
+                else:
+                    assert g is not None and math.isclose(g, round(exp, 6), abs_tol=2e-6), (p, rid, g, exp)
