@@ -499,6 +499,19 @@ def q_uniform_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample_exact_k(docs, 50, salt="uk").select("doc_id", "lang")
 
 
+def q_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-PER-STRATUM deterministic sample
+    (sample.stratified_sample_exact_k): the eval-set primitive — 15 docs
+    from every language however lopsided the corpus; same bit-exact md5
+    draw ranked per stratum (id ASC tiebreak), one exchange on the stratum
+    key, output bounded at k x |strata|."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.sample import stratified_sample_exact_k
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample_exact_k(docs, 15, "lang", salt="sk").select("doc_id", "lang")
+
+
 def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy + distinctness per column (stats.column_entropy):
     one unpivot scan, ONE exchange into per-value counts, entropy rolled up
@@ -1934,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_tolerance": q_ks_tolerance,
         "key_skew": q_key_skew,
         "uniform_exact_k": q_uniform_exact_k,
+        "stratified_exact_k": q_stratified_exact_k,
         "lsh_topk": q_lsh_topk,
         "dup_samples": q_dup_samples,
         "format_rules": q_format_rules,
@@ -2277,6 +2291,16 @@ def oracle_sql() -> dict[str, str]:
                          / 4294967296.0 ASC,
                      doc_id ASC
             LIMIT 50
+        """,
+        "stratified_exact_k": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sk'), 1, 8))::BIGINT
+                             / 4294967296.0 ASC,
+                         doc_id ASC
+            ) <= 15
         """,
         "lsh_topk": _TOPK_ORACLE,
         "format_rules": (

@@ -290,6 +290,61 @@ def deterministic_sample_exact_k(
     )
 
 
+def stratified_sample_exact_k(
+    df: DataFrame,
+    k: int | dict,
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-k-per-stratum uniform sample, deterministic by id — the
+    evaluation-set primitive ('200 eval docs from EVERY language, however
+    lopsided the corpus'). ``k`` is one size for all strata or a per-stratum
+    dict (strata not listed are DROPPED in dict form — an eval manifest is a
+    whitelist, mixture_sample semantics); a stratum with fewer than k rows
+    yields all of them. NULL ids are excluded (no defined draw); NULL strata
+    are excluded in both forms (no defined cohort).
+
+    Determinism: the same md5 draw as every sampler here (hash_uint32
+    docstring carries the DuckDB rendering), ranked per stratum with id ASC
+    as the tiebreak, so any engine rebuilds the exact row set.
+
+    Scale shape: ONE exchange on the stratum key + a per-stratum sort for
+    the rank — Spark's window sorts each stratum within its task, spilling
+    gracefully for hot strata (sort-based, never an in-memory list). The
+    output is bounded at k·|strata| rows. For a hot-stratum corpus where
+    even the sort is unwelcome, the rate-based `stratified_sample` (map-only)
+    is the approximate alternative.
+    """
+    from pyspark.sql import Window
+
+    if "__draw__" in df.columns:
+        raise ValueError("input must not contain the reserved column '__draw__'")
+    if isinstance(k, dict):
+        if not k:
+            raise ValueError("per-stratum k dict must not be empty")
+        for v, kk in k.items():
+            if int(kk) <= 0:
+                raise ValueError(f"k for stratum {v!r} must be positive")
+        cap = F.lit(None).cast("long")
+        for v, kk in k.items():
+            cap = F.when(F.col(strata_col) == F.lit(v), F.lit(int(kk))).otherwise(cap)
+    else:
+        if int(k) <= 0:
+            raise ValueError("k must be positive")
+        cap = F.when(F.col(strata_col).isNotNull(), F.lit(int(k)))
+    w = Window.partitionBy(strata_col).orderBy(F.col("__draw__").asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__draw__", hash_fraction(id_col, salt))
+        .withColumn("__cap__", cap)
+        .filter(F.col("__cap__").isNotNull())
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= F.col("__cap__"))
+        .drop("__draw__", "__cap__", "__rn__")
+    )
+
+
 def split_leakage_safe(
     df: DataFrame,
     weights: dict[str, float],

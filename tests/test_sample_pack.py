@@ -482,3 +482,48 @@ def test_mixture_rates_properties():
             assert r2[s] >= r1[s]  # more budget never lowers a rate
 
     check()
+
+
+def test_stratified_exact_k_counts_and_determinism(spark):
+    """Per-stratum exact-k: full strata yield exactly k, small strata yield
+    all rows, NULL ids/strata are excluded, dict form is a whitelist, and
+    the selection matches a from-scratch ranking of the same md5 draws."""
+    from lyra_spark.pipeline.sample import hash_fraction, stratified_sample_exact_k
+
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(100 + i, "small") for i in range(3)]
+        + [(200, None), (None, "big")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_sample_exact_k(df, 5, "lang", id_col="doc_id", salt="s1")
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    by_lang = {}
+    for d, l in got:
+        by_lang.setdefault(l, set()).add(d)
+    assert len(by_lang["big"]) == 5 and by_lang["small"] == {100, 101, 102}
+    assert None not in by_lang and all(d is not None for d in got for d in [d[0]])
+    # reference: rank the same draws independently
+    draws = {
+        r["doc_id"]: r["d"]
+        for r in df.filter("doc_id IS NOT NULL AND lang = 'big'")
+        .select("doc_id", hash_fraction("doc_id", "s1").alias("d")).collect()
+    }
+    want_big = set(sorted(draws, key=lambda i: (draws[i], i))[:5])
+    assert by_lang["big"] == want_big
+    # deterministic rerun
+    again = {(r["doc_id"], r["lang"]) for r in
+             stratified_sample_exact_k(df, 5, "lang", id_col="doc_id", salt="s1").collect()}
+    assert again == got
+    # dict form: whitelist — only listed strata survive, per-stratum sizes
+    out2 = stratified_sample_exact_k(df, {"big": 2}, "lang", id_col="doc_id", salt="s1")
+    got2 = {(r["doc_id"], r["lang"]) for r in out2.collect()}
+    assert {l for _, l in got2} == {"big"} and len(got2) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        stratified_sample_exact_k(df, 0, "lang")
+    with _pytest.raises(ValueError, match="positive"):
+        stratified_sample_exact_k(df, {"big": 0}, "lang")
+    with _pytest.raises(ValueError, match="empty"):
+        stratified_sample_exact_k(df, {}, "lang")
