@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
                          "keyed by uniqueness/monotone violations are subtracted via a "
                          "broadcast anti-join against the (tiny) violation set, so the "
                          "clean side never shuffles")
+    ap.add_argument("--quarantine-out", default=None,
+                    help="also write the FULL ROWS that failed any rule (row "
+                         "rules, inlined referential, and the keyed dataset "
+                         "checks) per partition — the triage complement of "
+                         "--clean-out: the violation sink records keys + "
+                         "rule + observed value, this records the whole row. "
+                         "clean + quarantine partition the table exactly")
     ap.add_argument("--check-schema", action="store_true",
                     help="preflight: fail fast (before ANY scan) unless the table's "
                          "schema conforms to the mandated transcript schema — missing "
@@ -289,7 +296,7 @@ def main(argv: list[str] | None = None) -> int:
             placement_ts = chk["ts_col"]
 
     clean_rules = clean_ds_rules = None
-    if args.clean_out:
+    if args.clean_out or args.quarantine_out:
         # loop-invariant: inline_referential_rule collects the dim ONCE here;
         # building it inside validate_partition would re-run that collect per
         # partition (1e5 identical driver-blocking jobs at the design point)
@@ -358,10 +365,10 @@ def main(argv: list[str] | None = None) -> int:
             # both dataset checks are fused into the suite, so its verdict
             # grid is already complete — no rebuild pass needed
             verd = result.verdicts
-        if args.clean_out:
+        if args.clean_out or args.quarantine_out:
             from pyspark.sql import functions as F
 
-            from lyra_spark.engine import clean_rows
+            from lyra_spark.engine import clean_rows, quarantine_rows
 
             # dataset-check keys come from the written sink when available
             # (tiny read), else from the result frame (recompute of the
@@ -372,10 +379,25 @@ def main(argv: list[str] | None = None) -> int:
                 .select("conv_id", "turn_idx")
                 .distinct()
             )
-            clean = clean_rows(scoped, clean_rules).join(
-                F.broadcast(ds_keys), ["conv_id", "turn_idx"], "left_anti"
-            )
-            clean.write.mode("overwrite").parquet(os.path.join(args.clean_out, f"part={pk}"))
+            if args.clean_out:
+                clean = clean_rows(scoped, clean_rules).join(
+                    F.broadcast(ds_keys), ["conv_id", "turn_idx"], "left_anti"
+                )
+                clean.write.mode("overwrite").parquet(os.path.join(args.clean_out, f"part={pk}"))
+            if args.quarantine_out:
+                # full failing rows: rule failures via the negated map-only
+                # predicate, dataset-check keys OR'd in as a broadcast marker
+                # — together the exact complement of the clean side
+                marked = scoped.join(
+                    F.broadcast(ds_keys.withColumn("__ds_fail", F.lit(True))),
+                    ["conv_id", "turn_idx"], "left",
+                )
+                quar = quarantine_rows(
+                    marked, clean_rules, extra_fail=[F.col("__ds_fail")]
+                ).drop("__ds_fail")
+                quar.write.mode("overwrite").parquet(
+                    os.path.join(args.quarantine_out, f"part={pk}")
+                )
         vrows = verd.collect()
         n_rows = max((r["row_count"] for r in vrows), default=0)
         n_viol = sum(r["violation_count"] for r in vrows)

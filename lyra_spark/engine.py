@@ -146,6 +146,31 @@ def clean_rows(
     return coerced.where(cond).select(*df.columns)
 
 
+def quarantine_rows(
+    df: DataFrame,
+    ruleset: RuleSet,
+    extra_fail: list | None = None,
+) -> DataFrame:
+    """The exact complement of clean_rows: rows where AT LEAST one rule's
+    ``passes`` is literally False (or any ``extra_fail`` condition holds) —
+    the quarantine table an ingest routes aside for triage, with FULL
+    columns (the violation sink records only keys + rule + observed value).
+    Same coerced values and the same map-only codegen-filter plan as
+    clean_rows; by construction clean ∪ quarantine partitions the input
+    exactly (identical predicate, negated — no row is dropped or doubled,
+    pinned in tests)."""
+    coerced = apply_coercions(df, ruleset)
+    checks = compile_checks(coerced, ruleset)
+    if not checks:
+        raise ValueError("ruleset has no checking rules")
+    cond = F.lit(False)
+    for c in checks:
+        cond = cond | c.passes.eqNullSafe(F.lit(False))
+    for extra in extra_fail or []:
+        cond = cond | F.coalesce(extra, F.lit(False))
+    return coerced.where(cond).select(*df.columns)
+
+
 def compute_verdicts(
     df: DataFrame,
     violations: DataFrame,

@@ -466,6 +466,45 @@ def test_cli_clean_out_is_exact_complement(tmp_path, spark, fixtures_sf0001):
         assert clean.columns == part.columns
 
 
+def test_cli_quarantine_out_partitions_table_with_clean(tmp_path, spark, fixtures_sf0001):
+    """--quarantine-out writes the FULL failing rows; together with
+    --clean-out the two outputs partition each partition's rows exactly —
+    same key sets as the violation frame, no row dropped or doubled."""
+    from pyspark.sql import functions as F
+
+    from jobs.validate import main
+
+    clean_dir, quar_dir = tmp_path / "clean", tmp_path / "quar"
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--run-id", "rq",
+        "--out", str(tmp_path / "viol"),
+        "--clean-out", str(clean_dir),
+        "--quarantine-out", str(quar_dir),
+        "--limit-partitions", "4",
+    ]
+    assert main(args) == 0
+    tdf = spark.read.parquet(os.path.join(fixtures_sf0001, "transcripts"))
+    done = sorted(d.name.split("=", 1)[1] for d in quar_dir.glob("part=*"))
+    assert len(done) == 4
+    total_quarantined = 0
+    for pk in done:
+        part = tdf.filter(F.col("part_date") == pk)
+        clean = spark.read.parquet(str(clean_dir / f"part={pk}"))
+        quar = spark.read.parquet(str(quar_dir / f"part={pk}"))
+        assert quar.columns == part.columns
+        ck = {(r.conv_id, r.turn_idx) for r in clean.collect()}
+        qk = {(r.conv_id, r.turn_idx) for r in quar.collect()}
+        pkeys = {(r.conv_id, r.turn_idx) for r in part.collect()}
+        assert not (ck & qk)          # disjoint
+        assert ck | qk == pkeys       # exhaustive
+        assert clean.count() + quar.count() == part.count()  # no row doubled
+        total_quarantined += quar.count()
+    assert total_quarantined > 0      # the fixture plants violations
+
+
 def test_cli_check_transitions(tmp_path, spark, fixtures_sf0001):
     """--check-transitions merges role-grammar violations into the sink and
     the verdict grid (the fixture's injected 'robot'/'USER' roles break the
