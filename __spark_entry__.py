@@ -1424,6 +1424,18 @@ def q_clean_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_rows(events, events_ruleset()).select("event_id", "event_type", "value")
 
 
+def q_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact negation of clean_rows (engine.quarantine_rows): the FULL
+    failing rows for triage — same map-only plan; clean ∪ quarantine
+    partitions events exactly (the two oracles are literal negations of one
+    another, so the driver checks the partition property cross-engine)."""
+    ensure_shipped(spark)
+    from lyra_spark.engine import quarantine_rows
+
+    events = _read(spark, sf_dir, "events")
+    return quarantine_rows(events, events_ruleset()).select("event_id", "event_type", "value")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (pipeline.sample.split_by_hash):
     md5-keyed Bernoulli assignment, repartition- and rerun-stable, reproduced
@@ -1906,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "transition": q_transition,
         "clean_rows": q_clean_rows,
+        "quarantine_rows": q_quarantine_rows,
         "categorical_drift": q_categorical_drift,
         "sessionize": q_sessionize,
         "conv_stats": q_conv_stats,
@@ -2721,6 +2734,14 @@ def oracle_sql() -> dict[str, str]:
               AND event_type IN ('click','view','purchase','signup')
               AND (value IS NULL OR (value >= 0.0 AND value <= 100.0))
               AND (props IS NULL OR regexp_matches(props, '^(?:\{"k": [0-9]{2}\})$'))
+        """,
+        "quarantine_rows": r"""
+            SELECT event_id, event_type, value
+            FROM events
+            WHERE NOT (event_type IS NOT NULL
+              AND event_type IN ('click','view','purchase','signup')
+              AND (value IS NULL OR (value >= 0.0 AND value <= 100.0))
+              AND (props IS NULL OR regexp_matches(props, '^(?:\{"k": [0-9]{2}\})$')))
         """,
         "hash_split": """
             WITH f AS (
