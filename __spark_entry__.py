@@ -1845,6 +1845,20 @@ def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.withColumnRenamed("pass", "passed")
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance threshold self-join (fuzzy.fuzzy_join, PassJoin
+    pigeonhole blocking — PVLDB 2011): customer names within Levenshtein
+    distance 1 (ids with one typo'd digit). Blocking is lossless — the
+    brute-force oracle is the definition — and the all-pairs quadratic
+    never materializes (segment equi-join + exact verify)."""
+    ensure_shipped(spark)
+    from lyra_spark.fuzzy import fuzzy_join
+
+    cust = _read(spark, sf_dir, "customer")
+    out = fuzzy_join(cust, cust, "c_name", "c_name", 1, "c_custkey", "c_custkey")
+    return out.filter("l_id < r_id").select("l_id", "r_id", "distance")
+
+
 def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric constraint rules (Deequ hasSize/hasMean/hasStandardDeviation/
     hasCompleteness/hasDistinctCount, a Check.where-restricted mean, a
@@ -1968,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "severity_verdicts": q_severity_verdicts,
         "tolerance_verdicts": q_tolerance_verdicts,
         "metric_rules": q_metric_rules,
+        "fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -2380,6 +2395,14 @@ def oracle_sql() -> dict[str, str]:
                    violation_count <= tolerance * row_count AS passed,
                    violation_count, row_count, tolerance
             FROM grid
+        """,
+        "fuzzy_join": """
+            SELECT a.c_custkey AS l_id, b.c_custkey AS r_id,
+                   levenshtein(a.c_name, b.c_name) AS distance
+            FROM customer a, customer b
+            WHERE a.c_custkey < b.c_custkey
+              AND abs(length(a.c_name) - length(b.c_name)) <= 1
+              AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         "metric_rules": """
             WITH ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
