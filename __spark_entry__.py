@@ -1845,6 +1845,18 @@ def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.withColumnRenamed("pass", "passed")
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (pack.chunk_documents): 64-token
+    windows advancing by 48 (overlap 16) — the long-document half of
+    sequence prep (pack_sequences concatenates the short half). Pure
+    Catalyst map-only fan-out; ~39% of sf0.01 docs exceed one window."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.pack import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=64, overlap=16)
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance threshold self-join (fuzzy.fuzzy_join, PassJoin
     pigeonhole blocking — PVLDB 2011): customer names within Levenshtein
@@ -1983,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tolerance_verdicts": q_tolerance_verdicts,
         "metric_rules": q_metric_rules,
         "fuzzy_join": q_fuzzy_join,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -2395,6 +2408,26 @@ def oracle_sql() -> dict[str, str]:
                    violation_count <= tolerance * row_count AS passed,
                    violation_count, row_count, tolerance
             FROM grid
+        """,
+        "chunk_docs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            w AS (
+                SELECT doc_id, toks, n,
+                       CASE WHEN n <= 64 THEN 0
+                            ELSE CAST(ceil((n - 64) / 48.0) AS INT) END AS k
+                FROM t2
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(k + 1 AS INT) AS n_chunks,
+                   array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+                   CAST(LEAST(64, n - i*48) AS INT) AS n_tokens
+            FROM w, UNNEST(generate_series(0, k)) AS u(i)
         """,
         "fuzzy_join": """
             SELECT a.c_custkey AS l_id, b.c_custkey AS r_id,

@@ -105,3 +105,66 @@ def pack_sequences(
             yield pdf
 
     return ranged.mapInPandas(add_packs, schema=out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document's whitespace
+    tokens into windows of ``max_tokens`` advancing by ``max_tokens −
+    overlap`` — the long-document preprocessing twin of pack_sequences (that
+    one concatenates SHORT docs up to a budget; this one cuts LONG docs down
+    to it, with overlap so no context is lost at a boundary).
+
+    Returns (id_col, chunk_idx, n_chunks, chunk_text, n_tokens): chunk_idx
+    0-based in document order, every window exactly ``max_tokens`` tokens
+    except the last (the tail, ≥ 1 token), a ≤-max_tokens doc yields itself
+    as its only chunk. NULL and whitespace-only texts yield NO chunks (no
+    content to window — the caller's completeness checks own those rows).
+
+    Scale: pure Catalyst and MAP-ONLY — split → explode(sequence) → slice →
+    array_join, zero exchanges, codegen end-to-end; fan-out per row is
+    ceil((n−max)/(max−overlap))+1 chunks, proportional to the document's own
+    length like any tokenizer. Deterministic, and cheap enough to inline
+    before pack_sequences (chunk → pack is the standard long-doc pipeline).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    k = F.when(F.col("__n") <= max_tokens, F.lit(0)).otherwise(
+        F.ceil((F.col("__n") - F.lit(max_tokens)) / F.lit(float(step))).cast("int")
+    )
+    return (
+        base.withColumn("__k", k)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            (F.col("__k") + 1).cast("int").alias("n_chunks"),
+            F.explode(F.sequence(F.lit(0), F.col("__k"))).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "n_chunks",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_idx") * step + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(max_tokens), F.col("__n") - F.col("chunk_idx") * step
+            ).cast("int").alias("n_tokens"),
+        )
+    )

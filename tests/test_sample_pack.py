@@ -527,3 +527,45 @@ def test_stratified_exact_k_counts_and_determinism(spark):
         stratified_sample_exact_k(df, {"big": 0}, "lang")
     with _pytest.raises(ValueError, match="empty"):
         stratified_sample_exact_k(df, {}, "lang")
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Sliding windows: exact coverage with overlap, tail chunk shorter,
+    short docs pass through whole, NULL/whitespace-only docs yield nothing,
+    reconstruction property (de-overlapped concat == original tokens)."""
+    import pytest as _pytest
+
+    from lyra_spark.pipeline.pack import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    rows = [
+        (1, words),
+        (2, "a b c"),          # 3 tokens <= max -> itself
+        (3, None),
+        (4, "   "),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, max_tokens=4, overlap=1, id_col="doc_id", text_col="text")
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: 10 tokens, windows start 0,3,6 (step 3): k = ceil((10-4)/3)=2
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert got[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert got[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+    assert got[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    assert got[(1, 2)]["n_tokens"] == 4 and got[(1, 0)]["n_chunks"] == 3
+    assert got[(2, 0)]["chunk_text"] == "a b c" and got[(2, 0)]["n_chunks"] == 1
+    assert got[(5, 0)]["chunk_text"] == "x" and got[(5, 0)]["n_tokens"] == 1
+    assert not any(k[0] in (3, 4) for k in got)
+    # reconstruction: drop each non-first chunk's overlap, concat == original
+    parts = [got[(1, i)]["chunk_text"].split() for i in range(3)]
+    rebuilt = parts[0] + [w for p in parts[1:] for w in p[1:]]
+    assert rebuilt == words.split()
+    # tail shorter than max: 11 tokens, max 5, overlap 0 -> 5,5,1
+    df2 = spark.createDataFrame([(9, " ".join("abcdefghijk"))], "doc_id bigint, text string")
+    out2 = {r["chunk_idx"]: r["n_tokens"] for r in chunk_documents(df2, 5, 0).collect()}
+    assert out2 == {0: 5, 1: 5, 2: 1}
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, 4, 4)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, 0)
