@@ -1845,6 +1845,18 @@ def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.withColumnRenamed("pass", "passed")
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k corpus bigrams (text.top_ngrams): the boilerplate
+    profile. One explode + one exchange into the (ngram, count) grid, global
+    top-k planned as TakeOrderedAndProject; deterministic count-then-lexical
+    tie-break so both engines agree at the k-th boundary."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import top_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=20)
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (pack.chunk_documents): 64-token
     windows advancing by 48 (overlap 16) — the long-document half of
@@ -1996,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_rules": q_metric_rules,
         "fuzzy_join": q_fuzzy_join,
         "chunk_docs": q_chunk_docs,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -2408,6 +2421,22 @@ def oracle_sql() -> dict[str, str]:
                    violation_count <= tolerance * row_count AS passed,
                    violation_count, row_count, tolerance
             FROM grid
+        """,
+        "top_ngrams": r"""
+            WITH t AS (
+                SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+                SELECT toks[i + 1] || ' ' || toks[i + 2] AS ngram
+                FROM t, UNNEST(generate_series(0, len(toks) - 2)) AS u(i)
+                WHERE len(toks) >= 2
+            )
+            SELECT ngram, COUNT(*) AS count,
+                   CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, ngram ASC) AS INT) AS rank
+            FROM g GROUP BY ngram
+            ORDER BY count DESC, ngram ASC
+            LIMIT 20
         """,
         "chunk_docs": r"""
             WITH t AS (

@@ -375,3 +375,47 @@ def strip_markup(df: DataFrame, text_col: str = "text", out_col: str = "text_pla
     # F.trim strips SPACES only — edge newlines (a trailing </p>) need regex
     out = F.regexp_replace(out, r"^\s+|\s+$", "")
     return df.withColumn(out_col, out)
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact top-``k`` most frequent word ``n``-grams across the corpus —
+    the vocabulary/boilerplate profile (the corpus-level companion of
+    repetition_features' per-doc ratios: the same 20 header n-grams topping
+    every crawl snapshot IS the boilerplate to scrub). Counts every
+    OCCURRENCE (not per-doc distinct); normalization = lower + whitespace
+    collapse, the corpus-wide convention (_word_ngrams). Deterministic
+    tie-break: count DESC then ngram ASC, engine-portable.
+
+    Returns (ngram, count, rank), rank 1-based, ≤ k rows.
+
+    Scale: one map-side explode into occurrences, ONE exchange into the
+    (ngram, count) grid (hot n-grams partially aggregate map-side —
+    constant buffers), and a global top-k over the grid that Spark plans as
+    TakeOrderedAndProject (per-task k-row partials, no full sort). The
+    expensive case is the grid's cardinality — rows, not lists, spilling
+    gracefully; every later step sees ≤ k rows.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0 or k <= 0:
+        raise ValueError("n and k must be positive")
+    grams = _word_ngrams(text_col, n, distinct=False)
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    order = [F.col("count").desc(), F.col("ngram").asc()]
+    # rank windows over the ALREADY-limited k rows (a single tiny task),
+    # never over the full grid
+    return (
+        counts.orderBy(*order)
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )

@@ -1106,3 +1106,23 @@ def test_clean_corpus_replaces_input_n_lines_removed(spark):
     assert out.columns.count("n_lines_removed") == 1
     got = {r.doc_id: r.n_lines_removed for r in out.collect()}
     assert got == {1: 0, 2: 0}  # recomputed by THIS pass, not the stale input
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    """Occurrence counting (not per-doc distinct), deterministic count-then-
+    lexical tie-break, normalization, short/NULL docs contribute nothing."""
+    import pytest as _pytest
+
+    from lyra_spark.pipeline.text import top_ngrams
+
+    rows = [
+        (1, "the cat sat the cat sat"),   # "the cat"x2, "cat sat"x2, "sat the"x1
+        (2, "THE   cat"),                  # normalization: +1 "the cat"
+        (3, "word"),                       # too short for a bigram
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = [(r["ngram"], r["count"], r["rank"]) for r in top_ngrams(df, n=2, k=3).collect()]
+    assert out == [("the cat", 3, 1), ("cat sat", 2, 2), ("sat the", 1, 3)]
+    with _pytest.raises(ValueError, match="positive"):
+        top_ngrams(df, n=0)
