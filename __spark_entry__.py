@@ -1845,6 +1845,23 @@ def q_tolerance_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.withColumnRenamed("pass", "passed")
 
 
+def q_any_of_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joi alternatives().try() (rules.any_of): value passes when it is an
+    integer OR within [0, 1] — neither alternative alone accepts the corpus.
+    Compiles to one OR'd codegen predicate inside the standard violation
+    scan; NULL passes (optional semantics)."""
+    ensure_shipped(spark)
+    from lyra_spark.rules import RuleSet, any_of
+    from lyra_spark import rules as R
+
+    events = _read(spark, sf_dir, "events")
+    rule = any_of(
+        "value", [R.integer("value"), R.range_rule("value", min=0.0, max=1.0)],
+        rule_id="int_or_unit",
+    )
+    return row_violations(events, RuleSet([rule]), key_cols=["event_id"], partition_col=None)
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k corpus bigrams (text.top_ngrams): the boilerplate
     profile. One explode + one exchange into the (ngram, count) grid, global
@@ -2009,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "chunk_docs": q_chunk_docs,
         "top_ngrams": q_top_ngrams,
+        "any_of_rule": q_any_of_rule,
     }
 
 
@@ -2421,6 +2439,13 @@ def oracle_sql() -> dict[str, str]:
                    violation_count <= tolerance * row_count AS passed,
                    violation_count, row_count, tolerance
             FROM grid
+        """,
+        "any_of_rule": """
+            SELECT event_id, 'int_or_unit' AS rule_id,
+                   CAST(value AS VARCHAR) AS observed_value
+            FROM events
+            WHERE value IS NOT NULL
+              AND NOT (value = floor(value) OR (value >= 0.0 AND value <= 1.0))
         """,
         "top_ngrams": r"""
             WITH t AS (

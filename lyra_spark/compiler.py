@@ -121,6 +121,27 @@ def _check_predicate(spec: RuleSpec, col: Column) -> Column:
     if kind == "cast":
         # pass iff NULL or castable; evaluated on the RAW column.
         return _skip_null_wrap(col, col.try_cast(p["to"]).isNotNull())
+    if kind == "any_of":
+        # Joi alternatives().try(): OR of the alternatives' own predicates.
+        # Each sub-predicate is already skip-NULL-wrapped by its kind, so a
+        # NULL value passes every branch (optional semantics) and the OR is
+        # never NULL. One codegen'd expression — no extra pass per branch.
+        sub_preds = [
+            _check_predicate(
+                RuleSpec(
+                    rule_id=f"{spec.rule_id}#alt",
+                    kind=akind,
+                    column=spec.column,
+                    params=tuple(aparams),
+                ),
+                col,
+            )
+            for akind, aparams in p["alts"]
+        ]
+        pred = sub_preds[0]
+        for q in sub_preds[1:]:
+            pred = pred | q
+        return pred
     if kind == "custom":
         fn = get_custom(spec.rule_id)
 

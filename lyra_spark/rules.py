@@ -245,6 +245,46 @@ def transform(column: str, fn: str, rule_id: str | None = None) -> RuleSpec:
 
 
 # --- conditional & custom -----------------------------------------------------
+_ANY_OF_SUBKINDS = {
+    "nonempty", "enum", "deny", "pattern", "format", "length",
+    "range", "integer", "multiple_of", "compare",
+}
+
+
+def any_of(
+    column: str,
+    alternatives: Sequence[RuleSpec],
+    rule_id: str | None = None,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """lyra/Joi ``alternatives().try()``: the value passes when ANY listed
+    CONTENT check accepts it ("an ISO date OR a unix epoch", "uuid OR
+    legacy id pattern"). Alternatives are same-column content kinds only:
+    presence (required/forbidden) is its own rule, not an alternative;
+    custom (a UDF branch inside an OR hides cost) and cast (raw-vs-coerced
+    target ambiguity) are excluded; sub-rules carry no own ``when`` — gate
+    the any_of itself. NULL passes (optional semantics, like every
+    non-required kind). Compiles to a single OR of the alternatives'
+    predicates — still one codegen'd expression, zero extra passes."""
+    alts = list(alternatives)
+    if len(alts) < 2:
+        raise ValueError("any_of needs at least two alternatives")
+    packed = []
+    for a in alts:
+        if not isinstance(a, RuleSpec) or a.kind not in _ANY_OF_SUBKINDS:
+            kind = getattr(a, "kind", a)
+            raise ValueError(
+                f"any_of: alternative kind {kind!r} not allowed "
+                f"(allowed: {sorted(_ANY_OF_SUBKINDS)})"
+            )
+        if a.column != column:
+            raise ValueError(f"any_of: alternative targets {a.column!r}, not {column!r}")
+        if a.when is not None:
+            raise ValueError("any_of: alternatives cannot carry their own 'when' — gate the any_of")
+        packed.append((a.kind, a.params))
+    return _mk("any_of", column, rule_id, when, alts=tuple(packed))
+
+
 def conditional(rule: RuleSpec, when: Cond) -> RuleSpec:
     """Apply ``rule`` only where ``when`` holds (lyra when/refs)."""
     return RuleSpec(
@@ -325,7 +365,14 @@ def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
     out = []
     for r in ruleset.rules:
         d: dict[str, Any] = {"kind": r.kind, "column": r.column, "rule_id": r.rule_id}
-        d.update({k: (list(v) if isinstance(v, tuple) else v) for k, v in r.params})
+        if r.kind == "any_of":
+            d["alternatives"] = [
+                {"kind": ak, **{pk: (list(pv) if isinstance(pv, tuple) else pv)
+                                for pk, pv in dict(ap).items()}}
+                for ak, ap in r.p["alts"]
+            ]
+        else:
+            d.update({k: (list(v) if isinstance(v, tuple) else v) for k, v in r.params})
         if r.when is not None:
             d["when"] = list(r.when)
         if r.severity != "error":
@@ -341,7 +388,7 @@ def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
 _CONFIG_KINDS = {
     "required", "nonempty", "forbidden", "enum", "deny", "pattern", "length",
     "range", "integer", "multiple_of", "cast", "default", "transform", "custom",
-    "format", "compare",
+    "format", "compare", "any_of",
 }
 _META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version", "tolerance"}
 
@@ -408,6 +455,28 @@ def ruleset_from_json(source: str) -> RuleSet:
         try:
             if kind == "custom":
                 spec = custom(d["column"], _CUSTOM_REGISTRY[rid], rid, when)
+            elif kind == "any_of":
+                subs = d.get("alternatives")
+                if not isinstance(subs, list) or len(subs) < 2:
+                    raise ValueError(
+                        f"rule #{i}: any_of needs an 'alternatives' list of >= 2 rule objects"
+                    )
+                sub_specs = []
+                for j, sd in enumerate(subs):
+                    if not isinstance(sd, dict) or sd.get("kind") not in _ANY_OF_SUBKINDS:
+                        raise ValueError(
+                            f"rule #{i} alternative #{j}: kind must be one of "
+                            f"{sorted(_ANY_OF_SUBKINDS)}"
+                        )
+                    sparams = {k2: v2 for k2, v2 in sd.items() if k2 != "kind"}
+                    sunknown = set(sparams) - _KIND_PARAMS[sd["kind"]]
+                    if sunknown:
+                        raise ValueError(
+                            f"rule #{i} alternative #{j} ({sd['kind']}): unknown "
+                            f"parameter(s) {sorted(sunknown)}"
+                        )
+                    sub_specs.append(_BUILDERS[sd["kind"]](d["column"], **sparams))
+                spec = any_of(d["column"], sub_specs, rule_id=d.get("rule_id"), when=when)
             elif kind in ("default", "transform"):
                 if when is not None:
                     raise ValueError("coercion rules take no 'when'")
@@ -478,6 +547,7 @@ _KIND_PARAMS: dict[str, set[str]] = {
     "custom": set(),
     "format": {"name"},
     "compare": {"op", "other"},
+    "any_of": {"alternatives"},
 }
 
 

@@ -362,3 +362,68 @@ def test_sequence_checks_accept_out_of_key_group_columns(spark):
         df, group_col="session_id", order_col="seq", partition_col=None
     ).collect()
     assert {(r.conv_id, r.turn_idx) for r in mv} == {("c1", 1)}
+
+
+def test_any_of_alternatives(spark):
+    """Joi alternatives().try(): pass iff ANY content alternative accepts;
+    NULL passes (optional); when-gatable; config round-trip preserves the
+    fingerprint; misuse raises at build/load."""
+    import pytest as _pytest
+
+    from lyra_spark import rules as R
+    from lyra_spark.engine import row_violations
+    from lyra_spark.rules import RuleSet, any_of, ruleset_from_json, ruleset_to_json
+
+    rule = any_of(
+        "v",
+        [R.integer("v"), R.range_rule("v", min=0.0, max=1.0)],
+        rule_id="int_or_unit",
+    )
+    rows = [
+        (1, 3.0),    # integer -> pass
+        (2, 0.25),   # in [0,1] -> pass
+        (3, 2.5),    # neither -> violation
+        (4, None),   # NULL -> pass (optional)
+        (5, 1.0),    # both -> pass
+        (6, -3.7),   # neither -> violation
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    viol = row_violations(df, RuleSet([rule]), key_cols=["id"], partition_col=None)
+    assert {r["id"] for r in viol.collect()} == {3, 6}
+
+    # when-gating applies to the whole any_of
+    gated = any_of(
+        "v", [R.integer("v"), R.range_rule("v", min=0.0, max=1.0)],
+        rule_id="gated", when=("id", "==", 3),
+    )
+    viol2 = row_violations(df, RuleSet([gated]), key_cols=["id"], partition_col=None)
+    assert {r["id"] for r in viol2.collect()} == {3}
+
+    # config round-trip: builder-built == config-built, fingerprint-equal
+    rs = RuleSet([rule])
+    rs2 = ruleset_from_json(ruleset_to_json(rs))
+    assert rs2.fingerprint() == rs.fingerprint()
+    assert rs2.rules[0].p["alts"] == rule.p["alts"]
+    cfg = ruleset_to_json(rs)
+    assert '"alternatives"' in cfg and '"alts"' not in cfg
+
+    with _pytest.raises(ValueError, match="at least two"):
+        any_of("v", [R.integer("v")])
+    with _pytest.raises(ValueError, match="not allowed"):
+        any_of("v", [R.required("v"), R.integer("v")])
+    with _pytest.raises(ValueError, match="targets"):
+        any_of("v", [R.integer("w"), R.integer("v")])
+    with _pytest.raises(ValueError, match="own 'when'"):
+        any_of("v", [R.conditional(R.integer("v"), ("id", "==", 1)), R.nonempty("v")])
+    with _pytest.raises(ValueError, match="alternatives"):
+        ruleset_from_json('[{"kind": "any_of", "column": "v"}]')
+    with _pytest.raises(ValueError, match="kind must be one of"):
+        ruleset_from_json(
+            '[{"kind": "any_of", "column": "v", "alternatives": '
+            '[{"kind": "custom"}, {"kind": "integer"}]}]'
+        )
+    with _pytest.raises(ValueError, match="unknown parameter"):
+        ruleset_from_json(
+            '[{"kind": "any_of", "column": "v", "alternatives": '
+            '[{"kind": "range", "mim": 0}, {"kind": "integer"}]}]'
+        )
