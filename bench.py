@@ -115,6 +115,11 @@ def main() -> None:
         "reconcile",
         "metric_anomaly",
         "multi_sketch",
+        "metric_rules",
+        "fuzzy_join",
+        "chunk_docs",
+        "stratified_exact_k",
+        "top_ngrams",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
