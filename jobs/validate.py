@@ -147,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
                          "previous runs — the reprocessing-regression check. "
                          "Requires --metric-rules; use sortable run ids "
                          "(dates), since runs order lexically")
+    ap.add_argument("--report", default=None,
+                    help="write a machine-readable JSON run report here: "
+                         "per-partition rows/violations/wall, failing metric "
+                         "rules + anomalies, drift and freshness failures, "
+                         "HLL estimates — the CI-consumption summary of "
+                         "everything this run printed")
     ap.add_argument("--freshness-hours", type=float, default=None,
                     help="also report per-partition freshness: lag of max(ts) behind "
                          "the freshest partition, stale when above this many hours. "
@@ -248,6 +254,15 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--limit-partitions must be >= 0")
         pending = pending[: args.limit_partitions]
     print(f"[lyra] partitions total={len(all_parts)} completed={n_done} this_run={len(pending)}")
+    report: dict = {
+        "run_id": args.run_id,
+        "table": args.table,
+        "ruleset_fingerprint": ruleset.fingerprint(),
+        "partitions_total": len(all_parts),
+        "partitions_completed_before": n_done,
+        "partitions_this_run": len(pending),
+        "partitions": [],
+    }
 
     verdicts_out = args.verdicts_out or os.path.join(args.checkpoint, args.run_id, "verdicts")
     hll_out = os.path.join(args.checkpoint, args.run_id, "hll")
@@ -424,6 +439,10 @@ def main(argv: list[str] | None = None) -> int:
         manifest.record(pk, ruleset, rows=n_rows, violations=n_viol, wall_ms=wall_ms,
                         snapshot_id=args.snapshot_id)
         ckpt.save_manifest(args.checkpoint, manifest)
+        report["partitions"].append(
+            {"partition": str(pk), "rows": n_rows, "violations": n_viol,
+             "wall_ms": round(wall_ms, 1), "pass": n_viol == 0}
+        )
         print(f"[lyra] partition={pk} rows={n_rows} violations={n_viol} wall_ms={wall_ms:.0f}")
 
     if args.concurrency <= 1:
@@ -481,6 +500,9 @@ def main(argv: list[str] | None = None) -> int:
             from lyra_spark.stats import merge_hll
 
             est = merge_hll(spark.read.parquet(hll_out).select("column", "sketch")).collect()
+            report["hll_distinct"] = {
+                r["column"]: int(r["estimate"]) for r in est
+            }
             for r in sorted(est, key=lambda r: r["column"]):
                 print(f"[lyra] hll_distinct column={r['column']} estimate={int(r['estimate'])}")
 
@@ -493,6 +515,7 @@ def main(argv: list[str] | None = None) -> int:
             max_lag_hours=args.freshness_hours, ranges=ranges,
         ).collect()
         stale = [str(r["part_date"]) for r in fr if r["stale"]]
+        report["freshness_stale"] = stale
         src = "metadata" if ranges is not None else "scan"
         print(f"[lyra] freshness ({src}): {len(fr)} partitions, "
               f"stale(>{args.freshness_hours}h)={stale[:10]}"
@@ -523,6 +546,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         pp = metric_partition_pass(local, "part_date").collect()
         failing = sorted(str(r["part_date"]) for r in pp if not r["pass"])
+        report["metric_failing_partitions"] = failing
+        report["metric_rules_evaluated"] = len(mrules)
         print(f"[lyra] metrics: {len(mrules)} rule(s) x {len(pp)} partition(s), "
               f"failing={failing[:10]}{'...' if len(failing) > 10 else ''}")
         # run-over-run complement (Deequ addAnomalyCheck): a metric that
@@ -535,6 +560,7 @@ def main(argv: list[str] | None = None) -> int:
         # history (the library default 1 stays for callers who want day 2)
         anom = metric_anomalies(local, "part_date", min_ref_parts=3).collect()
         flagged = sorted((str(r["part_date"]), r["rule_id"]) for r in anom)
+        report["metric_anomalies"] = [list(t) for t in flagged]
         print(f"[lyra] metric anomalies (trailing): {flagged[:10]}"
               f"{'...' if len(flagged) > 10 else ''}")
         if args.metric_history:
@@ -549,6 +575,7 @@ def main(argv: list[str] | None = None) -> int:
             runs = hist.select("run_id").distinct().count()
             ra = metric_run_anomalies(hist, args.run_id, "part_date").collect()
             rflag = sorted((str(r["part_date"]), r["rule_id"]) for r in ra)
+            report["metric_run_anomalies"] = [list(t) for t in rflag]
             print(f"[lyra] metric run-anomalies (vs {runs - 1} previous run(s)): "
                   f"{rflag[:10]}{'...' if len(rflag) > 10 else ''}")
 
@@ -568,10 +595,27 @@ def main(argv: list[str] | None = None) -> int:
             print("[lyra] WARNING: no sketches — drift reference NOT saved")
     else:
         failing = dv.loc[~dv["pass"], "part_key"].tolist()
+        report["drift_failing"] = [str(p) for p in failing]
+        report["drift_partitions"] = len(dv)
         print(f"[lyra] drift: {len(dv)} partitions, failing={failing}")
         if args.save_reference:
             save_reference(sk, args.save_reference)
             print(f"[lyra] drift reference saved to {args.save_reference}")
+
+    if args.report:
+        import json as _json
+
+        # overall = this run's partitions all clean AND no gate failed;
+        # reporting surfaces (anomalies, freshness) inform but don't gate
+        report["pass"] = (
+            all(p["pass"] for p in report["partitions"])
+            and not report.get("metric_failing_partitions")
+            and not report.get("drift_failing")
+        )
+        with open(args.report, "w") as f:
+            _json.dump(report, f, indent=2, sort_keys=True)
+            f.write("\n")
+        print(f"[lyra] report written to {args.report} (pass={report['pass']})")
     return 0
 
 

@@ -946,6 +946,43 @@ def test_cli_metric_rules(tmp_path, spark, fixtures_sf0001, capsys):
     assert hist.select("run_id").distinct().count() == 2
 
 
+def test_cli_report_json(tmp_path, spark, fixtures_sf0001, capsys):
+    """--report: one machine-readable JSON summary of the run — partition
+    results, metric gate, drift — with an overall pass that reflects the
+    gating surfaces (the fixture plants violations, so pass=False)."""
+    import json as _json
+
+    from jobs.validate import main
+
+    cfg = tmp_path / "metrics.json"
+    cfg.write_text(json.dumps([{"metric": "row_count", "min": 1, "rule_id": "nonempty"}]))
+    rpt = tmp_path / "report.json"
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--limit-partitions", "3",
+        "--metric-rules", str(cfg),
+        "--freshness-hours", "24",
+        "--report", str(rpt),
+    ]
+    assert main(args) == 0
+    rep = _json.loads(rpt.read_text())
+    assert rep["run_id"] == "r1" and rep["partitions_this_run"] == 3
+    assert len(rep["partitions"]) == 3
+    assert {"partition", "rows", "violations", "wall_ms", "pass"} <= set(rep["partitions"][0])
+    assert rep["metric_rules_evaluated"] == 1
+    assert rep["metric_failing_partitions"] == []
+    assert rep["drift_partitions"] == 90
+    assert isinstance(rep["freshness_stale"], list) and rep["freshness_stale"]
+    # the fixture plants violations in some of the first 3 partitions OR all
+    # clean — either way `pass` must equal the recomputed conjunction
+    want = (all(p["pass"] for p in rep["partitions"])
+            and not rep["metric_failing_partitions"] and not rep["drift_failing"])
+    assert rep["pass"] is want
+
+
 def test_structurally_corrupt_manifest_starts_clean(tmp_path, ruleset):
     """Valid JSON with drifted structure (extra field / wrong shape) must hit
     the start-clean fallback, not crash every resume with TypeError."""
