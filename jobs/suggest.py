@@ -91,7 +91,9 @@ def main(argv: list[str] | None = None) -> int:
         from lyra_spark.metrics import metric_rules_to_json
         from lyra_spark.suggest import metric_rules_from_suggestions
 
-        mrules = metric_rules_from_suggestions(suggestions)
+        mrules = metric_rules_from_suggestions(
+            suggestions, exact=(args.distinct_mode == "exact")
+        )
         with open(args.metrics_out, "w") as f:
             f.write(metric_rules_to_json(mrules) + "\n")
 

@@ -165,6 +165,9 @@ def main(argv: list[str] | None = None) -> int:
                          "matches the manifest — the late-arriving-data half of "
                          "resume; detection is metadata-only, zero data files read")
     args = ap.parse_args(argv)
+    if args.metric_history and not args.metric_rules:
+        raise SystemExit("--metric-history requires --metric-rules (there is no "
+                         "metric grid to store without declared metric rules)")
 
     # Shuffle partitions sized by DATA, not core count: each per-partition run
     # shuffles one date's rows on conv_id, so the right granularity is
@@ -332,7 +335,25 @@ def main(argv: list[str] | None = None) -> int:
         )
 
 
-    def validate_partition(pk: str) -> tuple[str, int, int, float]:
+    def verdict_gate(vrows) -> bool:
+        """The partition's ACTUAL gate from its collected verdict grid —
+        replicating engine.partition_pass semantics driver-side: warn rules
+        never gate; a tolerance column makes pass = within-rate (NULL
+        tolerance fails safe to strict). Raw violation counts stay the
+        report; this is what the checkpoint/CI should call pass/fail."""
+        ok = True
+        for r in vrows:
+            d = r.asDict()
+            if (d.get("severity") or "error") == "warn":
+                continue
+            vc, rc = d["violation_count"], d["row_count"]
+            if "tolerance" in d:
+                ok = ok and vc <= (d["tolerance"] or 0.0) * rc
+            else:
+                ok = ok and vc == 0
+        return ok
+
+    def validate_partition(pk: str) -> tuple[str, int, int, bool, float]:
         from lyra_spark.engine import ruleset_severities, ruleset_tolerances
 
         t0 = time.perf_counter()
@@ -416,6 +437,7 @@ def main(argv: list[str] | None = None) -> int:
         vrows = verd.collect()
         n_rows = max((r["row_count"] for r in vrows), default=0)
         n_viol = sum(r["violation_count"] for r in vrows)
+        gate = verdict_gate(vrows)
         # pandas in, Arrow across: createDataFrame(list-of-Rows) would become a
         # pickled RDD whose single task launches a Python worker just to
         # unpickle ~|rules| rows — ~1 s of zero-CPU wall per partition, a real
@@ -433,15 +455,18 @@ def main(argv: list[str] | None = None) -> int:
             hll_sketches(scoped, hll_cols, partition_col=None).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(hll_out, f"part={pk}"))
-        return pk, n_rows, n_viol, (time.perf_counter() - t0) * 1000
+        return pk, n_rows, n_viol, gate, (time.perf_counter() - t0) * 1000
 
-    def record(pk: str, n_rows: int, n_viol: int, wall_ms: float) -> None:
+    def record(pk: str, n_rows: int, n_viol: int, gate: bool, wall_ms: float) -> None:
         manifest.record(pk, ruleset, rows=n_rows, violations=n_viol, wall_ms=wall_ms,
                         snapshot_id=args.snapshot_id)
         ckpt.save_manifest(args.checkpoint, manifest)
+        # `pass` is the partition's ACTUAL gate (verdict_gate: tolerance- and
+        # severity-aware), not violations == 0 — a within-tolerance partition
+        # reports its raw counts AND pass=true, exactly like the verdict grid
         report["partitions"].append(
             {"partition": str(pk), "rows": n_rows, "violations": n_viol,
-             "wall_ms": round(wall_ms, 1), "pass": n_viol == 0}
+             "wall_ms": round(wall_ms, 1), "pass": gate}
         )
         print(f"[lyra] partition={pk} rows={n_rows} violations={n_viol} wall_ms={wall_ms:.0f}")
 

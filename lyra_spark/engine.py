@@ -134,16 +134,8 @@ def clean_rows(
     to this row, e.g. a range rule on a NULL value). ``extra_fail`` lets
     callers AND in extra boolean Columns that also disqualify (e.g. keys
     flagged by dataset-level checks, pre-joined as a boolean)."""
-    coerced = apply_coercions(df, ruleset)
-    checks = compile_checks(coerced, ruleset)
-    if not checks:
-        raise ValueError("ruleset has no checking rules")
-    cond = F.lit(True)
-    for c in checks:
-        cond = cond & ~c.passes.eqNullSafe(F.lit(False))
-    for extra in extra_fail or []:
-        cond = cond & ~F.coalesce(extra, F.lit(False))
-    return coerced.where(cond).select(*df.columns)
+    coerced, cond = _fail_condition(df, ruleset, extra_fail)
+    return coerced.where(~cond).select(*df.columns)
 
 
 def quarantine_rows(
@@ -156,9 +148,19 @@ def quarantine_rows(
     the quarantine table an ingest routes aside for triage, with FULL
     columns (the violation sink records only keys + rule + observed value).
     Same coerced values and the same map-only codegen-filter plan as
-    clean_rows; by construction clean ∪ quarantine partitions the input
-    exactly (identical predicate, negated — no row is dropped or doubled,
-    pinned in tests)."""
+    clean_rows; clean ∪ quarantine partitions the input exactly BY
+    CONSTRUCTION — both filter the same _fail_condition, one negated, so no
+    future edit can split their semantics (and no row is dropped or
+    doubled, pinned in tests)."""
+    coerced, cond = _fail_condition(df, ruleset, extra_fail)
+    return coerced.where(cond).select(*df.columns)
+
+
+def _fail_condition(df: DataFrame, ruleset: RuleSet, extra_fail: list | None):
+    """(coerced frame, never-NULL boolean: does ANY rule fail this row) —
+    the single source of the clean/quarantine split. A rule fails only when
+    its ``passes`` is literally False (NULL = not applicable); extra_fail
+    conditions coalesce NULL to False the same way."""
     coerced = apply_coercions(df, ruleset)
     checks = compile_checks(coerced, ruleset)
     if not checks:
@@ -168,7 +170,7 @@ def quarantine_rows(
         cond = cond | c.passes.eqNullSafe(F.lit(False))
     for extra in extra_fail or []:
         cond = cond | F.coalesce(extra, F.lit(False))
-    return coerced.where(cond).select(*df.columns)
+    return coerced, cond
 
 
 def compute_verdicts(

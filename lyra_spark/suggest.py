@@ -239,6 +239,7 @@ def metric_rules_from_suggestions(
     suggestions,
     enum_sep: str = "|",
     slack: float = 0.0,
+    exact: bool = True,
 ) -> list:
     """The metric-rule dual of ``ruleset_from_suggestions`` (Deequ's
     ConstraintSuggestion emits both): the same suggestion rows become
@@ -254,6 +255,14 @@ def metric_rules_from_suggestions(
     ``slack`` widens each numeric range bound by that fraction of the
     observed span (live tables drift; 0.0 = exact observed invariants, so
     self-validation passes by construction — pinned in tests).
+
+    ``exact``: pass False when the profile ran in approx (HLL) distinct
+    mode — the 'unique' trigger is then only rsd-accurate on DISTINCT
+    count, while the uniqueness METRIC (exactly-once fraction) can sit far
+    below 1.0 on a column with a few duplicated values, so an approx
+    profile must not harden into a uniqueness(1.0) gate that fails the very
+    table it profiled. Approx mode skips the uniqueness dual (the row-rule
+    path already treats 'unique' as a candidate, never a rule).
     """
     from lyra_spark import metrics as M
 
@@ -265,7 +274,8 @@ def metric_rules_from_suggestions(
         if kind == "required":
             rules.append(M.completeness(c, min=1.0, rule_id=f"suggested_completeness_{c}"))
         elif kind == "unique":
-            rules.append(M.uniqueness(c, min=1.0, rule_id=f"suggested_uniqueness_{c}"))
+            if exact:
+                rules.append(M.uniqueness(c, min=1.0, rule_id=f"suggested_uniqueness_{c}"))
         elif kind == "enum":
             n_vals = len(row["vals"].split(enum_sep)) if row["vals"] else 0
             rules.append(

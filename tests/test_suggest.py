@@ -143,3 +143,17 @@ def test_metric_rules_slack_widens_bounds(frame):
     span = 20.5 - (-1.0)
     assert mrules["suggested_min_score"].min == -1.0 - 0.1 * span
     assert mrules["suggested_max_score"].max == 20.5 + 0.1 * span
+
+
+def test_metric_rules_approx_profile_skips_uniqueness(frame):
+    """An approx (HLL) profile must not harden 'unique' into an exact
+    uniqueness(1.0) gate — the distinct estimate is rsd-accurate but the
+    exactly-once fraction can sit far below 1.0 with a few dup values."""
+    from lyra_spark.suggest import metric_rules_from_suggestions
+
+    sugg = suggest_rules(frame, distinct_mode="exact").collect()
+    exact_rules = {r.rule_id for r in metric_rules_from_suggestions(sugg, exact=True)}
+    approx_rules = {r.rule_id for r in metric_rules_from_suggestions(sugg, exact=False)}
+    assert any(r.startswith("suggested_uniqueness_") for r in exact_rules)
+    assert not any(r.startswith("suggested_uniqueness_") for r in approx_rules)
+    assert approx_rules < exact_rules  # everything else unchanged

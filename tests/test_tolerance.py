@@ -8,6 +8,7 @@ within threshold) while violation_count stays the raw report;
 engine.partition_pass gates on the same within-tolerance condition."""
 
 import dataclasses
+import os
 
 import pytest
 
@@ -123,3 +124,67 @@ def test_metadata_verdicts_carry_tolerance(spark):
     assert grid == {"2024-01-01": True, "2024-01-02": False}
     pp = {r["part_date"]: r["pass"] for r in partition_pass(verd).collect()}
     assert pp == {"2024-01-01": True, "2024-01-02": False}
+
+
+def test_cli_report_pass_respects_tolerance(tmp_path, spark, fixtures_sf0001):
+    """--report partition pass must be the ACTUAL gate (tolerance/severity
+    aware), not violations == 0: with a high-tolerance ruleset, partitions
+    carrying violations still report pass=true with raw counts intact."""
+    import json
+
+    from jobs.validate import main
+
+    rules = tmp_path / "rules.json"
+    # the transcript fixture plants NULL-text violations; 50% tolerance
+    # forgives them while the raw counts stay in the report
+    rules.write_text(json.dumps([
+        {"kind": "required", "column": "text", "rule_id": "text_required",
+         "tolerance": 0.5},
+    ]))
+    rpt = tmp_path / "report.json"
+    args = [
+        "--table", os.path.join(fixtures_sf0001, "transcripts"),
+        "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--run-id", "r1",
+        "--limit-partitions", "16",
+        "--rules", str(rules),
+        "--out", str(tmp_path / "viol"),
+        "--report", str(rpt),
+    ]
+    assert main(args) == 0
+    rep = json.loads(rpt.read_text())
+    # per partition: the gate passes iff every violation is the tolerated
+    # text rule (rates are far below 50%); any zero-tolerance dataset-check
+    # violation must still fail it
+    checked_tolerated = 0
+    for p in rep["partitions"]:
+        pdir = tmp_path / "viol" / f"part={p['partition']}"
+        kinds = set()
+        # a clean partition's sink holds only _SUCCESS (schema inference
+        # would throw) — only read dirs that contain data files
+        if pdir.exists() and any(pdir.rglob("*.parquet")):
+            vdf = spark.read.parquet(str(pdir))
+            kinds = {r["rule_id"] for r in vdf.select("rule_id").distinct().collect()}
+        expected = kinds <= {"text_required"}
+        assert p["pass"] is expected, (p, kinds)
+        if p["violations"] > 0 and expected:
+            checked_tolerated += 1
+    # the assertion is vacuous unless some partition actually exercised the
+    # tolerance (violations present, gate passed)
+    assert checked_tolerated > 0
+
+
+def test_cli_metric_history_requires_metric_rules(tmp_path, fixtures_sf0001):
+    import pytest as _pytest
+
+    from jobs.validate import main
+
+    with _pytest.raises(SystemExit, match="metric-history requires"):
+        main([
+            "--table", os.path.join(fixtures_sf0001, "transcripts"),
+            "--tools-dim", os.path.join(fixtures_sf0001, "tools_dim.parquet"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--run-id", "r1",
+            "--metric-history", str(tmp_path / "h"),
+        ])
