@@ -1887,11 +1887,14 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance threshold self-join (fuzzy.fuzzy_join, PassJoin
-    pigeonhole blocking — PVLDB 2011): customer names within Levenshtein
-    distance 1 (ids with one typo'd digit). Blocking is lossless — the
-    brute-force oracle is the definition — and the all-pairs quadratic
-    never materializes (segment equi-join + exact verify)."""
+    """Edit-distance threshold self-join (fuzzy.fuzzy_join): customer
+    names within Levenshtein distance 1 (ids with one typo'd digit).
+    Short strings block via the FastSS deletion neighborhood (hashed
+    ≤d-deletion variants — selective even under the corpus-wide
+    'Customer#0000…' constant prefix that degenerates segment blocking),
+    long strings via PassJoin segments (PVLDB 2011). Blocking is lossless
+    — the brute-force oracle is the definition — and the all-pairs
+    quadratic never materializes (equi-join + exact verify)."""
     ensure_shipped(spark)
     from lyra_spark.fuzzy import fuzzy_join
 

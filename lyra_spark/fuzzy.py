@@ -4,12 +4,32 @@ record-linkage primitive (near-identical names, ids with a typo'd digit,
 OCR'd titles) that an equality join cannot express and a naive theta-join
 plans as an all-pairs nested loop.
 
-Blocking follows the public PassJoin construction (Li, Deng, Feng:
-"PASS-JOIN: a partition-based method for similarity joins", PVLDB 2011),
-pigeonhole form: if ``ed(s, t) <= d`` then, splitting ``t`` into ``d+1``
-contiguous segments, at least one segment occurs VERBATIM inside ``s`` —
-and (because d edits shift any alignment by at most d positions) it occurs
-starting within ``±d`` of its own position in ``t``. So:
+Two lossless blocking strategies, picked automatically by distance:
+
+**Deletion neighborhood (d <= 2, the default there)** — the public FastSS
+construction (Schulz & Mihov's universal deletion dictionaries; Bocek et
+al. 2007 tech report form): if ``ed(s, t) <= d`` then deleting at most
+``d`` characters from each reaches a COMMON string, so the sets of
+"every ≤ d-deletion variant" intersect. Each side explodes into its
+variant set (``1 + L + C(L,2)`` strings at d=2 — fan-out ``O(L^d)``,
+fine for the short record-linkage strings this operator targets), keyed
+by ``xxhash64(variant)`` so only (id, 8-byte hash) pairs ever shuffle;
+the equi-join on the hash yields candidate id pairs, values join back,
+and a built-in ``levenshtein`` verifies exactly (which also absorbs hash
+collisions — blocking stays lossless). The key is the nearly-whole
+string, so a corpus-wide constant PREFIX (``Customer#0000…``) costs
+nothing — exactly the case where segment blocking degenerates: PassJoin
+on the sf0.1 customer corpus runs ~50 s (every first segment identical
+→ ~n²/offsets candidates); this path runs it in ~1 s.
+
+**PassJoin segment blocking (d >= 3)** — (Li, Deng, Feng: "PASS-JOIN: a
+partition-based method for similarity joins", PVLDB 2011), pigeonhole
+form: if ``ed(s, t) <= d`` then, splitting ``t`` into ``d+1`` contiguous
+segments, at least one segment occurs VERBATIM inside ``s`` — and
+(because d edits shift any alignment by at most d positions) it occurs
+starting within ``±d`` of its own position in ``t``. Fan-out is
+``O(d²)`` per row regardless of string length, the right trade once the
+deletion neighborhood's ``C(L,d)`` blows up. So:
 
   1. the right side explodes into its ``d+1`` segments (key: segment
      string, segment index, right length);
@@ -22,17 +42,17 @@ starting within ``±d`` of its own position in ``t``. So:
      candidate pairs — bounded by segment-bucket collisions, never all
      pairs — which a built-in ``levenshtein`` filter then verifies exactly.
 
-Strings of length <= d degenerate to empty segments (an empty segment
-matches everywhere): those rows pair with every length-compatible candidate
-and the verify step decides — correct, and bounded by the short-string
-population. NULL strings never match (no defined distance).
+Strings of length <= d degenerate to empty segments/variants (an empty key
+matches every other empty key): those rows pair with every other short
+string and the verify step decides — correct, and bounded by the
+short-string population. NULL strings never match (no defined distance).
 
-Scale: two map-side explodes with small constant fan-out, one equi-join on
-short segment keys (AQE-splittable like any skewed equi-join; a pathological
-corpus where one segment value dominates — e.g. a constant prefix — can
-pre-salt via a longer ``d`` split or pre-dedup values), one distinct on the
+Scale: map-side explodes with bounded fan-out, one equi-join on selective
+keys (AQE-splittable like any skewed equi-join), one distinct on the
 candidate pair ids, and a codegen'd verify. The all-pairs quadratic never
-materializes.
+materializes on either path. The residual hot key both paths share is an
+actual mass duplicate (10⁶ copies of one string) — but there the OUTPUT
+is quadratic, not just the blocking.
 """
 
 from __future__ import annotations
@@ -60,6 +80,35 @@ def _segments(d: int):
     return segs
 
 
+def _deletion_variant_hashes(value_col: str, d: int):
+    """``array<bigint>`` Column: xxhash64 of every string reachable from
+    ``value_col`` by deleting at most ``d`` characters (d in {1, 2}),
+    duplicates removed. Pure Catalyst — ``sequence`` + ``transform`` build
+    the variants, only their 8-byte hashes survive the projection."""
+    s = value_col
+    parts = [f"array(xxhash64({s}))"]
+    # one deletion: drop position i (1-indexed); guard L >= 1 because
+    # sequence(1, 0) is a DESCENDING sequence in Spark, not empty
+    parts.append(
+        f"IF(length({s}) >= 1, "
+        f"transform(sequence(1, length({s})), i -> "
+        f"  xxhash64(concat(substring({s}, 1, i - 1), substring({s}, i + 1)))), "
+        f"array())"
+    )
+    if d >= 2:
+        # two deletions: drop positions i < j
+        parts.append(
+            f"IF(length({s}) >= 2, "
+            f"flatten(transform(sequence(1, length({s}) - 1), i -> "
+            f"  transform(sequence(i + 1, length({s})), j -> "
+            f"    xxhash64(concat(substring({s}, 1, i - 1), "
+            f"             substring({s}, i + 1, j - i - 1), "
+            f"             substring({s}, j + 1)))))), "
+            f"array())"
+        )
+    return F.array_distinct(F.expr(f"concat({', '.join(parts)})"))
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -68,6 +117,7 @@ def fuzzy_join(
     max_distance: int,
     left_id: str,
     right_id: str,
+    method: str = "auto",
 ) -> DataFrame:
     """All pairs with ``levenshtein(left_on, right_on) <= max_distance``.
 
@@ -76,10 +126,17 @@ def fuzzy_join(
     ``l_id < r_id`` themselves (the operator is direction-agnostic).
     Exact semantics: identical to the all-pairs filter, proven by the
     driver oracle's brute-force SQL — blocking only prunes, never drops.
+
+    ``method``: "auto" (deletion neighborhood for d <= 2, PassJoin above),
+    or force "deletion" (d <= 2 only) / "passjoin".
     """
     d = int(max_distance)
     if d < 0:
         raise ValueError("max_distance must be >= 0")
+    if method not in ("auto", "deletion", "passjoin"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "deletion" and d > 2:
+        raise ValueError("deletion-neighborhood blocking supports max_distance <= 2")
     if d == 0:
         # degenerate: plain equi-join on the value
         lv = left.select(
@@ -91,7 +148,49 @@ def fuzzy_join(
         return lv.join(rv, lv.left_value == rv.right_value).select(
             "l_id", "r_id", "left_value", "right_value", F.lit(0).alias("distance")
         )
+    if d <= 2 and method == "deletion":
+        return _fuzzy_join_deletion(left, right, left_on, right_on, d, left_id, right_id)
+    if d <= 2 and method == "auto":
+        # Length-hybrid: deletion blocking's O(L^d) fan-out is the right
+        # trade only for short strings (names, ids, titles); long strings
+        # keep PassJoin's O(d²) fan-out. short×short / long×anything /
+        # short×long partition the pair space disjointly and exhaustively.
+        T = _DELETION_MAX_LEN
+        l_short = left.filter(F.length(left_on) <= T)
+        r_short = right.filter(F.length(right_on) <= T)
+        l_long = left.filter(F.length(left_on) > T)
+        r_long = right.filter(F.length(right_on) > T)
+        out = _fuzzy_join_deletion(l_short, r_short, left_on, right_on, d, left_id, right_id)
+        # the long populations are usually EMPTY for this operator's target
+        # corpora — skip the plan nodes entirely when a cheap metadata-ish
+        # probe says so (isEmpty reads one partition-ish, not the table)
+        if not l_long.isEmpty():
+            out = out.unionByName(
+                _fuzzy_join_passjoin(l_long, right, left_on, right_on, d, left_id, right_id)
+            )
+        if not r_long.isEmpty():
+            out = out.unionByName(
+                _fuzzy_join_passjoin(l_short, r_long, left_on, right_on, d, left_id, right_id)
+            )
+        return out
+    return _fuzzy_join_passjoin(left, right, left_on, right_on, d, left_id, right_id)
 
+
+# deletion-neighborhood fan-out at this length (d=2: ~2k variants) is ~the
+# cost where PassJoin's degenerate-segment risk stops being the worse deal
+_DELETION_MAX_LEN = 64
+
+
+def _fuzzy_join_passjoin(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    d: int,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """PassJoin segment blocking — see the module docstring."""
     segs = _segments(d)
     # right side: explode into (segment string, segment index, right length)
     rbase = (
@@ -177,4 +276,49 @@ def fuzzy_join(
         )
         .filter(F.col("distance") <= d)
         .distinct()
+    )
+
+
+def _fuzzy_join_deletion(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    d: int,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Deletion-neighborhood (FastSS) blocking for d in {1, 2} — see the
+    module docstring. Only (id, variant-hash) pairs shuffle into the
+    candidate join; the strings come back by id for the exact verify."""
+    lbase = (
+        left.select(F.col(left_id).alias("l_id"), F.col(left_on).alias("left_value"))
+        .filter(F.col("left_value").isNotNull())
+    )
+    rbase = (
+        right.select(F.col(right_id).alias("r_id"), F.col(right_on).alias("right_value"))
+        .filter(F.col("right_value").isNotNull())
+    )
+    lvar = lbase.select(
+        "l_id", F.explode(_deletion_variant_hashes("left_value", d)).alias("h")
+    )
+    rvar = rbase.select(
+        "r_id", F.explode(_deletion_variant_hashes("right_value", d)).alias("h")
+    )
+    # candidate id pairs: a true pair shares >= 1 variant (often several —
+    # identical strings share all of them), so distinct BEFORE the values
+    # join back; the distinct runs on 16-byte id pairs, candidate-sized,
+    # while the value joins and the verify run output-ish-sized
+    cand = lvar.join(rvar, "h").select("l_id", "r_id").distinct()
+    return (
+        cand.join(lbase, "l_id")
+        .join(rbase, "r_id")
+        .select(
+            "l_id",
+            "r_id",
+            "left_value",
+            "right_value",
+            F.levenshtein("left_value", "right_value").alias("distance"),
+        )
+        .filter(F.col("distance") <= d)
     )

@@ -1,6 +1,7 @@
-"""Edit-distance threshold join (lyra_spark.fuzzy): PassJoin pigeonhole
-blocking must be LOSSLESS (identical to the all-pairs filter) and actually
-prune (candidates ≪ n² on a diverse corpus)."""
+"""Edit-distance threshold join (lyra_spark.fuzzy): both blocking
+strategies (deletion neighborhood d<=2, PassJoin pigeonhole) must be
+LOSSLESS (identical to the all-pairs filter) and actually prune
+(candidates ≪ n² on a diverse corpus)."""
 
 import itertools
 import random
@@ -76,9 +77,53 @@ def test_blocking_prunes_candidates(spark):
     assert len(ids) < 5 * n
 
 
+def test_both_methods_equal_brute_force(spark):
+    """Forced PassJoin and forced deletion blocking agree with brute force
+    on the same adversarial corpus at every distance each supports — the
+    auto dispatch must never be load-bearing for correctness."""
+    random.seed(7)
+    strs = ["".join(random.choice("ab") for _ in range(random.randint(0, 7))) for _ in range(60)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "id bigint, name string")
+    for d in (1, 2):
+        want = {(i, j) for (i, a), (j, b) in
+                itertools.product(enumerate(strs), repeat=2) if _lev(a, b) <= d}
+        for m in ("passjoin", "deletion"):
+            got = {(r["l_id"], r["r_id"]) for r in
+                   fuzzy_join(df, df, "name", "name", d, "id", "id", method=m).collect()}
+            assert got == want, f"d={d} method={m}"
+
+
+def test_auto_hybrid_crosses_length_threshold(spark):
+    """auto sends short strings through deletion blocking and long ones
+    through PassJoin; pairs STRADDLING the length threshold must still
+    surface (the union branches are exercised, not just short×short)."""
+    from lyra_spark import fuzzy as fz
+
+    T = fz._DELETION_MAX_LEN
+    base = "x" * (T - 1)  # len T-1 ... edits create lengths T-2..T+2
+    rows = [
+        (1, base + "ab"),       # len T+1: long
+        (2, base + "a"),        # len T:   short side of the threshold
+        (3, base),              # len T-1: short
+        (4, base + "abc"),      # len T+2: long
+        (5, "y" * (T + 1)),     # long, far from everything
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {(r["l_id"], r["r_id"]) for r in
+           fuzzy_join(df, df, "name", "name", 1, "id", "id").collect()}
+    want = {(i, j) for (i, a), (j, b) in itertools.product(rows, repeat=2)
+            if _lev(a, b) <= 1}
+    assert (1, 2) in want and (2, 3) in want  # straddling pairs really exist
+    assert got == want
+
+
 def test_validation():
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_join(None, None, "a", "b", -1, "i", "j")
+    with pytest.raises(ValueError, match="method"):
+        fuzzy_join(None, None, "a", "b", 1, "i", "j", method="nope")
+    with pytest.raises(ValueError, match="deletion"):
+        fuzzy_join(None, None, "a", "b", 3, "i", "j", method="deletion")
 
 
 try:
