@@ -204,8 +204,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
     """64-permutation MinHash signature as array<bigint> — pure expressions.
 
     Permutation i is xxhash64(seed=i, shingle); min over the shingle set is
-    the classic one-permutation-per-seed MinHash. Zero shuffles, zero Python.
+    the classic one-permutation-per-seed MinHash. Zero Python; zero shuffles
+    on a well-split input (the signature map runs wherever the scan runs).
+
+    Parallelism guard: this is the CPU-heaviest map in the dedup family
+    (64 re-mixes per shingle), and an explode-free map inherits the INPUT's
+    partitioning — a single-file corpus would compute every signature in one
+    task. When the input has fewer partitions than the cluster has slots,
+    repartition first: O(corpus text) shuffle once, 64-perm compute spread
+    wide. Well-split inputs (any real table) skip it.
     """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     # Materialize the shingle array's base hashes ONCE per row in their own
     # projection. Referencing the raw word_shingles expression from all 64
     # permutation arms re-evaluates the regexp/split/slice/array_distinct
