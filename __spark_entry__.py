@@ -1003,6 +1003,26 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM (pipeline.text.unigram_logprob) — the CCNet/KenLM-style
+    statistical quality signal: symbol soup and wrong-language fragments
+    score far below prose with zero hand-tuned heuristics. Three
+    constant-buffer exchanges (term grid, vocabulary, score roll-up);
+    raw text never shuffles. Oracle replicates tokenization + MLE + the
+    per-token log-mean exactly in SQL."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("logprob_per_token", 6).alias("logprob_per_token"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing, oracle-checked: documents' text UTF-8-
     encodes into an opaque binary content column (the media stand-in), flows
@@ -1965,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
+        "unigram_quality": q_unigram_quality,
         "multimodal_features": q_multimodal_features,
         "frame_sampling": q_frame_sampling,
         "fingerprint": q_fingerprint,
@@ -3383,6 +3404,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT source, lang_pred, COUNT(*) AS n FROM p GROUP BY source, lang_pred
+        """,
+        "unigram_quality": """
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS t(tok)
+                WHERE text IS NOT NULL
+            ),
+            doc_tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+            vocab AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT SUM(cnt) AS s FROM vocab)
+            SELECT d.doc_id,
+                   SUM(d.tf) AS n_tokens,
+                   ROUND(SUM(d.tf * ln(v.cnt / t.s)) / SUM(d.tf), 6) AS logprob_per_token
+            FROM doc_tf d JOIN vocab v USING (tok) CROSS JOIN tot t
+            GROUP BY d.doc_id
         """,
         "quality_stats": """
             WITH t AS (

@@ -120,6 +120,7 @@ def main() -> None:
         "chunk_docs",
         "stratified_exact_k",
         "top_ngrams",
+        "unigram_quality",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

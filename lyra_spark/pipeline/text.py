@@ -419,3 +419,87 @@ def top_ngrams(
         .limit(int(k))
         .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: DataFrame | None = None,
+    floor_count: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the corpus-statistical
+    quality signal (the CCNet/KenLM language-model filter's unigram form):
+    documents whose tokens are collectively improbable under the corpus's
+    own unigram distribution (boilerplate symbol soup, alphabet spam,
+    wrong-language fragments) score far below prose, without any of
+    quality_score's hand-tuned ratio heuristics.
+
+    ``lm`` (optional) is a reference language model as a (tok, cnt)
+    DataFrame — e.g. ``unigram_lm(reference_corpus)`` — letting one clean
+    corpus score another; tokens OUTSIDE the reference vocabulary get a
+    floored pseudo-count of ``floor_count`` (< 1 ⇒ rarer than every
+    in-vocab token). Default scores the corpus against itself (every token
+    in-vocab by construction).
+
+    Returns (id_col, n_tokens, logprob_per_token) — natural log, NULL-text
+    and zero-token documents excluded (no defined score). Tokenization:
+    lowercased runs of [a-z0-9] (engine-portable, replicated exactly by the
+    DuckDB oracle).
+
+    Scale: raw text never shuffles. Three constant-buffer hash-agg
+    exchanges — the (id, token) term grid (well-spread key), the token
+    vocabulary roll-up (hot tokens like 'the' collapse map-side), and the
+    per-document score roll-up — plus one score join of the term grid
+    against the vocabulary: broadcast when the vocabulary fits (usual even
+    at web scale — vocab grows ~log corpus), AQE-skew-split otherwise. The
+    LM total lands as one scalar on the driver (O(1), like every gate
+    threshold here).
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("tok"),
+        )
+    )
+    # per-doc term counts FIRST: the join and everything after run on the
+    # distinct (doc, token) grid, never on raw token occurrences
+    doc_tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = (lm if lm is not None else toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )).select("tok", F.col("cnt").cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0.0
+    if total <= 0:
+        raise ValueError("empty language model: no tokens")
+    scored = doc_tf.join(vocab, "tok", "left").withColumn(
+        "logp", F.log(F.coalesce(F.col("cnt"), F.lit(float(floor_count))) / F.lit(float(total)))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("logprob_per_token"),
+    )
+
+
+def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, cnt) unigram counts of a corpus under unigram_logprob's exact
+    tokenization — build once on a trusted reference corpus, persist, and
+    pass as ``lm=`` to score candidate corpora against it."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

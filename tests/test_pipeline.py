@@ -1126,3 +1126,41 @@ def test_top_ngrams_counts_and_ties(spark):
     assert out == [("the cat", 3, 1), ("cat sat", 2, 2), ("sat the", 1, 3)]
     with _pytest.raises(ValueError, match="positive"):
         top_ngrams(df, n=0)
+
+
+def test_unigram_logprob_exact_and_reference_lm(spark):
+    """Hand-computed MLE scores, OOV flooring against a reference LM, and
+    NULL/zero-token documents excluded (no defined score)."""
+    import math
+
+    from lyra_spark.pipeline.text import unigram_lm, unigram_logprob
+
+    rows = [(1, "a a b"), (2, "b"), (3, "c"), (4, None), (5, "??!")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # corpus counts a:2 b:2 c:1, total 5
+    got = {r.doc_id: (r.n_tokens, r.logprob_per_token)
+           for r in unigram_logprob(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 3 and abs(got[1][1] - math.log(2 / 5)) < 1e-12
+    assert abs(got[2][1] - math.log(2 / 5)) < 1e-12
+    assert abs(got[3][1] - math.log(1 / 5)) < 1e-12
+
+    # reference LM from docs 1-2 only (a:2 b:2, total 4); c is OOV -> 0.5/4
+    ref = unigram_lm(df.filter("doc_id <= 2"))
+    got = {r.doc_id: r.logprob_per_token
+           for r in unigram_logprob(df, lm=ref).collect()}
+    assert abs(got[1] - math.log(2 / 4)) < 1e-12
+    assert abs(got[3] - math.log(0.5 / 4)) < 1e-12
+
+
+def test_unigram_logprob_ranks_symbol_soup_below_prose(spark):
+    """The quality-signal property: on a corpus of ordinary prose plus one
+    rare-token document, the rare-token document scores lowest."""
+    from lyra_spark.pipeline.text import unigram_logprob
+
+    prose = "the quick brown fox jumps over the lazy dog and the cat"
+    rows = [(i, prose) for i in range(10)] + [(99, "zxqv jkwp qqzz vvxx")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    scores = {r.doc_id: r.logprob_per_token for r in unigram_logprob(df).collect()}
+    assert min(scores, key=scores.get) == 99
+    assert scores[99] < scores[0] - 1.0
