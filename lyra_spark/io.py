@@ -298,3 +298,76 @@ def write_sorted(
         .sortWithinPartitions(*cols)
     )
     shaped.write.mode(mode).parquet(path)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    target_files: int | None = None,
+    mode: str = "overwrite",
+    bits: int = 8,
+) -> None:
+    """Persist a table Z-ORDERED on 2-4 numeric/timestamp columns — the
+    MULTI-column data-skipping layout (Delta ``OPTIMIZE ZORDER BY``, an
+    Iceberg multi-column sort order). ``write_sorted`` makes predicates on
+    THE sort column selective but leaves every other column unsorted; a
+    Morton (Z) curve interleaves the bit patterns of each column's quantile
+    rank, so consecutive files cover compact HYPER-RECTANGLES of the value
+    space and a selective predicate on ANY of the z-columns intersects only
+    ~N^((d-1)/d) of N files' footer min/max ranges instead of all of them.
+
+    Construction (all but one tiny sample pass is the write itself):
+    per-column quantile edges from ``approxQuantile`` (sampled, driver-side,
+    2^bits-1 probes); each row's per-column rank code is a codegen'd
+    comparison fold over the literal edge array (O(2^bits) ops/row, paid
+    once at write); ranks bit-interleave into one long z-value; ONE
+    repartitionByRange exchange on z + in-partition sort, identical write
+    shape to ``write_sorted``. NULL ranks as 0 (sorts first, like Spark's
+    NULLS FIRST). Skewed columns are absorbed by the QUANTILE ranking —
+    equal-mass buckets, never equal-width.
+    """
+    if not 2 <= len(zorder_cols) <= 4:
+        raise ValueError("zorder needs 2-4 columns (one column: use write_sorted)")
+    if not 1 <= int(bits) <= 12:
+        raise ValueError("bits must be in [1, 12]")
+    bits = int(bits)
+    n_edges = (1 << bits) - 1
+    # quantile edges over double-cast projections (timestamps/ints included);
+    # non-castable columns fail loudly here, by design
+    casted = df.select(
+        *[F.col(c).cast("double").alias(f"__z{i}") for i, c in enumerate(zorder_cols)]
+    )
+    probs = [(i + 1) / (n_edges + 1) for i in range(n_edges)]
+    all_edges = casted.stat.approxQuantile(
+        [f"__z{i}" for i in range(len(zorder_cols))], probs, 1.0 / (4 * (n_edges + 1))
+    )
+    rank_cols = []
+    for i, (c, edges) in enumerate(zip(zorder_cols, all_edges)):
+        uniq = sorted(set(e for e in edges if e == e))  # drop dup + NaN edges
+        arr = F.array(*[F.lit(float(e)) for e in uniq])
+        v = F.col(c).cast("double")
+        # rank = how many edges the value clears; NULL -> 0
+        rank = F.coalesce(
+            F.size(F.filter(arr, lambda e: v >= e)), F.lit(0)
+        ).cast("long")
+        rank_cols.append(rank.alias(f"__zr{i}"))
+    ranked = df.select("*", *rank_cols)
+    # Morton interleave: output bit (b * ncols + j) takes bit b of column j
+    ncols = len(zorder_cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j in range(ncols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(f"__zr{j}"), b).bitwiseAND(F.lit(1)),
+                    b * ncols + j,
+                )
+            )
+    shaped = (
+        ranked.withColumn("__zval", z)
+        .repartitionByRange(*([target_files] if target_files else []), F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .drop("__zval", *[f"__zr{i}" for i in range(ncols)])
+    )
+    shaped.write.mode(mode).parquet(path)

@@ -343,3 +343,66 @@ def test_split_leakage_safe_single_exchange(spark):
         )
     )
     assert "Exchange" not in p2
+
+
+def test_write_zorder_skips_row_groups_on_both_columns(spark, tmp_path):
+    """The Z-ordered layout (io.write_zorder) must make footer min/max stats
+    selective on EVERY z-column: a narrow predicate on either column
+    intersects a strict subset of files, while the single-column sorted
+    layout only prunes its own sort column (the other column's predicate
+    intersects every file). Rows must round-trip unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lyra_spark.io import write_sorted, write_zorder
+
+    # two independent uniform-ish columns (decorrelated multipliers)
+    df = spark.range(0, 200_000).select(
+        F.col("id").alias("event_id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(100000)) / 1000.0).alias("x"),
+        (F.pmod(F.col("id") * 40503 + 17, F.lit(100000)) / 1000.0).alias("y"),
+    )
+    z_path, s_path = str(tmp_path / "zorder"), str(tmp_path / "xsorted")
+    write_zorder(df, z_path, ["x", "y"], target_files=16)
+    write_sorted(df, s_path, ["x"], target_files=16)
+
+    def intersecting(path, col, lo, hi):
+        total = hits = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hits += 1
+        return hits, total
+
+    zx_hits, z_total = intersecting(z_path, "x", 40.0, 42.0)
+    zy_hits, _ = intersecting(z_path, "y", 40.0, 42.0)
+    sy_hits, s_total = intersecting(s_path, "y", 40.0, 42.0)
+    assert z_total >= 16 and s_total >= 16
+    # z-order: BOTH dimensions prune (Morton slabs are hyper-rectangles)
+    assert zx_hits <= z_total // 2, (zx_hits, z_total)
+    assert zy_hits <= z_total // 2, (zy_hits, z_total)
+    # x-sorted: y-predicate intersects every group — the gap z-order closes
+    assert sy_hits == s_total
+    # round-trip: layout changes bytes, never rows; helper columns dropped
+    back = spark.read.parquet(z_path)
+    assert set(back.columns) == {"event_id", "x", "y"}
+    assert back.count() == 200_000
+    assert back.agg(F.sum("event_id")).first()[0] == df.agg(F.sum("event_id")).first()[0]
+
+
+def test_write_zorder_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from lyra_spark.io import write_zorder
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    with _pytest.raises(ValueError, match="2-4"):
+        write_zorder(df, str(tmp_path / "z1"), ["id"])
+    with _pytest.raises(ValueError, match="bits"):
+        write_zorder(df, str(tmp_path / "z2"), ["id", "v"], bits=0)
