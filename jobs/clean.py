@@ -2,7 +2,8 @@
 
     spark-submit --py-files dist/lyra_spark.zip jobs/clean.py \
         --corpus <parquet dir> --out <cleaned dir> \
-        [--min-quality 0.5] [--near-dup-threshold 0.9] [--line-min-docs 2] \
+        [--min-quality 0.5] [--min-unigram-logprob -9.5] \
+        [--near-dup-threshold 0.9] [--line-min-docs 2] \
         [--sig-store <dir>] [--sig-store-out <dir>] [--report <json path>]
 
 Runs clean_corpus (quality filter → exact dedup → C4 line scrub → MinHash-LSH
@@ -33,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-unigram-logprob", type=float, default=None,
+                    help="drop docs whose mean unigram log-probability under "
+                         "the corpus's own LM falls below this (e.g. -9.5; "
+                         "pick from jobs/profile_corpus.py --unigram "
+                         "percentiles). Adds one token-grid pass BEFORE the "
+                         "funnel; zero-token docs are dropped too (no score)")
     ap.add_argument("--line-min-docs", type=int, default=2)
     ap.add_argument("--near-dup-threshold", type=float, default=0.9)
     ap.add_argument("--shingle-k", type=int, default=3)
@@ -134,6 +141,19 @@ def main(argv: list[str] | None = None) -> int:
         n_in_base = dup_ids.count()  # one row per already-present new doc
         docs = docs.join(dup_ids, args.id_col, "left_anti")
 
+    n_lm_kept = None
+    if args.min_unigram_logprob is not None:
+        from lyra_spark.pipeline.text import unigram_logprob
+
+        # LM built on the post-blocklist/post-ingest docs (the corpus being
+        # cleaned), scores broadcast back as a tiny (id) keep-list complement:
+        # only ids shuffle, the text column never does
+        keep = unigram_logprob(docs, args.text_col, args.id_col).filter(
+            F.col("logprob_per_token") >= args.min_unigram_logprob
+        ).select(args.id_col)
+        docs = docs.join(keep, args.id_col, "left_semi")
+        n_lm_kept = docs.count()
+
     cleaned = clean_corpus(
         docs,
         text_col=args.text_col,
@@ -186,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         "docs_in": n_in,
         **({"blocked_by_domain": n_blocked} if n_blocked is not None else {}),
         **({"already_in_base": n_in_base} if n_in_base is not None else {}),
+        **({"after_unigram_lm": n_lm_kept} if n_lm_kept is not None else {}),
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         # scrub-emptied docs + near-dup cluster members dropped for their

@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated key columns: add a shuffle-skew "
                          "diagnosis per column (per-key count summary + salt "
                          "recommendation) to the report")
+    ap.add_argument("--unigram", action="store_true",
+                    help="add unigram-LM log-probability quality stats (mean + "
+                         "p1/p10/p50/p90 of per-doc mean log-prob under the "
+                         "corpus's own unigram model) — one extra token-grid "
+                         "pass over the text; see pipeline.text.unigram_logprob")
     ap.add_argument("--master", default=None)
     ap.add_argument("--report", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)
@@ -134,6 +139,28 @@ def main(argv: list[str] | None = None) -> int:
             for r in key_skew_profiles(docs, cols).collect()
         }
 
+    # job 6 (opt-in): unigram-LM quality distribution — the statistical
+    # complement of the heuristic mean_quality above; percentiles locate the
+    # low-probability tail a --min-unigram-logprob cleaning cut would remove
+    unigram = None
+    if args.unigram:
+        from lyra_spark.pipeline.text import unigram_logprob
+
+        u = (
+            unigram_logprob(docs, tc, args.id_col)
+            .agg(
+                F.round(F.avg("logprob_per_token"), 4).alias("mean"),
+                F.expr(
+                    "percentile_approx(logprob_per_token, array(0.01, 0.1, 0.5, 0.9), 10000)"
+                ).alias("p"),
+            )
+            .collect()[0]
+        )
+        unigram = {
+            "mean_logprob_per_token": u.mean,
+            "logprob_p1_p10_p50_p90": [None if v is None else round(v, 4) for v in (u.p or [None] * 4)],
+        }
+
     report = {
         "n_docs": stats["n_docs"],
         "n_null_text": stats["n_null_text"],
@@ -149,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
         **({"column_findings": findings} if findings is not None else {}),
         **({"frequent_values": top_values} if top_values is not None else {}),
         **({"key_skew": skew} if skew is not None else {}),
+        **({"unigram_quality": unigram} if unigram is not None else {}),
         "sec": round(time.time() - t0, 3),
     }
     line = json.dumps(report)

@@ -1164,3 +1164,38 @@ def test_unigram_logprob_ranks_symbol_soup_below_prose(spark):
     scores = {r.doc_id: r.logprob_per_token for r in unigram_logprob(df).collect()}
     assert min(scores, key=scores.get) == 99
     assert scores[99] < scores[0] - 1.0
+
+
+def test_clean_cli_unigram_lm_filter(tmp_path, spark):
+    """--min-unigram-logprob drops statistically improbable docs before the
+    funnel and reports the stage; --unigram adds the LM distribution to the
+    profile report."""
+    import json
+
+    from jobs.clean import main as clean_main
+    from jobs.profile_corpus import main as profile_main
+
+    prose = ("a perfectly ordinary english document with plenty of common "
+             "words about query planners and shuffle exchange strategies")
+    rows = [(i, prose + f" variant {i % 2}") for i in range(10)] + [
+        (99, "zxqv jkwp qqzz vvxx glorb")  # rare tokens: lowest logprob
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    rpt = str(tmp_path / "profile.json")
+    assert profile_main(["--corpus", src, "--report", rpt, "--unigram"]) == 0
+    rep = json.loads(open(rpt).read())
+    u = rep["unigram_quality"]
+    assert u["mean_logprob_per_token"] < 0
+    p1, p10, p50, p90 = u["logprob_p1_p10_p50_p90"]
+    assert p1 <= p10 <= p50 <= p90 < 0
+
+    out, crpt = str(tmp_path / "cleaned"), str(tmp_path / "creport.json")
+    rc = clean_main(["--corpus", src, "--out", out, "--report", crpt,
+                     "--min-unigram-logprob", "-4.0", "--min-quality", "0.0",
+                     "--near-dup-threshold", "0.99"])
+    assert rc == 0
+    crep = json.loads(open(crpt).read())
+    assert crep["docs_in"] == 11 and crep["after_unigram_lm"] == 10
+    assert 99 not in {r.doc_id for r in spark.read.parquet(out).collect()}
