@@ -781,6 +781,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, block_col="lang", threshold=0.9, shingle_k=1)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs |A∩B|/|A| ≥ 0.8 on bigram shingles
+    (pipeline.dedup.containment_pairs, SSJoin/PPJoin prefix filtering):
+    the doc-quoted-inside-a-bigger-doc relation Jaccard LSH misses.
+    Bigrams (not word sets) because containment must respect word ORDER —
+    the fixture's template corpus shares most of its tiny vocabulary, so
+    word-set containment is dense noise while bigram containment isolates
+    the true near-copies. Blocking is lossless by pigeonhole (≥1 of each
+    doc's ⌊(1−t)·n⌋+1 rarest shingles must hit any container), so the
+    exhaustive DuckDB brute force is the definition."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.dedup import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8, shingle_k=2)
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs verified at exact jaccard ≥ 0.9
     on 3-word shingles. Oracle-checkable despite hash-dependent candidates: at
@@ -1976,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_diff": q_regression_diff,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "containment": q_containment,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -3184,6 +3202,23 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
                   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+        """,
+        "containment": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            s AS (
+                SELECT doc_id, CASE WHEN len(tk) >= 2
+                    THEN list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))
+                    ELSE [array_to_string(tk, ' ')] END AS ws
+                FROM t
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.ws, b.ws))::DOUBLE / len(a.ws), 6) AS containment
+            FROM s a JOIN s b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.ws, b.ws))::DOUBLE / len(a.ws) >= 0.8
         """,
         "dedup_clusters": """
             WITH RECURSIVE t AS (

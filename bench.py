@@ -121,6 +121,7 @@ def main() -> None:
         "stratified_exact_k",
         "top_ngrams",
         "unigram_quality",
+        "containment",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

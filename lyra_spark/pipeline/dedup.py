@@ -829,3 +829,80 @@ def simhash_near_duplicates(
     return simhash_candidate_pairs(
         with_h, id_col, "simhash", max_hamming, chunks, filter_within=max_hamming
     )
+
+
+# --- containment (asymmetric near-dup) -------------------------------------------
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Ordered pairs (a, b) with shingle CONTAINMENT |A ∩ B| / |A| ≥
+    ``threshold`` — the ASYMMETRIC near-dup relation Jaccard misses: a tweet
+    quoted inside an article, a doc re-wrapped in boilerplate, a chapter
+    inside the full book have tiny Jaccard (the union is dominated by the
+    bigger side) but containment ≈ 1 of the smaller side. MinHash-LSH is
+    calibrated to Jaccard, so these pairs never band-collide; this operator
+    finds them exactly.
+
+    Blocking is PREFIX FILTERING (the public SSJoin/PPJoin construction —
+    Chaudhuri et al. ICDE 2006, Xiao et al. WWW 2008), containment form: if
+    ≥ t·|A| of A's shingles are in B, then at most ⌊(1−t)·|A|⌋ are missing —
+    so among A's ⌊(1−t)·|A|⌋+1 globally-RAREST shingles, at least one is in
+    B. Candidates = equi-join of each doc's rare-shingle prefix against the
+    full postings list; an exact set intersection verifies. LOSSLESS by the
+    pigeonhole above — blocking only prunes.
+
+    Scale: the shingle grid shuffles ONCE into doc-frequency counts
+    (map-side partials, constant buffers); the prefix rank is a window over
+    each doc's OWN shingles (well-spread key); the candidate join keys on
+    globally-rare shingles — bounded postings by construction, AQE-splits
+    the residue. The verify joins shingle arrays back by id for candidates
+    only. The degenerate corpus (everyone contains everyone) has quadratic
+    OUTPUT — no blocking can beat its own answer.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__cid"), word_shingles(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    posts = sh.select("__cid", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    # word_shingles is per-doc distinct, so count(*) per shingle IS document
+    # frequency
+    freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("__cid").orderBy(F.col("df").asc(), F.col("g").asc())
+    # prefix length = (max missing shingles) + 1 = ⌊(1−t)·n⌋ + 1. The 1e-9
+    # slack guards binary-float drop-off at exact-rational thresholds
+    # ((1−0.8)·5 computes as 0.9999…9 → floor 0, losing a legal pair whose
+    # single missing shingle is the rarest); a slightly LONGER prefix is
+    # always safe — it only adds candidates the verify discards.
+    pref = (
+        posts.join(freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1)
+        .select(F.col("__cid").alias("id_a"), "g")
+    )
+    cand = (
+        pref.join(posts.select(F.col("__cid").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("__cid").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("__cid").alias("id_b"), F.col("sh").alias("sh_b"))
+    # gate on the RAW ratio (rounding first would admit 0.7999996-style
+    # borderline pairs an exact evaluator rejects), round only the output
+    raw = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__c", raw)
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 6).alias("containment"))
+    )

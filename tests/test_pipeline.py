@@ -1199,3 +1199,47 @@ def test_clean_cli_unigram_lm_filter(tmp_path, spark):
     crep = json.loads(open(crpt).read())
     assert crep["docs_in"] == 11 and crep["after_unigram_lm"] == 10
     assert 99 not in {r.doc_id for r in spark.read.parquet(out).collect()}
+
+
+def test_containment_pairs_asymmetric_and_exact(spark):
+    """containment_pairs finds the quoted-inside relation (high containment,
+    low Jaccard) in the right DIRECTION only, equals brute force on a random
+    corpus, and survives the exact-rational threshold boundary (t=0.8 with
+    |A|=5 and exactly one missing shingle — the float ⌊(1−t)·n⌋ edge)."""
+    import itertools
+    import random
+
+    from lyra_spark.pipeline.dedup import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta many more words"),
+        (3, "completely different content here nothing shared"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df, threshold=0.8, shingle_k=1).collect()}
+    assert got == {(1, 2): 1.0}  # 1 ⊂ 2; 2 ⊄ 1 (4/10 < 0.8); 3 pairs with nothing
+
+    # boundary: A has 5 distinct words, exactly 4 appear in B -> 0.8 >= 0.8
+    rows = [(1, "a b c d e"), (2, "a b c d x y z w q r s t")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b) for r in containment_pairs(df, threshold=0.8, shingle_k=1).collect()}
+    assert (1, 2) in got
+
+    # random-corpus brute force (k=1 word sets)
+    random.seed(5)
+    vocab = "red green blue cyan teal pink gray onyx jade ruby".split()
+    strs = [" ".join(random.choice(vocab) for _ in range(random.randint(1, 12))) for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(strs)), "doc_id bigint, text string")
+    for t in (0.6, 0.8, 1.0):
+        got = {(r.id_a, r.id_b) for r in containment_pairs(df, threshold=t, shingle_k=1).collect()}
+        sets = {i: set(s.split()) for i, s in enumerate(strs)}
+        want = {(i, j) for i, j in itertools.permutations(range(len(strs)), 2)
+                if len(sets[i] & sets[j]) / len(sets[i]) >= t}
+        assert got == want, f"t={t}"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, threshold=0.0)
