@@ -781,6 +781,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, block_col="lang", threshold=0.9, shingle_k=1)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fractions at 5-word windows
+    (pipeline.text.duplicate_span_stats, the Lee et al. 2022 duplicated-
+    substring signal): the mid-document boilerplate paragraph line dedup
+    (newline-aligned), repetition_stats (within-doc) and whole-doc dedup
+    all miss. Only (id, span-hash) pairs shuffle; the oracle rebuilds the
+    exact window inventory + doc-frequency semantics in SQL."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import duplicate_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, window=5, min_docs=2)
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs |A∩B|/|A| ≥ 0.8 on bigram shingles
     (pipeline.dedup.containment_pairs, SSJoin/PPJoin prefix filtering):
@@ -1994,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "containment": q_containment,
+        "dup_spans": q_dup_spans,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -3202,6 +3217,27 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
                   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+        """,
+        "dup_spans": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(tk) - 5 + 2),
+                                                    i -> array_to_string(tk[i:i+4], ' '))) AS gs
+                FROM t WHERE len(tk) >= 5
+            ),
+            p AS (SELECT doc_id, g.g FROM s, UNNEST(gs) AS g(g)),
+            d AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+            SELECT p.doc_id,
+                   COUNT(*) AS n_spans,
+                   COUNT(d.g) AS n_dup_spans,
+                   ROUND(COUNT(d.g)::DOUBLE / COUNT(*), 6) AS dup_span_fraction
+            FROM p LEFT JOIN d ON p.g = d.g
+            GROUP BY p.doc_id
         """,
         "containment": """
             WITH t AS (

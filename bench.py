@@ -122,6 +122,7 @@ def main() -> None:
         "top_ngrams",
         "unigram_quality",
         "containment",
+        "dup_spans",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

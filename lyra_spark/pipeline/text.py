@@ -503,3 +503,68 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document CROSS-corpus span duplication: the fraction of a doc's
+    distinct ``window``-word spans that also occur in ≥ ``min_docs``−1 OTHER
+    documents — the Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") duplicated-substring signal at word-window
+    granularity. Catches what the neighbors miss: line dedup only sees
+    newline-aligned repeats, repetition_features only sees WITHIN-doc
+    repeats, doc-level dedup only sees whole-document similarity — a
+    boilerplate paragraph pasted mid-document into thousands of pages is
+    invisible to all three but dominates this fraction.
+
+    Returns (id_col, n_spans, n_dup_spans, dup_span_fraction) for docs with
+    ≥ 1 span (shorter docs have no defined fraction); spans are distinct per
+    doc (within-doc repetition neither inflates a doc's own fraction nor
+    double-counts in the corpus roll-up — n_docs counts DISTINCT docs).
+
+    Scale: the line_dedup shape — only (id, xxhash64(span)) pairs ever
+    shuffle (~16 bytes/span regardless of window width): one exchange into
+    span doc-frequencies (map-side partials, constant buffers), a semi-join
+    of the same grid against the ≥ min_docs hash set, one per-doc roll-up.
+    Text never shuffles.
+    """
+    if window < 1 or min_docs < 2:
+        raise ValueError("window must be >= 1 and min_docs >= 2")
+    posts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(_word_ngrams(text_col, window, distinct=True)).alias("__g"),
+        )
+        .select(F.col(id_col), F.xxhash64("__g").alias("h"))
+        # the dup-frequency aggregate and the per-doc semi-join both read
+        # this ~16-byte/span grid; without the checkpoint each would re-scan
+        # and re-explode the text
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        posts.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    flagged = posts.join(dup, "h", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    totals = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        totals.join(flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6).alias(
+                "dup_span_fraction"
+            ),
+        )
+    )

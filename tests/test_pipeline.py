@@ -1243,3 +1243,31 @@ def test_containment_pairs_asymmetric_and_exact(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="threshold"):
         containment_pairs(df, threshold=0.0)
+
+
+def test_duplicate_span_stats(spark):
+    """Window inventory, cross-doc (not within-doc) duplication, distinct
+    spans per doc, short/NULL docs excluded, validation."""
+    import pytest as _pytest
+
+    from lyra_spark.pipeline.text import duplicate_span_stats
+
+    rows = [
+        (1, "one two three four five six seven eight"),
+        (2, "zz yy one two three four five qq ww ee rr tt"),
+        (3, "totally unrelated words that appear nowhere else at all"),
+        (4, "rep rep rep rep rep rep rep rep rep rep"),  # within-doc only
+        (5, "tiny doc"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_fraction)
+           for r in duplicate_span_stats(df, window=5).collect()}
+    assert got[1] == (4, 1, 0.25)       # shares "one two three four five"
+    assert got[2] == (8, 1, 0.125)
+    assert got[3] == (5, 0, 0.0)
+    # doc 4's repeated span is DISTINCT per doc and appears in no other doc
+    assert got[4] == (1, 0, 0.0)
+    assert 5 not in got and 6 not in got
+    with _pytest.raises(ValueError, match="window"):
+        duplicate_span_stats(df, window=0)
