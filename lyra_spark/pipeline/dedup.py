@@ -867,38 +867,72 @@ def containment_pairs(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    base = df.filter(F.col(text_col).isNotNull())
+    # parallelism guard (same as minhash_signature): the shingle build is a
+    # heavy map inheriting the input's partitioning
+    sc = df.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
     sh = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__cid"), word_shingles(text_col, shingle_k).alias("sh"))
+        base.select(F.col(id_col).alias("__cid"), word_shingles(text_col, shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    posts = sh.select("__cid", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    # the candidate machinery only ever needs ~16-byte (id, n, hash) rows:
+    # hash the shingles out of the grid (collision candidates are discarded
+    # by the exact verify — still lossless) and checkpoint it once so the
+    # frequency agg, the prefix build, and the postings side of the join all
+    # read cached blocks instead of each re-scanning + re-shingling the text
+    posts = (
+        sh.select("__cid", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+        .select("__cid", "n", F.xxhash64("g").alias("h"))
+        .localCheckpoint(eager=False)
+    )
     # word_shingles is per-doc distinct, so count(*) per shingle IS document
     # frequency
-    freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("__cid").orderBy(F.col("df").asc(), F.col("g").asc())
+    freq = posts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("__cid").orderBy(F.col("df").asc(), F.col("h").asc())
     # prefix length = (max missing shingles) + 1 = ⌊(1−t)·n⌋ + 1. The 1e-9
     # slack guards binary-float drop-off at exact-rational thresholds
     # ((1−0.8)·5 computes as 0.9999…9 → floor 0, losing a legal pair whose
     # single missing shingle is the rarest); a slightly LONGER prefix is
     # always safe — it only adds candidates the verify discards.
     pref = (
-        posts.join(freq, "g")
+        posts.join(freq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1)
-        .select(F.col("__cid").alias("id_a"), "g")
+        .select(F.col("__cid").alias("id_a"), F.col("n").alias("n_a"), "h")
     )
+    # size filter rides the candidate join: |A∩B| ≤ |B|, so containment ≥ t
+    # needs |B| ≥ t·|A| — prunes small-container candidates before they cost
+    # an array intersection (same epsilon rationale as the prefix length).
+    # The pair dedup repartitions EXPLICITLY (fixed width, immune to AQE
+    # coalescing): candidate id pairs compress to almost nothing, so
+    # byte-sized coalescing would funnel a dense corpus's multi-million-pair
+    # dedup + verify into 2 tasks; dropDuplicates then reuses this exchange's
+    # (id_a, id_b) clustering — no second shuffle.
+    n_shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = (
-        pref.join(posts.select(F.col("__cid").alias("id_b"), "g"), "g")
-        .filter(F.col("id_a") != F.col("id_b"))
+        pref.join(posts.select(F.col("__cid").alias("id_b"), F.col("n").alias("n_b"), "h"), "h")
+        .filter((F.col("id_a") != F.col("id_b")) & (F.col("n_b") >= threshold * F.col("n_a") - 1e-9))
         .select("id_a", "id_b")
-        .distinct()
+        .repartition(n_shuf, "id_a", "id_b")
+        .dropDuplicates()
     )
     a = sh.select(F.col("__cid").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("__cid").alias("id_b"), F.col("sh").alias("sh_b"))
-    # gate on the RAW ratio (rounding first would admit 0.7999996-style
-    # borderline pairs an exact evaluator rejects), round only the output
-    raw = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+    # Verify on HASHED shingle arrays: the intersection only compares 8-byte
+    # longs (a ~5x cheaper inner loop than string sets, and the per-doc side
+    # tables shrink enough to broadcast), with the same xxhash64-equality-
+    # as-identity convention line_dedup and the LSH bands already use. AQE
+    # sizes the candidate partitions by their ~16-byte shuffle rows, which
+    # under-parallelizes the compute-heavy verify ~16x on a dense corpus —
+    # the verify inherits the pinned-width candidate partitioning above.
+    hashed = sh.select(
+        "__cid", F.size("sh").alias("n"), F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    a = hashed.select(F.col("__cid").alias("id_a"), F.col("n").alias("na"), F.col("hs").alias("hs_a"))
+    b = hashed.select(F.col("__cid").alias("id_b"), F.col("hs").alias("hs_b"))
+    raw = F.size(F.array_intersect("hs_a", "hs_b")) / F.col("na")
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
