@@ -38,6 +38,9 @@ COLLECT_ALLOWED = {
     # ruleset_from_suggestions collects the suggestion frame: bounded by
     # profiled columns x suggestion kinds, never by row count
     "suggest.py",
+    # unigram_logprob collects ONE scalar (the language model's total token
+    # count) — the same O(1)-to-driver shape as sample.py's mixture rates
+    "text.py",
 }
 
 # Per-row iteration inside Arrow batches is the hidden flavor of the same
