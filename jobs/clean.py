@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--max-dup-span-fraction", type=float, default=None,
+                    help="drop docs whose fraction of 13-word spans shared "
+                         "with other documents exceeds this (Lee et al. 2022 "
+                         "duplicated-substring cut; e.g. 0.5). Adds one "
+                         "(id, span-hash) pass BEFORE the funnel; docs too "
+                         "short to have a span are kept")
+    ap.add_argument("--dup-span-window", type=int, default=13,
+                    help="span width in words for --max-dup-span-fraction")
     ap.add_argument("--min-unigram-logprob", type=float, default=None,
                     help="drop docs whose mean unigram log-probability under "
                          "the corpus's own LM falls below this (e.g. -9.5; "
@@ -141,6 +149,18 @@ def main(argv: list[str] | None = None) -> int:
         n_in_base = dup_ids.count()  # one row per already-present new doc
         docs = docs.join(dup_ids, args.id_col, "left_anti")
 
+    n_span_kept = None
+    if args.max_dup_span_fraction is not None:
+        from lyra_spark.pipeline.text import duplicate_span_stats
+
+        # drop-list anti-join: only the offending ids shuffle back, and docs
+        # without a defined fraction (too short) pass through untouched
+        drop = duplicate_span_stats(
+            docs, args.text_col, args.id_col, window=args.dup_span_window
+        ).filter(F.col("dup_span_fraction") > args.max_dup_span_fraction).select(args.id_col)
+        docs = docs.join(drop, args.id_col, "left_anti")
+        n_span_kept = docs.count()
+
     n_lm_kept = None
     if args.min_unigram_logprob is not None:
         from lyra_spark.pipeline.text import unigram_logprob
@@ -206,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
         "docs_in": n_in,
         **({"blocked_by_domain": n_blocked} if n_blocked is not None else {}),
         **({"already_in_base": n_in_base} if n_in_base is not None else {}),
+        **({"after_dup_span": n_span_kept} if n_span_kept is not None else {}),
         **({"after_unigram_lm": n_lm_kept} if n_lm_kept is not None else {}),
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,

@@ -1271,3 +1271,31 @@ def test_duplicate_span_stats(spark):
     assert 5 not in got and 6 not in got
     with _pytest.raises(ValueError, match="window"):
         duplicate_span_stats(df, window=0)
+
+
+def test_clean_cli_dup_span_filter(tmp_path, spark):
+    """--max-dup-span-fraction drops the boilerplate-dominated doc before the
+    funnel; short docs (no defined fraction) survive."""
+    import json
+
+    from jobs.clean import main
+
+    boiler = "this exact boilerplate paragraph appears in every single page here"
+    rows = [
+        (0, boiler + " plus unique tail zero ending with several distinct words"),
+        (1, boiler + " plus another unique tail one with different trailing words"),
+        (2, boiler),                      # 100% duplicated spans
+        (3, "a short doc"),               # too short for a span: kept
+        (4, "a clean unrelated document with enough words to have spans too"),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out, rpt = str(tmp_path / "cleaned"), str(tmp_path / "rep.json")
+    rc = main(["--corpus", src, "--out", out, "--report", rpt,
+               "--max-dup-span-fraction", "0.9", "--dup-span-window", "5",
+               "--min-quality", "0.0", "--near-dup-threshold", "0.99"])
+    assert rc == 0
+    rep = json.loads(open(rpt).read())
+    assert rep["docs_in"] == 5 and rep["after_dup_span"] == 4
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 2 not in kept and 3 in kept and 4 in kept
