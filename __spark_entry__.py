@@ -643,6 +643,22 @@ def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "rule_id")
 
 
+def q_referential_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition FK coverage rate with a gate (checks.referential_coverage,
+    Deequ hasReferentialIntegrity): fraction of events.user_id resolving
+    against a RESTRICTED customer dimension (nations < 12) per day —
+    min_coverage 0.46 splits the sf0.01 days into passing AND failing.
+    One broadcast left join + one conditional agg; the fact table never
+    shuffles."""
+    ensure_shipped(spark)
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    dim = _read(spark, sf_dir, "customer").filter("c_nationkey < 12").select("c_custkey")
+    return checks.referential_coverage(
+        events, dim, fk_col="user_id", dim_col="c_custkey",
+        partition_col="day", min_coverage=0.46,
+    )
+
+
 def q_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 row 29: monotone ordering via Window/lag — per-order line items
     whose l_shipdate precedes an earlier line's (fires ~20k rows at sf0.01)."""
@@ -1997,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
+        "referential_coverage": q_referential_coverage,
         "monotone": q_monotone,
         "agg_lineitem": q_agg_lineitem,
         "broadcast_join": q_broadcast_join,
@@ -2215,6 +2232,22 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "referential_coverage": """
+            WITH d AS (SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey < 12),
+            j AS (
+                SELECT strftime(e.ts, '%Y-%m-%d') AS day, e.user_id,
+                       CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM events e LEFT JOIN d ON e.user_id = d.c_custkey
+            )
+            SELECT day,
+                   COUNT(*) AS n_rows,
+                   COUNT(user_id) AS n_fk,
+                   CAST(SUM(hit) AS BIGINT) AS n_matched,
+                   ROUND(CASE WHEN COUNT(user_id) > 0
+                              THEN SUM(hit)::DOUBLE / COUNT(user_id) END, 6) AS coverage,
+                   (COUNT(user_id) = 0 OR SUM(hit)::DOUBLE / COUNT(user_id) >= 0.46) AS pass
+            FROM j GROUP BY day
         """,
         "markup_strip": r"""
             WITH planted AS (

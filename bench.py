@@ -123,6 +123,7 @@ def main() -> None:
         "unigram_quality",
         "containment",
         "dup_spans",
+        "referential_coverage",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -480,3 +480,53 @@ def reconcile_tables(
         (F.col("n_left").eqNullSafe(F.col("n_right"))).alias("count_match"),
         (F.col("checksum_left").eqNullSafe(F.col("checksum_right"))).alias("content_match"),
     )
+
+
+def referential_coverage(
+    df: DataFrame,
+    dim: DataFrame,
+    fk_col: str = "tool",
+    dim_col: str = "tool_name",
+    partition_col: str | None = "part_date",
+    min_coverage: float | None = None,
+) -> DataFrame:
+    """Per-partition FK coverage RATE (Deequ hasReferentialIntegrity): the
+    monitoring dual of referential_violations — that one emits the violating
+    rows, this one answers "what fraction of non-NULL FKs resolve, per
+    partition, and did it dip below the gate" (a joinability regression —
+    e.g. a dimension snapshot lagging the fact feed — shows up as a rate
+    drop long before anyone reads violation rows).
+
+    Returns (partition_col?, n_rows, n_fk, n_matched, coverage[, pass]).
+    coverage = matched / non-NULL FKs, rounded 6 dp (the gate compares
+    unrounded); NULL FKs don't count either way (nullable-FK semantics,
+    SEMANTICS.md 13). A partition with ZERO non-NULL FKs has coverage NULL
+    and PASSES: referential integrity is a universally-quantified claim —
+    vacuously true on no FKs — unlike statistical metric gates, where an
+    unmeasurable metric fails (SEMANTICS.md 79); a no-tool-calls day is
+    normal, not a broken expectation.
+
+    Scale: one broadcast left join (the dimension ships to every executor,
+    the fact table never shuffles) + one constant-buffer conditional
+    aggregate per partition.
+    """
+    dim_keys = F.broadcast(
+        dim.select(F.col(dim_col).alias(fk_col)).distinct().withColumn("__hit", F.lit(1))
+    )
+    keep = [partition_col] if partition_col else []
+    j = df.select(*keep, fk_col).join(dim_keys, fk_col, "left")
+    cov_raw = F.when(
+        F.count(fk_col) > 0, F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(fk_col)
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(fk_col).alias("n_fk"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_matched"),
+        F.round(cov_raw, 6).alias("coverage"),
+    ]
+    if min_coverage is not None:
+        aggs.append(
+            (F.isnull(cov_raw) | (cov_raw >= F.lit(float(min_coverage)))).alias("pass")
+        )
+    grouped = j.groupBy(*keep) if keep else j.groupBy()
+    return grouped.agg(*aggs)

@@ -484,3 +484,32 @@ def test_freshness_report_flags_missing_expected_partition(spark, tmp_path):
         df, expected_partitions=expected).collect()}
     assert got2["2024-01-03"]["stale"] is True and got2["2024-01-03"]["max_ts"] is None
     assert got2["2024-01-02"]["stale"] is False
+
+
+def test_referential_coverage_rates_and_vacuous_pass(spark):
+    """checks.referential_coverage: per-partition matched/non-NULL-FK rates,
+    NULL FKs counted neither way, zero-FK partitions pass vacuously
+    (SEMANTICS.md 85), gate on the unrounded rate."""
+    from lyra_spark.checks import referential_coverage
+
+    rows = [
+        ("d1", 1), ("d1", 2), ("d1", 99), ("d1", None),   # 2/3 matched
+        ("d2", 1), ("d2", 2),                              # 2/2
+        ("d3", None),                                      # no FKs at all
+    ]
+    df = spark.createDataFrame(rows, "day string, fk bigint")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+    got = {r.day: r for r in referential_coverage(
+        df, dim, fk_col="fk", dim_col="k", partition_col="day", min_coverage=0.7
+    ).collect()}
+    d1, d2, d3 = got["d1"], got["d2"], got["d3"]
+    assert (d1.n_rows, d1.n_fk, d1.n_matched) == (4, 3, 2)
+    assert d1.coverage == pytest.approx(2 / 3, abs=1e-6) and d1["pass"] is False
+    assert d2.coverage == 1.0 and d2["pass"] is True
+    assert d3.n_fk == 0 and d3.coverage is None and d3["pass"] is True
+
+    # whole-table mode (no partition col), no gate column without min_coverage
+    whole = referential_coverage(df, dim, fk_col="fk", dim_col="k", partition_col=None)
+    r = whole.collect()[0]
+    assert (r.n_rows, r.n_fk, r.n_matched) == (7, 5, 4)
+    assert "pass" not in whole.columns
