@@ -1966,7 +1966,11 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lyra_spark.fuzzy import fuzzy_join
 
     cust = _read(spark, sf_dir, "customer")
-    out = fuzzy_join(cust, cust, "c_name", "c_name", 1, "c_custkey", "c_custkey")
+    # customer names are known-short: method="deletion" skips the auto
+    # hybrid's two (empty) long-string PassJoin branches and their scans
+    out = fuzzy_join(
+        cust, cust, "c_name", "c_name", 1, "c_custkey", "c_custkey", method="deletion"
+    )
     return out.filter("l_id < r_id").select("l_id", "r_id", "distance")
 
 

@@ -155,9 +155,13 @@ def main(argv: list[str] | None = None) -> int:
 
         # drop-list anti-join: only the offending ids shuffle back, and docs
         # without a defined fraction (too short) pass through untouched
+        # gate on the UNROUNDED ratio (SEMANTICS.md 83/85 convention);
+        # dup_span_fraction is rounded for display only
         drop = duplicate_span_stats(
             docs, args.text_col, args.id_col, window=args.dup_span_window
-        ).filter(F.col("dup_span_fraction") > args.max_dup_span_fraction).select(args.id_col)
+        ).filter(
+            (F.col("n_dup_spans") / F.col("n_spans")) > args.max_dup_span_fraction
+        ).select(args.id_col)
         docs = docs.join(drop, args.id_col, "left_anti")
         n_span_kept = docs.count()
 
@@ -168,7 +172,14 @@ def main(argv: list[str] | None = None) -> int:
         # LM built on the post-blocklist/post-ingest docs (the corpus being
         # cleaned), scores broadcast back as a tiny (id) keep-list complement:
         # only ids shuffle, the text column never does
-        keep = unigram_logprob(docs, args.text_col, args.id_col).filter(
+        try:
+            scored = unigram_logprob(docs, args.text_col, args.id_col)
+        except ValueError as e:
+            # token-free corpus: NO doc has a defined score, so the keep-list
+            # would be empty and the stage would silently drop EVERYTHING —
+            # fail loudly instead
+            raise SystemExit(f"--min-unigram-logprob: {e}") from e
+        keep = scored.filter(
             F.col("logprob_per_token") >= args.min_unigram_logprob
         ).select(args.id_col)
         docs = docs.join(keep, args.id_col, "left_semi")

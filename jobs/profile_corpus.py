@@ -146,20 +146,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.unigram:
         from lyra_spark.pipeline.text import unigram_logprob
 
-        u = (
-            unigram_logprob(docs, tc, args.id_col)
-            .agg(
+        try:
+            lp = unigram_logprob(docs, tc, args.id_col)
+        except ValueError as e:
+            # a token-free corpus (all-NULL text, no [a-z0-9] runs) has no
+            # LM — report the fact instead of stack-tracing out of the CLI
+            lp = None
+            unigram = {"error": str(e)}
+        if lp is not None:
+            u = lp.agg(
                 F.round(F.avg("logprob_per_token"), 4).alias("mean"),
                 F.expr(
                     "percentile_approx(logprob_per_token, array(0.01, 0.1, 0.5, 0.9), 10000)"
                 ).alias("p"),
-            )
-            .collect()[0]
-        )
-        unigram = {
-            "mean_logprob_per_token": u.mean,
-            "logprob_p1_p10_p50_p90": [None if v is None else round(v, 4) for v in (u.p or [None] * 4)],
-        }
+            ).collect()[0]
+            unigram = {
+                "mean_logprob_per_token": u.mean,
+                "logprob_p1_p10_p50_p90": [None if v is None else round(v, 4) for v in (u.p or [None] * 4)],
+            }
 
     report = {
         "n_docs": stats["n_docs"],

@@ -155,24 +155,27 @@ def fuzzy_join(
         # trade only for short strings (names, ids, titles); long strings
         # keep PassJoin's O(d²) fan-out. short×short / long×anything /
         # short×long partition the pair space disjointly and exhaustively.
+        # Stays a PURE transformation: no eager emptiness probes (probing a
+        # filter that turns out empty is itself a full scan, run as a
+        # surprise job at plan-build time, and can go stale before the real
+        # action). The passjoin branches cost two extra column-pruned
+        # (id, value) scans at runtime even when the long population is
+        # empty — corpora KNOWN to be all-short can pass method="deletion"
+        # to skip them.
         T = _DELETION_MAX_LEN
         l_short = left.filter(F.length(left_on) <= T)
         r_short = right.filter(F.length(right_on) <= T)
         l_long = left.filter(F.length(left_on) > T)
         r_long = right.filter(F.length(right_on) > T)
-        out = _fuzzy_join_deletion(l_short, r_short, left_on, right_on, d, left_id, right_id)
-        # the long populations are usually EMPTY for this operator's target
-        # corpora — skip the plan nodes entirely when a cheap metadata-ish
-        # probe says so (isEmpty reads one partition-ish, not the table)
-        if not l_long.isEmpty():
-            out = out.unionByName(
+        return (
+            _fuzzy_join_deletion(l_short, r_short, left_on, right_on, d, left_id, right_id)
+            .unionByName(
                 _fuzzy_join_passjoin(l_long, right, left_on, right_on, d, left_id, right_id)
             )
-        if not r_long.isEmpty():
-            out = out.unionByName(
+            .unionByName(
                 _fuzzy_join_passjoin(l_short, r_long, left_on, right_on, d, left_id, right_id)
             )
-        return out
+        )
     return _fuzzy_join_passjoin(left, right, left_on, right_on, d, left_id, right_id)
 
 
@@ -321,4 +324,7 @@ def _fuzzy_join_deletion(
             F.levenshtein("left_value", "right_value").alias("distance"),
         )
         .filter(F.col("distance") <= d)
+        # output-sized distinct for row-multiplicity parity with the PassJoin
+        # path when an input carries duplicate (id, value) rows
+        .distinct()
     )

@@ -918,8 +918,6 @@ def containment_pairs(
         .repartition(n_shuf, "id_a", "id_b")
         .dropDuplicates()
     )
-    a = sh.select(F.col("__cid").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("__cid").alias("id_b"), F.col("sh").alias("sh_b"))
     # Verify on HASHED shingle arrays: the intersection only compares 8-byte
     # longs (a ~5x cheaper inner loop than string sets, and the per-doc side
     # tables shrink enough to broadcast), with the same xxhash64-equality-

@@ -467,13 +467,20 @@ def unigram_logprob(
                 )
             ).alias("tok"),
         )
+        # three consumers (the total collect, the doc_tf grid, the self-LM
+        # vocab) would otherwise each re-scan and re-tokenize the text —
+        # the duplicate_span_stats / containment_pairs caching pattern
+        .localCheckpoint(eager=False)
     )
     # per-doc term counts FIRST: the join and everything after run on the
     # distinct (doc, token) grid, never on raw token occurrences
     doc_tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = (lm if lm is not None else toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )).select("tok", F.col("cnt").cast("double").alias("cnt"))
+    vocab = (
+        (lm if lm is not None else toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+        .select("tok", F.col("cnt").cast("double").alias("cnt"))
+        # read twice: the total below and the score join
+        .localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0.0
     if total <= 0:
         raise ValueError("empty language model: no tokens")

@@ -149,3 +149,14 @@ if _HAVE_HYP:
         want = {(i, j) for (i, a), (j, b) in itertools.product(rows, repeat=2)
                 if _lev(a, b) <= d}
         assert got == want
+
+
+def test_methods_agree_on_duplicate_input_rows(spark):
+    """Duplicate (id, value) input rows must not change result multiplicity
+    between blocking methods (both emit the distinct pair set)."""
+    rows = [(1, "abc"), (1, "abc"), (2, "abd")]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    for m in ("deletion", "passjoin"):
+        out = fuzzy_join(df, df, "name", "name", 1, "id", "id", method=m)
+        rows_out = [(r.l_id, r.r_id) for r in out.collect()]
+        assert sorted(rows_out) == [(1, 1), (1, 2), (2, 1), (2, 2)], m

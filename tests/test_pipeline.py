@@ -1299,3 +1299,27 @@ def test_clean_cli_dup_span_filter(tmp_path, spark):
     assert rep["docs_in"] == 5 and rep["after_dup_span"] == 4
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 2 not in kept and 3 in kept and 4 in kept
+
+
+def test_unigram_cli_token_free_corpus(tmp_path, spark):
+    """A corpus with no [a-z0-9] tokens: profile --unigram reports the fact
+    instead of crashing; clean --min-unigram-logprob fails loudly instead of
+    silently dropping every document."""
+    import json
+
+    import pytest as _pytest
+
+    from jobs.clean import main as clean_main
+    from jobs.profile_corpus import main as profile_main
+
+    rows = [(1, "???!!!"), (2, None), (3, "¡¡¡…")]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rpt = str(tmp_path / "p.json")
+    assert profile_main(["--corpus", src, "--report", rpt, "--unigram"]) == 0
+    rep = json.loads(open(rpt).read())
+    assert "error" in rep["unigram_quality"]
+
+    with _pytest.raises(SystemExit, match="min-unigram-logprob"):
+        clean_main(["--corpus", src, "--out", str(tmp_path / "o"),
+                    "--min-unigram-logprob", "-5", "--min-quality", "0.0"])
