@@ -643,6 +643,19 @@ def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "rule_id")
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified z-score outliers (stats.robust_outlier_rows,
+    Iglewicz-Hoaglin |M| > 3.5): the masking-proof companion of `outliers`
+    — mean/std are dragged by the very spikes they should expose, order
+    statistics are not. Exact interpolated medians (no float-sum-order
+    nondeterminism); two tiny aggs + a map-only verdict."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import robust_outlier_rows
+
+    events = _read(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return robust_outlier_rows(events, "value", ["event_id"], partition_col="day", z=3.5)
+
+
 def q_referential_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition FK coverage rate with a gate (checks.referential_coverage,
     Deequ hasReferentialIntegrity): fraction of events.user_id resolving
@@ -2018,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "referential_coverage": q_referential_coverage,
+        "robust_outliers": q_robust_outliers,
         "monotone": q_monotone,
         "agg_lineitem": q_agg_lineitem,
         "broadcast_join": q_broadcast_join,
@@ -2236,6 +2250,18 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "robust_outliers": """
+            WITH e AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
+            m AS (SELECT day, quantile_cont(value, 0.5) AS med FROM e GROUP BY day),
+            d AS (SELECT e.day, MAX(m.med) AS med,
+                         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                  FROM e JOIN m USING (day) GROUP BY e.day)
+            SELECT e.event_id, e.day, e.value,
+                   ROUND(0.6745 * (e.value - d.med) / d.mad, 4) AS mod_zscore
+            FROM e JOIN d USING (day)
+            WHERE e.value IS NOT NULL AND d.mad IS NOT NULL AND d.mad > 0
+              AND abs(0.6745 * (e.value - d.med) / d.mad) > 3.5
         """,
         "referential_coverage": """
             WITH d AS (SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey < 12),

@@ -124,6 +124,7 @@ def main() -> None:
         "containment",
         "dup_spans",
         "referential_coverage",
+        "robust_outliers",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

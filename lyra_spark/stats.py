@@ -675,3 +675,64 @@ def metric_anomaly(
         & (F.col("deviation") > threshold)
         & (F.col("n_ref_parts") >= int(min_ref_parts))
     )
+
+
+def robust_outlier_rows(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    partition_col: str | None = "part_date",
+    z: float = 3.5,
+) -> DataFrame:
+    """Rows whose MODIFIED z-score ``0.6745·(x − median)/MAD`` exceeds ``z``
+    in absolute value — the robust companion of ``outlier_rows``. The
+    mean/std version suffers MASKING: the outliers it should expose inflate
+    the very std they are scored against, so a partition with a handful of
+    10⁶× spikes can rate everything "normal". Median and MAD (median
+    absolute deviation) have a 50% breakdown point; 0.6745 = Φ⁻¹(3/4)
+    rescales MAD to σ-equivalents under normality (Iglewicz & Hoaglin's
+    modified z-score, the public construction; |M| > 3.5 is their
+    recommended cut).
+
+    Returns (*key_cols, [partition_col], value, mod_zscore) with mod_zscore
+    rounded 4 dp (the filter compares unrounded). Partitions where MAD = 0
+    (a majority-constant cohort — deviation has no robust unit) or with no
+    non-NULL values emit nothing, like outlier_rows' sd-degenerate case.
+
+    Scale: two tiny aggregate passes (exact interpolated medians — order
+    statistics, so no float-sum-order nondeterminism) + one map-only
+    verdict filter with the per-partition (median, MAD) frame broadcast
+    back; the data itself never shuffles, but the column is scanned three
+    times (median, deviations, verdict) — all column-pruned.
+    """
+    group = [partition_col] if partition_col else []
+    if group:
+        pk = F.coalesce(F.col(partition_col).cast("string"), F.lit("<NULL>"))
+        src = df.withColumn("__pk", pk)
+    else:
+        src = df.withColumn("__pk", F.lit(""))
+    med = src.groupBy("__pk").agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    mad = (
+        src.join(F.broadcast(med), "__pk")
+        .withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
+        .groupBy("__pk")
+        .agg(F.max("__med").alias("__med"), F.expr("percentile(__adev, 0.5)").alias("__mad"))
+    )
+    mz = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")
+    return (
+        src.join(F.broadcast(mad), "__pk")
+        .filter(
+            F.col(value_col).isNotNull()
+            & F.col("__mad").isNotNull()
+            & (F.col("__mad") > 0)
+            & (F.abs(mz) > z)
+        )
+        .select(
+            *key_cols,
+            *group,
+            F.col(value_col).alias("value"),
+            F.round(mz, 4).alias("mod_zscore"),
+        )
+    )

@@ -513,3 +513,31 @@ def test_referential_coverage_rates_and_vacuous_pass(spark):
     r = whole.collect()[0]
     assert (r.n_rows, r.n_fk, r.n_matched) == (7, 5, 4)
     assert "pass" not in whole.columns
+
+
+def test_robust_outlier_rows_resists_masking(spark):
+    """Median/MAD flags the spikes that drag mean/std enough to mask
+    themselves; MAD=0 (majority-constant) partitions emit nothing; NULLs
+    and the NULL partition behave like outlier_rows."""
+    from lyra_spark.stats import outlier_rows, robust_outlier_rows
+
+    # 20 values near 10 plus five 1e6 spikes: the spikes inflate std to
+    # ~4e5, parking themselves at z ≈ 2 — BELOW the z=3 cut (masked) —
+    # while their modified z-score is astronomical
+    rows = [("d1", i, 10.0 + (i % 5) * 0.5) for i in range(20)]
+    rows += [("d1", 100 + k, 1e6) for k in range(5)]
+    rows += [("d2", 200, 7.0)] * 5          # constant cohort: MAD = 0
+    rows += [("d1", 300, None), (None, 301, 1e6)]
+    df = spark.createDataFrame(rows, "day string, event_id long, value double")
+
+    masked = outlier_rows(df, "value", ["event_id"], partition_col="day", z=3.0)
+    assert {r.event_id for r in masked.collect()} == set()  # masking, QED
+
+    got = {r.event_id: r.mod_zscore for r in robust_outlier_rows(
+        df, "value", ["event_id"], partition_col="day", z=3.5).collect()}
+    assert set(got) == {100, 101, 102, 103, 104}
+    assert all(v > 1000 for v in got.values())
+
+    # the NULL partition is its own single-value cohort (MAD 0): no row
+    got_all = robust_outlier_rows(df, "value", ["event_id"], partition_col="day", z=0.1)
+    assert 301 not in {r.event_id for r in got_all.collect()}
