@@ -1,0 +1,219 @@
+"""Scaling-efficiency evidence for the edit-distance threshold join
+(deletion-neighborhood blocking, fuzzy.fuzzy_join method="deletion") —
+third artifact in the family (run_scaling.py gates the validation suite,
+pipeline_scaling.py the MinHash-LSH clustering).
+
+Same v2 methodology: both level JVMs stay co-resident, timed runs alternate
+N,4N adjacent in time, every pair is bracketed by busy-loop + bandwidth
+probes, efficiency is scored on min-wall, heap scales with cores. Input is
+a deterministically synthesized name corpus (seeded xxhash64 pseudo-random
+12-digit serials — SPARSE, so accidental distance-1 pairs are rare — with
+10% planted one-typo twins), generated once at full parallelism before the
+levels launch, then read-only.
+
+    python BENCH/fuzzy_scaling.py [--n-names 2000000] [--levels 4,16] [--pairs 3]
+
+Writes BENCH/FUZZY_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_scaling import Level, probe_bandwidth, probe_parallel  # noqa: E402
+
+CHILD_FUZZY = r"""
+import glob, json, os, sys, time
+sys.path.insert(0, sys.argv[3])
+from lyra_spark.session import get_spark
+from lyra_spark.fuzzy import fuzzy_join
+
+cores = int(sys.argv[1])
+fx = sys.argv[2]
+# Data-sized shuffle partitions, identical at both levels (run_scaling.py
+# lesson). The variant explode runs ~19x the name count at ~16 bytes/row.
+in_bytes = sum(os.path.getsize(f) for f in glob.glob(os.path.join(fx, "*.parquet")))
+shuf = max(cores, in_bytes * 8 // (100 << 20) + 1)
+spark = get_spark(master=f"local[{cores}]", shuffle_partitions=shuf,
+                  app_name=f"fuzzy_scaling_{cores}",
+                  extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}",
+                              "spark.driver.memory": f"{2 * cores}g"})
+spark.sparkContext.setLogLevel("ERROR")
+names = spark.read.parquet(fx)
+n = names.count()
+
+def run():
+    (fuzzy_join(names, names, "name", "name", 1, "id", "id", method="deletion")
+     .filter("l_id < r_id")
+     .write.mode("overwrite").format("noop").save())
+
+def sweep():
+    import gc
+    gc.collect()
+    for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        try:
+            r.unpersist(True)
+        except Exception:
+            pass
+    spark.sparkContext._jvm.System.gc()
+
+print(json.dumps({"ready": True, "rows": n}), flush=True)
+for line in sys.stdin:
+    if line.strip() == "QUIT":
+        break
+    sweep()
+    t0 = time.perf_counter()
+    run()
+    print(json.dumps({"sec": round(time.perf_counter() - t0, 3)}), flush=True)
+"""
+
+
+def synth_names(n_names: int, path: str) -> str:
+    """Deterministic corpus: 'user-' + 12 pseudo-random digits (sparse in
+    10^12, so accidental distance-1 pairs are rare); every 10th row gets a
+    twin with one digit substituted by 'z' — exactly distance 1."""
+    marker = os.path.join(path, "_SYNTH_OK")
+    if os.path.exists(marker):
+        return path
+    from pyspark.sql import functions as F
+
+    from lyra_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32, app_name="synth_names")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.range(n_names).select(F.col("id"))
+    serial = F.format_string(
+        "%012d", F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(10**12))
+    )
+    originals = base.select("id", F.concat(F.lit("user-"), serial).alias("name"))
+    twins = (
+        base.filter(F.col("id") % 10 == 0)
+        .select(
+            (F.col("id") + n_names).alias("id"),
+            F.concat(
+                F.lit("user-"),
+                F.expr(
+                    f"concat(substring(format_string('%012d', pmod(xxhash64(id - {n_names}, 3), "
+                    f"cast(1000000000000 as bigint))), 1, 5), 'z', "
+                    f"substring(format_string('%012d', pmod(xxhash64(id - {n_names}, 3), "
+                    f"cast(1000000000000 as bigint))), 7))"
+                ),
+            ).alias("name"),
+        )
+    )
+    originals.unionByName(twins).repartition(32).write.mode("overwrite").parquet(path)
+    open(marker, "w").write("ok")
+    spark.stop()
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-names", type=int, default=2_000_000)
+    ap.add_argument("--levels", default="4,16")
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--warmups", type=int, default=2)
+    ap.add_argument("--min-probe", type=float, default=345.0)
+    ap.add_argument("--min-bw", type=float, default=30.0)
+    ap.add_argument("--max-attempts", type=int, default=40)
+    ap.add_argument("--wait-secs", type=float, default=45.0)
+    ap.add_argument("--calibrate", action="store_true",
+                    help="one 16c timed run, print wall, exit (corpus sizing)")
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+    assert hi == 4 * lo
+
+    fx = synth_names(args.n_names, os.path.join(REPO, ".fixtures", f"names_scaling_{args.n_names}"))
+
+    if args.calibrate:
+        b = Level(hi, fx, CHILD_FUZZY)
+        b.run_once()
+        w = b.run_once()
+        print(json.dumps({"calibrate_16c_sec": w, "rows": b.rows}), flush=True)
+        b.close()
+        return
+
+    a, b = Level(lo, fx, CHILD_FUZZY), Level(hi, fx, CHILD_FUZZY)
+    rows = a.rows
+    print(json.dumps({"rows": rows, "levels": [lo, hi]}), flush=True)
+    for w in range(args.warmups):
+        print(json.dumps({"warmup": w, lo: a.run_once(), hi: b.run_once()}), flush=True)
+
+    pairs = []
+    attempts = 0
+    while len(pairs) < args.pairs and attempts < args.max_attempts:
+        attempts += 1
+        p0, bw0 = probe_parallel(hi), probe_bandwidth(hi)
+        if p0 < args.min_probe or bw0 < args.min_bw:
+            print(json.dumps({"skipped": True, "probe_mips": p0, "bw_gbps": bw0}), flush=True)
+            time.sleep(args.wait_secs)
+            continue
+        sa = a.run_once()
+        p1, bw1 = probe_parallel(hi), probe_bandwidth(hi)
+        sb = b.run_once()
+        p2, bw2 = probe_parallel(hi), probe_bandwidth(hi)
+        pairs.append({"probe_mips": min(p0, p1, p2), "bw_gbps": min(bw0, bw1, bw2),
+                      f"sec_{lo}": sa, f"sec_{hi}": sb,
+                      "eff": round((sa / sb) / (hi / lo), 3)})
+        print(json.dumps(pairs[-1]), flush=True)
+    a.close()
+    b.close()
+    if not pairs:
+        print(json.dumps({"error": "host never met the weather gate"}))
+        return
+
+    from run_scaling import CHILD_ALU  # noqa: E402
+    ac, bc = Level(lo, None, CHILD_ALU), Level(hi, None, CHILD_ALU)
+    ac.run_once(), bc.run_once()
+    alu = [(ac.run_once(), bc.run_once()) for _ in range(3)]
+    ac.close(), bc.close()
+    alu_lo, alu_hi = min(p[0] for p in alu), min(p[1] for p in alu)
+    alu_eff = round((alu_lo / alu_hi) / (hi / lo), 3)
+    bw_lo = max(probe_bandwidth(lo) for _ in range(3))
+    bw_hi = max(probe_bandwidth(hi) for _ in range(3))
+    host_bw_eff = round((bw_hi / bw_lo) / (hi / lo), 3)
+    print(json.dumps({"alu_eff": alu_eff, "alu_walls": [alu_lo, alu_hi],
+                      "host_bw": [bw_lo, bw_hi], "host_bw_eff": host_bw_eff}), flush=True)
+
+    best_lo = min(p[f"sec_{lo}"] for p in pairs)
+    best_hi = min(p[f"sec_{hi}"] for p in pairs)
+    eff = round((best_lo / best_hi) / (hi / lo), 3)
+    thr_lo, thr_hi = round(rows / best_lo, 1), round(rows / best_hi, 1)
+
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "FUZZY_SCALING.md")
+    with open(md, "w") as f:
+        f.write("# Fuzzy-join scaling: deletion-neighborhood edit-distance join\n\n")
+        f.write("Companion to `BENCH/BASELINE.md` and `BENCH/PIPELINE_SCALING.md` —\n")
+        f.write("same methodology (alternating co-resident levels, probe-bracketed\n")
+        f.write("pairs, min-wall scoring, 2 g/core heap, data-sized shuffle\n")
+        f.write("partitions) applied to `fuzzy.fuzzy_join(method=\"deletion\")`\n")
+        f.write("end-to-end (variant explode -> hashed-variant equi-join -> pair\n")
+        f.write("dedup -> levenshtein verify).\n\n")
+        f.write(f"Input: {rows:,} synthetic names ('user-' + 12 sparse pseudo-random\n")
+        f.write("digits, 10% planted one-typo twins), seeded xxhash64 — bit-identical\n")
+        f.write("across runs (`BENCH/fuzzy_scaling.py synth_names`).\n\n")
+        f.write(f"| probe (M-it/s) | bw (GB/s) | {lo}c wall (s) | {hi}c wall (s) | pair efficiency |\n")
+        f.write("|---|---|---|---|---|\n")
+        for p in pairs:
+            f.write(f"| {p['probe_mips']} | {p['bw_gbps']} | {p[f'sec_{lo}']} | {p[f'sec_{hi}']} | {p['eff']} |\n")
+        f.write(f"\n**Efficiency (min-wall over {len(pairs)} pairs): {eff}** "
+                f"({lo}c {best_lo} s = {thr_lo:,.0f} names/s; "
+                f"{hi}c {best_hi} s = {thr_hi:,.0f} names/s; required >= 0.8).\n\n")
+        f.write("Same-session attribution bounds (methodology of `BENCH/BASELINE.md`):\n\n")
+        f.write(f"| bound | {lo}-way | {hi}-way | efficiency |\n|---|---|---|---|\n")
+        f.write(f"| ALU-bound Spark control, SAME stack | {alu_lo} s | {alu_hi} s | **{alu_eff}** |\n")
+        f.write(f"| host stream-copy throughput, NO Spark/JVM | {bw_lo} GB/s | {bw_hi} GB/s | **{host_bw_eff}** |\n")
+    print(json.dumps({"efficiency": eff, "md": md,
+                      "walls": {lo: best_lo, hi: best_hi}}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
