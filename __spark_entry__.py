@@ -824,6 +824,30 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(docs, window=5, min_docs=2)
 
 
+def q_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card-number scrub (pipeline.text.scrub_card_numbers):
+    planted Visa/MC TEST numbers (valid mod-10) are detected and redacted
+    while a one-digit-off twin and ordinary long digit runs are NOT — the
+    checksum gate a regex-only scrub can't express. Luhn is nested pure
+    Catalyst (transform/aggregate over the digit array); the oracle
+    replicates candidate extraction + mod-10 + the redaction fold in SQL."""
+    ensure_shipped(spark)
+    from lyra_spark.pipeline.text import scrub_card_numbers
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" card 4111 1111 1111 1111 ok")))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" card 4111 1111 1111 1112 no")))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" ref 5500-0000-0000-0004 and id 1234567890123456789012")))
+        .otherwise(F.col("text")),
+    )
+    out = scrub_card_numbers(planted)
+    return out.select(
+        "doc_id", "n_card_numbers", F.md5("text_redacted").alias("redacted_md5")
+    )
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs |A∩B|/|A| ≥ 0.8 on bigram shingles
     (pipeline.dedup.containment_pairs, SSJoin/PPJoin prefix filtering):
@@ -2044,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "containment": q_containment,
         "dup_spans": q_dup_spans,
+        "card_scrub": q_card_scrub,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -3280,6 +3305,34 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
                   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+        """,
+        "card_scrub": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' card 4111 1111 1111 1111 ok'
+                            WHEN doc_id % 7 = 1 THEN text || ' card 4111 1111 1111 1112 no'
+                            WHEN doc_id % 7 = 2 THEN text || ' ref 5500-0000-0000-0004 and id 1234567890123456789012'
+                            ELSE text END AS text
+                FROM documents WHERE text IS NOT NULL
+            ),
+            v AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b'), c -> (
+                           length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 AND
+                           list_sum(list_transform(range(1, length(regexp_replace(c,'[^0-9]','','g')) + 1),
+                               i -> CASE WHEN (i-1) % 2 = 1
+                                    THEN CASE WHEN CAST(substring(reverse(regexp_replace(c,'[^0-9]','','g')), i, 1) AS INT)*2 > 9
+                                         THEN CAST(substring(reverse(regexp_replace(c,'[^0-9]','','g')), i, 1) AS INT)*2 - 9
+                                         ELSE CAST(substring(reverse(regexp_replace(c,'[^0-9]','','g')), i, 1) AS INT)*2 END
+                                    ELSE CAST(substring(reverse(regexp_replace(c,'[^0-9]','','g')), i, 1) AS INT) END)) % 10 = 0
+                       )) AS valid
+                FROM planted
+            )
+            SELECT doc_id,
+                   len(valid) AS n_card_numbers,
+                   md5(list_reduce(list_prepend(text, valid),
+                                   (acc, x) -> replace(acc, x, '[CARD]'))) AS redacted_md5
+            FROM v
         """,
         "dup_spans": """
             WITH t AS (

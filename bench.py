@@ -125,6 +125,7 @@ def main() -> None:
         "dup_spans",
         "referential_coverage",
         "robust_outliers",
+        "card_scrub",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

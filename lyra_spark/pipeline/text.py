@@ -575,3 +575,55 @@ def duplicate_span_stats(
             ),
         )
     )
+
+
+# 13-19 digits with optional single space/dash separators; \b instead of
+# lookaround keeps the pattern in the Java∩RE2 subset (oracle parity), and
+# a longer digit run can never match (no interior boundary exists)
+CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812, the public mod-10 construction) as a
+    pure Catalyst boolean — doubling every second digit from the right,
+    subtracting 9 on overflow, total ≡ 0 (mod 10). Built from nested
+    higher-order array functions; no Python, no UDF."""
+    digits = F.regexp_replace(cand, "[^0-9]", "")
+    arr = F.filter(F.split(F.reverse(digits), ""), lambda x: x != F.lit(""))
+    terms = F.transform(
+        arr,
+        lambda x, i: F.when(
+            i % 2 == 1,
+            F.when(x.cast("int") * 2 > 9, x.cast("int") * 2 - 9).otherwise(x.cast("int") * 2),
+        ).otherwise(x.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, t: acc + t)
+    return F.length(digits).between(13, 19) & (total % 10 == 0)
+
+
+def scrub_card_numbers(
+    df: DataFrame,
+    text_col: str = "text",
+    token: str = "[CARD]",
+) -> DataFrame:
+    """Detect and redact payment-card-shaped numbers that pass the Luhn
+    checksum — the VERIFIED step a regex-only scrub (pii_scrub) cannot do:
+    13-19-digit sequences are everywhere (ids, timestamps, serials), but
+    only ~1 in 10 random ones satisfies mod-10, so checksum-gating cuts the
+    false-redaction rate ~10x while never missing a real card number.
+
+    Adds (n_card_numbers, <text_col>_redacted); NULL text passes through
+    (count 0, redacted NULL). Map-only nested Catalyst array functions —
+    scan-speed, zero shuffles, zero Python.
+    """
+    c = F.col(text_col)
+    valid = F.filter(
+        F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0), luhn_valid
+    )
+    redacted = F.aggregate(
+        valid, c, lambda acc, cand: F.replace(acc, cand, F.lit(token))
+    )
+    return df.withColumn(
+        "n_card_numbers",
+        F.when(c.isNull(), F.lit(0)).otherwise(F.size(valid)),
+    ).withColumn(f"{text_col}_redacted", redacted)

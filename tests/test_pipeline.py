@@ -1323,3 +1323,25 @@ def test_unigram_cli_token_free_corpus(tmp_path, spark):
     with _pytest.raises(SystemExit, match="min-unigram-logprob"):
         clean_main(["--corpus", src, "--out", str(tmp_path / "o"),
                     "--min-unigram-logprob", "-5", "--min-quality", "0.0"])
+
+
+def test_scrub_card_numbers_luhn_gate(spark):
+    """Only Luhn-valid 13-19-digit sequences are detected/redacted; a
+    one-digit-off twin, a 20-digit run, and NULL text pass through."""
+    from lyra_spark.pipeline.text import scrub_card_numbers
+
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 thanks"),         # valid (test number)
+        (2, "pay with 4111 1111 1111 1112 thanks"),         # checksum fails
+        (3, "order 1234567890123 and 5500-0000-0000-0004"), # invalid + valid
+        (4, "id 20240801123456789012 is 20 digits"),        # no 13-19 boundary
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_card_numbers, r.text_redacted)
+           for r in scrub_card_numbers(df).collect()}
+    assert got[1] == (1, "pay with [CARD] thanks")
+    assert got[2] == (0, "pay with 4111 1111 1111 1112 thanks")
+    assert got[3] == (1, "order 1234567890123 and [CARD]")
+    assert got[4][0] == 0
+    assert got[5] == (0, None)
