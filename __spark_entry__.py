@@ -643,6 +643,22 @@ def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "rule_id")
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformity per year
+    (stats.benford_deviation, Nigrini chi²+MAD): lineitem extended prices —
+    genuinely multi-scale magnitudes — profiled per l_shipdate year. Digit
+    extraction is pure log10 math (no string formatting), the grid is one
+    constant-buffer exchange, and the oracle replicates both statistics
+    bit-for-bit."""
+    ensure_shipped(spark)
+    from lyra_spark.stats import benford_deviation
+
+    li = _read(spark, sf_dir, "lineitem").withColumn(
+        "yr", F.year("l_shipdate").cast("string")
+    )
+    return benford_deviation(li, "l_extendedprice", partition_col="yr", min_rows=100)
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD modified z-score outliers (stats.robust_outlier_rows,
     Iglewicz-Hoaglin |M| > 3.5): the masking-proof companion of `outliers`
@@ -2056,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential": q_referential,
         "referential_coverage": q_referential_coverage,
         "robust_outliers": q_robust_outliers,
+        "benford": q_benford,
         "monotone": q_monotone,
         "agg_lineitem": q_agg_lineitem,
         "broadcast_join": q_broadcast_join,
@@ -2275,6 +2292,34 @@ def oracle_sql() -> dict[str, str]:
         "referential": """
             SELECT p_partkey, 'part_unreferenced' AS rule_id
             FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "benford": """
+            WITH src AS (
+                SELECT CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR) AS yr,
+                       abs(CAST(l_extendedprice AS DOUBLE)) AS v
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
+            ),
+            grid AS (
+                SELECT yr, CAST(FLOOR(v / POWER(10.0, FLOOR(LOG10(v)))) AS INT) AS d,
+                       COUNT(*) AS c
+                FROM src GROUP BY yr, d
+            ),
+            e(d, p) AS (VALUES (1, 0.30103), (2, 0.17609), (3, 0.12494), (4, 0.09691),
+                               (5, 0.07918), (6, 0.06695), (7, 0.05799), (8, 0.05115), (9, 0.04576)),
+            tot AS (SELECT yr, SUM(c) AS n FROM grid GROUP BY yr),
+            wide AS (
+                SELECT g.yr, MAX(t.n) AS n,
+                       SUM(POWER(g.c::DOUBLE / t.n - e.p, 2) / e.p) AS chi_part,
+                       SUM(ABS(g.c::DOUBLE / t.n - e.p)) AS mad_part,
+                       SUM(e.p) AS p_seen
+                FROM grid g JOIN tot t USING (yr) JOIN e ON g.d = e.d
+                GROUP BY g.yr
+            )
+            SELECT yr, n,
+                   ROUND((chi_part + (1.0 - p_seen)) * n, 6) AS chi2,
+                   ROUND((mad_part + (1.0 - p_seen)) / 9.0, 6) AS mad
+            FROM wide WHERE n >= 100
         """,
         "robust_outliers": """
             WITH e AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),

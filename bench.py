@@ -126,6 +126,7 @@ def main() -> None:
         "referential_coverage",
         "robust_outliers",
         "card_scrub",
+        "benford",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -736,3 +736,65 @@ def robust_outlier_rows(
             F.round(mz, 4).alias("mod_zscore"),
         )
     )
+
+
+BENFORD_EXPECTED = [0.30103, 0.17609, 0.12494, 0.09691, 0.07918,
+                    0.06695, 0.05799, 0.05115, 0.04576]
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str | None = "part_date",
+    min_rows: int = 100,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the classic
+    fabricated-/synthetic-data audit (Nigrini's construction, public):
+    naturally-generated multi-scale magnitudes follow P(d) = log10(1+1/d);
+    hand-typed, capped, or copy-pasted numbers do not. Reports BOTH standard
+    conformity statistics per partition: chi² = n·Σ(p−e)²/e and MAD
+    (mean |p−e| over the nine digits — Nigrini's preferred cut: < 0.006
+    close, > 0.015 nonconformity for general data).
+
+    Zero and NULL values carry no first digit and are excluded; partitions
+    with fewer than ``min_rows`` usable values are excluded (first-digit
+    fractions are meaningless at tiny n). This is a PROFILE, not a gate —
+    uniform synthetic data legitimately fails Benford; the caller decides
+    what conformity means for their column.
+
+    Scale: one exchange into the (partition × 9-digit) count grid (map-side
+    partials, constant buffers); the statistics roll up from ≤ 9 rows per
+    partition. First digit = ⌊|v| / 10^⌊log10 |v|⌋⌋ — pure math, no string
+    formatting (engine-portable: both Spark and the oracle use correctly-
+    rounded IEEE log10).
+    """
+    group = [partition_col] if partition_col else []
+    v = F.abs(F.col(value_col).cast("double"))
+    fsd = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    grid = (
+        df.filter(F.col(value_col).isNotNull() & (v > 0))
+        .select(*group, fsd.alias("__d"))
+        .groupBy(*group, "__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wide = grid.groupBy(*group).agg(
+        F.sum("__c").alias("n"),
+        *[
+            F.sum(F.when(F.col("__d") == d, F.col("__c")).otherwise(F.lit(0))).alias(f"__c{d}")
+            for d in range(1, 10)
+        ],
+    ).filter(F.col("n") >= min_rows)
+    chi2 = sum(
+        (F.col(f"__c{d}") / F.col("n") - F.lit(e)) ** 2 / F.lit(e)
+        for d, e in zip(range(1, 10), BENFORD_EXPECTED)
+    ) * F.col("n")
+    mad = sum(
+        F.abs(F.col(f"__c{d}") / F.col("n") - F.lit(e))
+        for d, e in zip(range(1, 10), BENFORD_EXPECTED)
+    ) / F.lit(9.0)
+    return wide.select(
+        *group,
+        "n",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(mad, 6).alias("mad"),
+    )

@@ -541,3 +541,24 @@ def test_robust_outlier_rows_resists_masking(spark):
     # the NULL partition is its own single-value cohort (MAD 0): no row
     got_all = robust_outlier_rows(df, "value", ["event_id"], partition_col="day", z=0.1)
     assert 301 not in {r.event_id for r in got_all.collect()}
+
+
+def test_benford_deviation_conforming_vs_fabricated(spark):
+    """A genuinely multi-scale series (exponential spread) scores a small
+    Benford MAD; a fabricated constant-leading-digit series scores huge;
+    zeros/NULLs excluded; min_rows suppresses tiny cohorts."""
+    import math
+
+    from lyra_spark.stats import benford_deviation
+
+    rows = [("nat", i, math.exp(i / 80.0)) for i in range(720)]        # spans e^0..e^9
+    rows += [("fab", 1000 + i, 500.0 + i * 0.01) for i in range(720)]  # all lead with 5
+    rows += [("tiny", 2000, 123.0)] * 5
+    rows += [("nat", 3000, 0.0), ("nat", 3001, None)]
+    df = spark.createDataFrame(rows, "day string, row_id long, value double")
+    got = {r.day: r for r in benford_deviation(df, "value", partition_col="day").collect()}
+    assert set(got) == {"nat", "fab"}          # tiny cohort filtered
+    assert got["nat"].n == 720                 # the zero/NULL rows dropped
+    assert got["nat"].mad < 0.02               # near-conforming
+    assert got["fab"].mad > 0.1                # single-digit pile-up
+    assert got["fab"].chi2 > got["nat"].chi2 * 10
