@@ -226,6 +226,12 @@ PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
 }
+# Opt-in extras (pass via ``patterns={**PII_PATTERNS, "phone": ...}``):
+# E.164 international phone form — the '+' prefix requirement keeps the
+# false-positive rate near zero (bare 7-15 digit runs are ids/serials far
+# more often than phone numbers; for card numbers use scrub_card_numbers,
+# whose Luhn gate handles the bare-digit case properly)
+PHONE_E164_PATTERN = r"\+[1-9][0-9]{6,14}\b"
 
 
 def pii_scrub(

@@ -1345,3 +1345,16 @@ def test_scrub_card_numbers_luhn_gate(spark):
     assert got[3] == (1, "order 1234567890123 and [CARD]")
     assert got[4][0] == 0
     assert got[5] == (0, None)
+
+
+def test_pii_scrub_phone_pattern_opt_in(spark):
+    """PHONE_E164_PATTERN composes into pii_scrub as an extra pattern; '+'
+    requirement keeps bare digit runs unredacted."""
+    from lyra_spark.pipeline.text import PHONE_E164_PATTERN, PII_PATTERNS, pii_scrub
+
+    rows = [(1, "call +14155550137 or mail a@b.co"), (2, "order 14155550137 shipped")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_phone, r.text_redacted) for r in pii_scrub(
+        df, patterns={**PII_PATTERNS, "phone": PHONE_E164_PATTERN}).collect()}
+    assert out[1] == (1, "call [REDACTED] or mail [REDACTED]")
+    assert out[2] == (0, "order 14155550137 shipped")
