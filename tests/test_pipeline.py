@@ -1358,3 +1358,61 @@ def test_pii_scrub_phone_pattern_opt_in(spark):
         df, patterns={**PII_PATTERNS, "phone": PHONE_E164_PATTERN}).collect()}
     assert out[1] == (1, "call [REDACTED] or mail [REDACTED]")
     assert out[2] == (0, "order 14155550137 shipped")
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("red green blue cyan teal pink".split()),
+                     min_size=0, max_size=8).map(" ".join),
+            min_size=1, max_size=20,
+        ),
+        t=st.sampled_from([0.5, 0.75, 1.0]),
+    )
+    def test_containment_equals_brute_force_hypothesis(spark, docs, t):
+        """Prefix-filter blocking is lossless on arbitrary tiny-vocab corpora
+        (maximum shingle collision pressure) at rational thresholds."""
+        import itertools
+        import re
+
+        from lyra_spark.pipeline.dedup import containment_pairs
+
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+        got = {(r.id_a, r.id_b) for r in
+               containment_pairs(df, threshold=t, shingle_k=1).collect()}
+        # reference shingle model = word_shingles semantics: normalized
+        # whitespace-collapsed split; an EMPTY doc gets the whole-text
+        # fallback shingle '' (consistent with ngram_jaccard / MinHash)
+        sets = {i: set(re.sub(r"\s+", " ", s.strip().lower()).split(" "))
+                for i, s in enumerate(docs)}
+        want = {(i, j) for i, j in itertools.permutations(sets, 2)
+                if len(sets[i] & sets[j]) / len(sets[i]) >= t}
+        assert got == want
+
+
+def test_unigram_logprob_corpus_identity(spark):
+    """Self-scored LM identity: Σ_docs n_tokens·logprob = Σ_vocab cnt·ln(cnt/total)
+    — the per-doc roll-up must conserve the corpus log-likelihood exactly."""
+    import math
+
+    from lyra_spark.pipeline.text import unigram_logprob
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(1 + i % 9))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = unigram_logprob(df).collect()
+    lhs = sum(r.n_tokens * r.logprob_per_token for r in got)
+    from collections import Counter
+    toks = Counter(w for _, s in rows for w in s.split())
+    total = sum(toks.values())
+    rhs = sum(c * math.log(c / total) for c in toks.values())
+    assert abs(lhs - rhs) < 1e-6 * abs(rhs)
