@@ -94,18 +94,22 @@ def synth_names(n_names: int, path: str) -> str:
         "%012d", F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(10**12))
     )
     originals = base.select("id", F.concat(F.lit("user-"), serial).alias("name"))
+    # NOTE: inside this select, `id` in any expression resolves to the INPUT
+    # column (the original id) — the (id + n_names) alias is an OUTPUT name.
+    # The twin serial therefore hashes the ORIGINAL id, making the twin
+    # exactly one substitution away from its original.
+    twin_serial = F.format_string(
+        "%012d", F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(10**12))
+    )
     twins = (
         base.filter(F.col("id") % 10 == 0)
         .select(
             (F.col("id") + n_names).alias("id"),
             F.concat(
                 F.lit("user-"),
-                F.expr(
-                    f"concat(substring(format_string('%012d', pmod(xxhash64(id - {n_names}, 3), "
-                    f"cast(1000000000000 as bigint))), 1, 5), 'z', "
-                    f"substring(format_string('%012d', pmod(xxhash64(id - {n_names}, 3), "
-                    f"cast(1000000000000 as bigint))), 7))"
-                ),
+                F.substring(twin_serial, 1, 5),
+                F.lit("z"),
+                F.substring(twin_serial, 7, 6),
             ).alias("name"),
         )
     )

@@ -2298,7 +2298,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR) AS yr,
                        abs(CAST(l_extendedprice AS DOUBLE)) AS v
                 FROM lineitem
-                WHERE l_extendedprice IS NOT NULL AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
+                WHERE l_extendedprice IS NOT NULL
+                  AND isfinite(CAST(l_extendedprice AS DOUBLE))
+                  AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
             ),
             grid AS (
                 SELECT yr, CAST(FLOOR(v / POWER(10.0, FLOOR(LOG10(v)))) AS INT) AS d,
@@ -2313,7 +2315,8 @@ def oracle_sql() -> dict[str, str]:
                        SUM(POWER(g.c::DOUBLE / t.n - e.p, 2) / e.p) AS chi_part,
                        SUM(ABS(g.c::DOUBLE / t.n - e.p)) AS mad_part,
                        SUM(e.p) AS p_seen
-                FROM grid g JOIN tot t USING (yr) JOIN e ON g.d = e.d
+                FROM grid g JOIN tot t ON g.yr IS NOT DISTINCT FROM t.yr
+                JOIN e ON g.d = e.d
                 GROUP BY g.yr
             )
             SELECT yr, n,
@@ -2326,10 +2329,10 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT day, quantile_cont(value, 0.5) AS med FROM e GROUP BY day),
             d AS (SELECT e.day, MAX(m.med) AS med,
                          quantile_cont(abs(e.value - m.med), 0.5) AS mad
-                  FROM e JOIN m USING (day) GROUP BY e.day)
+                  FROM e JOIN m ON e.day IS NOT DISTINCT FROM m.day GROUP BY e.day)
             SELECT e.event_id, e.day, e.value,
                    ROUND(0.6745 * (e.value - d.med) / d.mad, 4) AS mod_zscore
-            FROM e JOIN d USING (day)
+            FROM e JOIN d ON e.day IS NOT DISTINCT FROM d.day
             WHERE e.value IS NOT NULL AND d.mad IS NOT NULL AND d.mad > 0
               AND abs(0.6745 * (e.value - d.med) / d.mad) > 3.5
         """,
@@ -3362,7 +3365,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             v AS (
                 SELECT doc_id, text,
-                       list_filter(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b'), c -> (
+                       list_filter(regexp_extract_all(text, '\b\d(?:[ -]?\d)*\b'), c -> (
                            length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 AND
                            list_sum(list_transform(range(1, length(regexp_replace(c,'[^0-9]','','g')) + 1),
                                i -> CASE WHEN (i-1) % 2 = 1
@@ -3376,7 +3379,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(valid) AS n_card_numbers,
                    md5(list_reduce(list_prepend(text, valid),
-                                   (acc, x) -> replace(acc, x, '[CARD]'))) AS redacted_md5
+                                   (acc, x) -> regexp_replace(acc, '\b' || x || '\b', '[CARD]', 'g'))) AS redacted_md5
             FROM v
         """,
         "dup_spans": """

@@ -583,10 +583,15 @@ def duplicate_span_stats(
     )
 
 
-# 13-19 digits with optional single space/dash separators; \b instead of
-# lookaround keeps the pattern in the Java∩RE2 subset (oracle parity), and
-# a longer digit run can never match (no interior boundary exists)
-CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+# MAXIMAL digit runs with optional single space/dash separators (greedy *,
+# so a 20-digit spaced serial is captured WHOLE and then rejected by the
+# 13-19 length gate in luhn_valid — a bounded {12,18} pattern would instead
+# backtrack to a Luhn-passing 16-digit PREFIX of the run and falsely redact
+# it); \b instead of lookaround keeps the Java∩RE2 subset (oracle parity).
+# Known trade: a real card embedded in a LARGER hyphenated token
+# ('<card>-2024') is treated as that larger run and skipped — ambiguous
+# spans are left alone rather than garbled.
+CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d)*\b"
 
 
 def luhn_valid(cand: Column) -> Column:
@@ -626,8 +631,16 @@ def scrub_card_numbers(
     valid = F.filter(
         F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0), luhn_valid
     )
+    # \b-anchored regexp fold, NOT a raw substring replace: a validated card
+    # that happens to be a SUBSTRING of some longer digit run elsewhere in
+    # the text must not mangle that run (candidates contain only [0-9 -],
+    # so no regex escaping is needed)
     redacted = F.aggregate(
-        valid, c, lambda acc, cand: F.replace(acc, cand, F.lit(token))
+        valid,
+        c,
+        lambda acc, cand: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), cand, F.lit(r"\b")), F.lit(token)
+        ),
     )
     return df.withColumn(
         "n_card_numbers",

@@ -712,13 +712,16 @@ def robust_outlier_rows(
     else:
         src = df.withColumn("__pk", F.lit(""))
     med = src.groupBy("__pk").agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
     )
     mad = (
         src.join(F.broadcast(med), "__pk")
         .withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
         .groupBy("__pk")
-        .agg(F.max("__med").alias("__med"), F.expr("percentile(__adev, 0.5)").alias("__mad"))
+        .agg(
+            F.max("__med").alias("__med"),
+            F.percentile(F.col("__adev"), F.lit(0.5)).alias("__mad"),
+        )
     )
     mz = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")
     return (
@@ -771,8 +774,16 @@ def benford_deviation(
     group = [partition_col] if partition_col else []
     v = F.abs(F.col(value_col).cast("double"))
     fsd = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    # NaN and ±Inf have no first digit either — and Spark's NaN > 0 is TRUE
+    # (NaN sorts greatest), so the positivity filter alone would let NaN
+    # through into a fabricated digit bucket
     grid = (
-        df.filter(F.col(value_col).isNotNull() & (v > 0))
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(v)
+            & (v > 0)
+            & (v < F.lit(float("inf")))
+        )
         .select(*group, fsd.alias("__d"))
         .groupBy(*group, "__d")
         .agg(F.count(F.lit(1)).alias("__c"))

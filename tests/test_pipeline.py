@@ -1336,6 +1336,12 @@ def test_scrub_card_numbers_luhn_gate(spark):
         (3, "order 1234567890123 and 5500-0000-0000-0004"), # invalid + valid
         (4, "id 20240801123456789012 is 20 digits"),        # no 13-19 boundary
         (5, None),
+        # a valid card as a SUBSTRING of a longer digit run must not mangle
+        # that run (boundary-anchored redaction)
+        (6, "card 4111111111111111 and id 94111111111111111x"),
+        # a 20-digit SPACED serial whose 16-digit prefix is Luhn-valid:
+        # the maximal-run candidate is 20 digits -> rejected whole
+        (7, "acct 4111 1111 1111 1111 1111 is a 20-digit id"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r.doc_id: (r.n_card_numbers, r.text_redacted)
@@ -1345,6 +1351,8 @@ def test_scrub_card_numbers_luhn_gate(spark):
     assert got[3] == (1, "order 1234567890123 and [CARD]")
     assert got[4][0] == 0
     assert got[5] == (0, None)
+    assert got[6] == (1, "card [CARD] and id 94111111111111111x")
+    assert got[7] == (0, "acct 4111 1111 1111 1111 1111 is a 20-digit id")
 
 
 def test_pii_scrub_phone_pattern_opt_in(spark):

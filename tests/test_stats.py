@@ -555,6 +555,7 @@ def test_benford_deviation_conforming_vs_fabricated(spark):
     rows += [("fab", 1000 + i, 500.0 + i * 0.01) for i in range(720)]  # all lead with 5
     rows += [("tiny", 2000, 123.0)] * 5
     rows += [("nat", 3000, 0.0), ("nat", 3001, None)]
+    rows += [("nat", 3002, float("nan")), ("nat", 3003, float("inf"))]  # no first digit
     df = spark.createDataFrame(rows, "day string, row_id long, value double")
     got = {r.day: r for r in benford_deviation(df, "value", partition_col="day").collect()}
     assert set(got) == {"nat", "fab"}          # tiny cohort filtered
