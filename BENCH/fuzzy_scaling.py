@@ -45,7 +45,13 @@ shuf = max(cores, in_bytes * 8 // (100 << 20) + 1)
 spark = get_spark(master=f"local[{cores}]", shuffle_partitions=shuf,
                   app_name=f"fuzzy_scaling_{cores}",
                   extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{os.getpid()}",
-                              "spark.driver.memory": f"{2 * cores}g"})
+                              "spark.driver.memory": f"{2 * cores}g",
+                              # a half-speed CPU storm can stall local-mode
+                              # RPC past the defaults and kill the context
+                              # mid-run (observed RpcEndpointNotFound)
+                              "spark.network.timeout": "600s",
+                              "spark.executor.heartbeatInterval": "60s",
+                              "spark.rpc.askTimeout": "600s"})
 spark.sparkContext.setLogLevel("ERROR")
 names = spark.read.parquet(fx)
 n = names.count()
@@ -160,9 +166,21 @@ def main() -> None:
             print(json.dumps({"skipped": True, "probe_mips": p0, "bw_gbps": bw0}), flush=True)
             time.sleep(args.wait_secs)
             continue
-        sa = a.run_once()
-        p1, bw1 = probe_parallel(hi), probe_bandwidth(hi)
-        sb = b.run_once()
+        # a storm can kill a child's Spark context mid-run (RPC timeout);
+        # respawn the dead level and discard the attempt instead of dying
+        try:
+            sa = a.run_once()
+            p1, bw1 = probe_parallel(hi), probe_bandwidth(hi)
+            sb = b.run_once()
+        except Exception as e:
+            print(json.dumps({"child_died": True, "err": str(e)[:120]}), flush=True)
+            a.close(), b.close()
+            a, b = Level(lo, fx, CHILD_FUZZY), Level(hi, fx, CHILD_FUZZY)
+            try:
+                a.run_once(), b.run_once()  # rewarm
+            except Exception:
+                pass  # next attempt respawns again if still dying
+            continue
         p2, bw2 = probe_parallel(hi), probe_bandwidth(hi)
         pairs.append({"probe_mips": min(p0, p1, p2), "bw_gbps": min(bw0, bw1, bw2),
                       f"sec_{lo}": sa, f"sec_{hi}": sb,
