@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
                          "token packing in shuffle order, restarting per shard so a "
                          "pack never straddles two shard files (global pack identity "
                          "is the pair (shard, pack_id))")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "json"],
+                    help="shard file format: parquet (default) or json "
+                         "(JSON-Lines, for trainers that stream jsonl; same "
+                         "layout and determinism)")
     ap.add_argument("--salt", default="",
                     help="re-draws every decision (mixture, split, shuffle) — version "
                          "the export by changing it; same salt = byte-identical rerun")
@@ -176,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
         dest = os.path.join(args.out, f"split={name}")
         write_shards(
             part, dest, args.shards, id_col=args.id_col, salt=args.salt + "|shuffle",
-            pack_budget=args.pack_budget, token_col=args.token_col,
+            pack_budget=args.pack_budget, token_col=args.token_col, fmt=args.format,
         )
         # read back with the EXPLICIT output schema (derived from an empty
         # plan, no job): an empty split's sink holds only _SUCCESS and schema
@@ -187,7 +191,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.pack_budget:
             expected = pack_within_shards(expected, args.pack_budget, token_col=args.token_col)
-        written = spark.read.schema(expected.schema).parquet(dest)
+        written = spark.read.schema(expected.schema).format(args.format).load(dest)
         aggs = [F.count(F.lit(1)).alias("docs")]
         if has_tokens:
             aggs.append(

@@ -87,6 +87,7 @@ def write_shards(
     salt: str = "shuffle",
     pack_budget: int | None = None,
     token_col: str = "n_tokens",
+    fmt: str = "parquet",
 ) -> None:
     """Materialize the shuffled corpus as ``path/shard=K/`` parquet dirs,
     rows inside each shard stored in permutation order (parquet preserves
@@ -105,7 +106,14 @@ def write_shards(
     before it would scatter each pack's members across shards), and the
     window rides the same shard partitioning, so it costs no extra
     exchange.
+
+    ``fmt``: "parquet" (default) or "json" — JSON-Lines shards (one object
+    per row, write-order preserved like parquet) for trainers that stream
+    jsonl instead of columnar files. Same layout, same determinism; the
+    only cost is JSON's text encoding.
     """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
     # partition_for_write: ONE exchange total — the rank window and this
     # writer share the same hashpartitioning(shard, n_shards); a second
     # write-side repartition would re-shuffle the whole corpus
@@ -116,7 +124,8 @@ def write_shards(
         out.sortWithinPartitions("shard", "position")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 

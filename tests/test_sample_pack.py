@@ -569,3 +569,37 @@ def test_chunk_documents_windows_and_edges(spark):
         chunk_documents(df, 4, 4)
     with _pytest.raises(ValueError, match="max_tokens"):
         chunk_documents(df, 0)
+
+
+def test_write_shards_jsonl_format(tmp_path, spark):
+    """fmt='json' produces JSON-Lines shard dirs with the SAME deterministic
+    layout and in-shard order as parquet (write-order preserved both ways)."""
+    import glob
+    import json as _json
+    import os
+
+    from lyra_spark.pipeline.export import write_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], "doc_id bigint, text string"
+    )
+    pq_path, js_path = str(tmp_path / "pq"), str(tmp_path / "js")
+    write_shards(df, pq_path, 4, salt="s")
+    write_shards(df, js_path, 4, salt="s", fmt="json")
+
+    def read_jsonl(shard_dir):
+        rows = []
+        for f in sorted(glob.glob(os.path.join(shard_dir, "part-*"))):
+            with open(f) as fh:
+                rows += [_json.loads(l) for l in fh if l.strip()]
+        return rows
+
+    for k in range(4):
+        pq = spark.read.parquet(os.path.join(pq_path, f"shard={k}")).collect()
+        js = read_jsonl(os.path.join(js_path, f"shard={k}"))
+        assert [r.doc_id for r in pq] == [r["doc_id"] for r in js]  # same order
+        assert [r.position for r in pq] == [r["position"] for r in js]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fmt"):
+        write_shards(df, str(tmp_path / "x"), 4, fmt="orc")
