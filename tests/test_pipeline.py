@@ -1424,3 +1424,32 @@ def test_unigram_logprob_corpus_identity(spark):
     total = sum(toks.values())
     rhs = sum(c * math.log(c / total) for c in toks.values())
     assert abs(lhs - rhs) < 1e-6 * abs(rhs)
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        runs=st.lists(
+            st.lists(st.integers(min_value=0, max_value=9), min_size=10, max_size=22),
+            min_size=1, max_size=5,
+        )
+    )
+    def test_luhn_gate_matches_reference_hypothesis(spark, runs):
+        """The Catalyst Luhn fold agrees with a plain-Python reference on
+        arbitrary digit runs embedded in text (13-19-digit runs gated by
+        checksum, others never matched)."""
+        from lyra_spark.pipeline.text import scrub_card_numbers
+
+        def luhn_ref(ds):
+            s = 0
+            for i, d in enumerate(reversed(ds)):
+                s += (d * 2 - 9 if d * 2 > 9 else d * 2) if i % 2 == 1 else d
+            return s % 10 == 0
+
+        text = " and ".join("".join(map(str, ds)) for ds in runs)
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        got = scrub_card_numbers(df).collect()[0]
+        want = sum(1 for ds in runs if 13 <= len(ds) <= 19 and luhn_ref(ds))
+        assert got.n_card_numbers == want
+        assert got.text_redacted.count("[CARD]") == want

@@ -563,3 +563,13 @@ def test_benford_deviation_conforming_vs_fabricated(spark):
     assert got["nat"].mad < 0.02               # near-conforming
     assert got["fab"].mad > 0.1                # single-digit pile-up
     assert got["fab"].chi2 > got["nat"].chi2 * 10
+
+
+def test_robust_outlier_rows_whole_table_mode(spark):
+    from lyra_spark.stats import robust_outlier_rows
+
+    rows = [(i, 10.0 + (i % 3)) for i in range(30)] + [(99, 1e6)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    got = robust_outlier_rows(df, "value", ["event_id"], partition_col=None, z=3.5)
+    assert "day" not in got.columns
+    assert [r.event_id for r in got.collect()] == [99]
