@@ -679,6 +679,12 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     no shuffle, no Python crossing (the round-1 pandas-UDF body was a per-row
     token loop, exactly the anti-pattern BASELINE.json:15 bans).
     """
+    # parallelism guard (same as minhash_signature): the 64-bit vote fold is
+    # a heavy map that inherits the input's partitioning — a single-file
+    # corpus would compute every signature in one task
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     votes = F.aggregate(
