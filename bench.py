@@ -54,13 +54,21 @@ def main() -> None:
     n_turns = tdf.count()
 
     timings: dict[str, float] = {}
+    bench_t0 = time.perf_counter()
+    # Total-wall budget: the harness that captures this output may enforce a
+    # timeout, and losing the WHOLE record to a neighbor-noise storm is worse
+    # than single-sampling the tail. Headline + core queries always get
+    # best-of-2; the long operator tail drops to one sample once the run
+    # passes the soft budget.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
 
-    def timed(name: str, fn) -> None:
-        """Best of 2 runs — this host is a shared microVM with 2-3x
+    def timed(name: str, fn, samples: int = 2) -> None:
+        """Best of N runs — this host is a shared microVM with 2-3x
         neighbor-noise spikes; a single sample regularly measures the
         neighbors instead of the query."""
+        n = 1 if (time.perf_counter() - bench_t0) > budget_s else samples
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
