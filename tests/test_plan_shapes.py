@@ -406,3 +406,15 @@ def test_write_zorder_validation(spark, tmp_path):
         write_zorder(df, str(tmp_path / "z1"), ["id"])
     with _pytest.raises(ValueError, match="bits"):
         write_zorder(df, str(tmp_path / "z2"), ["id", "v"], bits=0)
+
+
+def test_card_scrub_is_map_only(spark):
+    """scrub_card_numbers must stay a pure map over the scan — zero Exchange
+    nodes (the nested Luhn fold is per-row Catalyst, never a shuffle or a
+    Python crossing)."""
+    from lyra_spark.pipeline.text import scrub_card_numbers
+
+    df = spark.range(100).selectExpr("id AS doc_id", "concat('pay ', id) AS text")
+    p = plan_str(scrub_card_numbers(df))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
