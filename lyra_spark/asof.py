@@ -281,3 +281,93 @@ def _check_payload_outputs(payload_cols: dict[str, str], left: DataFrame) -> Non
         if outn in seen:
             raise ValueError(f"duplicate payload output column {outn!r}")
         seen.add(outn)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: dict[str, str],
+    right_order_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof(direction="nearest")``: every left row gains the
+    payload of the CLOSEST-in-time right row in either direction (backward
+    wins equidistant ties — pandas' rule, pinned by the parity test).
+
+    Same union-and-carry shape as asof_join, evaluated in BOTH directions
+    over one exchange: the union hash-partitions once on the keys, then two
+    window operators (one ascending, one descending sort — the second sort
+    is the whole extra cost vs a single direction) carry the last-seen right
+    payload each way, and a per-row argmin on the two time gaps picks the
+    match. ``tolerance_sec`` NULLs matches farther than the bound, applied
+    to the CHOSEN side like pandas. NULL-ts left rows and NULL-key rows
+    never match (no defined position).
+    """
+    _check_payload_outputs(payload_cols, left)
+    reserved = {_TS, _SRC, _PAY, _MATCHED} & set(left.columns)
+    if reserved:
+        raise ValueError(f"left side uses reserved internal column names: {sorted(reserved)}")
+
+    order_cols = list(right_order_cols or [])
+    pay_struct = F.struct(
+        F.col(right_ts).alias(_MATCHED),
+        *[F.col(c).alias(c) for c in payload_cols],
+        *[F.col(c).alias(f"__ord_{c}") for c in order_cols if c not in payload_cols],
+    )
+    key_not_null = F.col(right_ts).isNotNull()
+    for k in on:
+        key_not_null = key_not_null & F.col(k).isNotNull()
+    rsel = right.filter(key_not_null).select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SRC),
+        pay_struct.alias(_PAY),
+    )
+    lsel = left.select(
+        "*",
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SRC),
+        F.lit(None).cast(rsel.schema[_PAY].dataType).alias(_PAY),
+    )
+    unioned = lsel.unionByName(rsel, allowMissingColumns=True)
+
+    tie = [
+        (F.col(_PAY)[f"__ord_{c}"] if c not in payload_cols else F.col(_PAY)[c]).asc_nulls_first()
+        for c in order_cols
+    ]
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc_nulls_first(), F.col(_SRC).asc(), *tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).desc_nulls_first(), F.col(_SRC).asc(), *tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    null_guard = lambda m: F.when(F.col(_TS).isNull(), F.lit(None)).otherwise(m)  # noqa: E731
+    bwd = null_guard(F.last(_PAY, ignorenulls=True).over(wb))
+    fwd = null_guard(F.last(_PAY, ignorenulls=True).over(wf))
+
+    lus = epoch_us(F.col(_TS))
+    enriched = unioned.withColumn("__b", bwd).withColumn("__f", fwd)
+    gb = lus - epoch_us(F.col("__b")[_MATCHED])
+    gf = epoch_us(F.col("__f")[_MATCHED]) - lus
+    chosen = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(gb <= gf, F.col("__b"))  # equidistant -> backward (pandas)
+        .otherwise(F.col("__f"))
+    )
+    if tolerance_sec is not None:
+        tol_us = int(float(tolerance_sec) * 1_000_000)
+        gap = F.abs(lus - epoch_us(chosen[_MATCHED]))
+        chosen = F.when(gap <= F.lit(tol_us), chosen)
+    out = enriched.withColumn(_MATCHED, chosen).filter(F.col(_SRC) == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(_MATCHED)[c].alias(outn) for c, outn in payload_cols.items()],
+    )
+    return out

@@ -422,3 +422,55 @@ def test_asof_bounded_restores_null_id_rows_with_their_match(spark):
          for r in asof_join_bounded(left, right, left_id_cols=["lid"],
                                     tolerance_sec=3600.0, **kwargs).collect()}
     assert a == b == {(1, 100), (None, 200)}
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """asof_join_nearest reproduces pandas merge_asof(direction='nearest')
+    on a random per-key-unique-timestamp corpus, with and without tolerance;
+    equidistant ties prefer backward (pandas' rule, pinned explicitly)."""
+    from lyra_spark.asof import asof_join_nearest
+
+    rng = np.random.default_rng(13)
+    n_l, n_r = 300, 200
+    pool = rng.choice(10**6, n_l + n_r, replace=False)
+    lpd = pd.DataFrame({
+        "k": rng.integers(0, 6, n_l).astype(str),
+        "lts": pd.to_datetime("2024-01-01") + pd.to_timedelta(pool[:n_l], unit="s"),
+        "lid": np.arange(n_l),
+    })
+    rpd = pd.DataFrame({
+        "k": rng.integers(0, 6, n_r).astype(str),
+        "rts": pd.to_datetime("2024-01-01") + pd.to_timedelta(pool[n_l:], unit="s"),
+        "rid": np.arange(n_r),
+    })
+    for tol in (None, 5000.0):
+        got = (
+            asof_join_nearest(
+                spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                on=["k"], left_ts="lts", right_ts="rts",
+                payload_cols={"rid": "m_rid"}, right_order_cols=["rid"],
+                tolerance_sec=tol,
+            )
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            lpd.sort_values("lts"), rpd.sort_values("rts").rename(columns={"rid": "m_rid"}),
+            on=None, left_on="lts", right_on="rts", by="k", direction="nearest",
+            **({"tolerance": pd.Timedelta(seconds=tol)} if tol else {}),
+        ).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["m_rid"].astype("float"), exp["m_rid"].astype("float"),
+            check_names=False,
+        )
+
+    # explicit equidistant tie: backward wins
+    lt = pd.DataFrame({"k": ["a"], "lts": pd.to_datetime(["2024-01-01 00:00:10"]), "lid": [0]})
+    rt = pd.DataFrame({"k": ["a", "a"],
+                       "rts": pd.to_datetime(["2024-01-01 00:00:08", "2024-01-01 00:00:12"]),
+                       "rid": [100, 200]})
+    got = asof_join_nearest(
+        spark.createDataFrame(lt), spark.createDataFrame(rt),
+        on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols={"rid": "m_rid"}, right_order_cols=["rid"],
+    ).collect()
+    assert got[0].m_rid == 100
