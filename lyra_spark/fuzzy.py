@@ -118,6 +118,7 @@ def fuzzy_join(
     left_id: str,
     right_id: str,
     method: str = "auto",
+    spread: bool | None = None,
 ) -> DataFrame:
     """All pairs with ``levenshtein(left_on, right_on) <= max_distance``.
 
@@ -253,10 +254,12 @@ def _fuzzy_join_passjoin(
     # the SUBSTRING side costs O(|lsub|) tiny rows (never the candidate
     # set) and spreads the verify across the cluster; already-well-split
     # inputs skip it (measured 7.2 s -> ~1 s on the single-file customer
-    # corpus at 8 cores).
-    sc = left.sparkSession.sparkContext
-    if lsub.rdd.getNumPartitions() < sc.defaultParallelism:
-        lsub = lsub.repartition(sc.defaultParallelism)
+    # corpus at 8 cores). Decided from the leaf scan's file metadata only
+    # (io.spread_if_narrow) — the former .rdd probe forced AQE stage
+    # finalization at plan-build time.
+    from lyra_spark.io import spread_if_narrow
+
+    lsub = spread_if_narrow(lsub, spread)
 
     # Verify BEFORE deduplicating: a pair can surface from several (segment,
     # offset) combos — up to ~(d+1)(2d+1) times, and far more often on a

@@ -28,6 +28,75 @@ _AQE_FLOOR_VALUE = "64KB"
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _conf_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf ('134217728', '128m', '64KB') to bytes."""
+    v = value.strip().lower()
+    for suffix, mult in (("kb", 1 << 10), ("k", 1 << 10), ("mb", 1 << 20), ("m", 1 << 20),
+                         ("gb", 1 << 30), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)])) * mult
+    return int(v)
+
+
+def planned_scan_tasks(df: DataFrame) -> int | None:
+    """Estimate how many scan tasks the leaf file sources of ``df`` will get,
+    from DRIVER-SIDE METADATA ONLY — no job runs.
+
+    The former guard (``df.rdd.getNumPartitions()``) forced AQE to finalize
+    upstream query stages at plan-build time (a surprise job whose probed
+    count could also go stale). This walks ``df.inputFiles()`` (file-index
+    listing, no executors) and sums ``ceil(size / maxPartitionBytes)`` per
+    file — the same splitting rule FilePartition uses, minus small-file
+    packing, so it upper-bounds the real count slightly; for an
+    under-parallelism test (``< defaultParallelism``) that bias is safe
+    (we only skip the spread when the scan is provably wide enough).
+
+    Returns None (— caller should NOT repartition) when the estimate is
+    unavailable: non-file sources (in-memory test relations are already
+    parallelized by createDataFrame), remote URIs we cannot stat (a real
+    cluster's tables are well-split by the writer layout contract), or any
+    stat failure.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    mpb = _conf_bytes(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    tasks = 0
+    for uri in files:
+        parsed = urllib.parse.urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        path = urllib.parse.unquote(parsed.path) or uri
+        try:
+            size = os.stat(path).st_size
+        except OSError:
+            return None
+        tasks += max(1, -(-size // max(mpb, 1)))
+    return tasks
+
+
+def spread_if_narrow(df: DataFrame, spread: bool | None = None) -> DataFrame:
+    """Round-robin repartition a narrow file-backed input before a heavy map.
+
+    ``spread=None`` (auto) decides from :func:`planned_scan_tasks` — a pure
+    plan/metadata probe, never an eager job; ``True`` forces the spread,
+    ``False`` disables it. The explicit parameter exists because the
+    repartition is an O(input) shuffle a caller may know is unnecessary.
+    """
+    if spread is False:
+        return df
+    sc = df.sparkSession.sparkContext
+    if spread is True:
+        return df.repartition(sc.defaultParallelism)
+    est = planned_scan_tasks(df)
+    if est is not None and est < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def read_transcripts(spark: SparkSession, uri: str) -> DataFrame:
     """uri: 'iceberg:<catalog.table>' in prod, else a parquet directory."""
     if uri.startswith("iceberg:"):

@@ -19,6 +19,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lyra_spark.io import spread_if_narrow
+
 # --- shared text normalization ------------------------------------------------
 def _norm(text_col: str) -> Column:
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
@@ -200,7 +202,13 @@ def scrub_duplicate_lines(
 
 
 # --- MinHash + LSH ---------------------------------------------------------------
-def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_k: int = 3) -> DataFrame:
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    spread: bool | None = None,
+) -> DataFrame:
     """64-permutation MinHash signature as array<bigint> — pure expressions.
 
     Permutation i is xxhash64(seed=i, shingle); min over the shingle set is
@@ -210,13 +218,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
     Parallelism guard: this is the CPU-heaviest map in the dedup family
     (64 re-mixes per shingle), and an explode-free map inherits the INPUT's
     partitioning — a single-file corpus would compute every signature in one
-    task. When the input has fewer partitions than the cluster has slots,
-    repartition first: O(corpus text) shuffle once, 64-perm compute spread
-    wide. Well-split inputs (any real table) skip it.
+    task. ``spread`` (default auto) repartitions first when the PLANNED scan
+    is narrower than the cluster — decided from file metadata only
+    (io.spread_if_narrow), never an eager ``.rdd`` probe that would force
+    AQE stages to finalize. Well-split inputs (any real table) skip it.
     """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread_if_narrow(df, spread)
     # Materialize the shingle array's base hashes ONCE per row in their own
     # projection. Referencing the raw word_shingles expression from all 64
     # permutation arms re-evaluates the regexp/split/slice/array_distinct
@@ -667,7 +674,9 @@ def dedup_clusters(
 
 
 # --- SimHash --------------------------------------------------------------------
-def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash", spread: bool | None = None
+) -> DataFrame:
     """64-bit SimHash per doc — pure Catalyst expressions, zero Python.
 
     Each token's xxhash64 votes ±1 per bit position (occurrence-weighted);
@@ -681,10 +690,9 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     """
     # parallelism guard (same as minhash_signature): the 64-bit vote fold is
     # a heavy map that inherits the input's partitioning — a single-file
-    # corpus would compute every signature in one task
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # corpus would compute every signature in one task; plan-metadata probe,
+    # no eager job
+    df = spread_if_narrow(df, spread)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     votes = F.aggregate(
@@ -844,6 +852,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    spread: bool | None = None,
 ) -> DataFrame:
     """Ordered pairs (a, b) with shingle CONTAINMENT |A ∩ B| / |A| ≥
     ``threshold`` — the ASYMMETRIC near-dup relation Jaccard misses: a tweet
@@ -875,10 +884,9 @@ def containment_pairs(
         raise ValueError("threshold must be in (0, 1]")
     base = df.filter(F.col(text_col).isNotNull())
     # parallelism guard (same as minhash_signature): the shingle build is a
-    # heavy map inheriting the input's partitioning
-    sc = df.sparkSession.sparkContext
-    if base.rdd.getNumPartitions() < sc.defaultParallelism:
-        base = base.repartition(sc.defaultParallelism)
+    # heavy map inheriting the input's partitioning; plan-metadata probe,
+    # no eager job
+    base = spread_if_narrow(base, spread)
     sh = (
         base.select(F.col(id_col).alias("__cid"), word_shingles(text_col, shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)

@@ -1,6 +1,20 @@
 """Simulate the driver's correctness gate: run each __spark_entry__ query on
 Spark AND its oracle_sql on DuckDB over the same sf_dir, compare row-count,
-column names, and order-insensitive values.
+column names, and TYPED order-insensitive values.
+
+The driver's value hash is type-sensitive: DuckDB `SUM(int)` returns HUGEINT
+(arrow decimal128) where Spark emits int64, and the driver hash-fails exactly
+those queries even though str()-normalized values are equal (proven in round 4:
+5/50 checked queries failed on precisely this). So this checker compares both
+results as ARROW tables:
+
+- hard FAIL when a column's arrow *type family* differs (decimal vs int,
+  float vs int, string vs date, ...) -- this is what the driver's hash sees;
+- hard FAIL when values differ, with floats compared BIT-EXACT (no round-6
+  forgiveness: the driver hashes the exact bits both engines emitted);
+- WARN (not fail) on within-family width differences (int32 vs int64,
+  string vs large_string, timestamp unit) -- evidence from rounds 1-4 is that
+  value-equal integer columns of different widths pass the driver hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -12,28 +26,99 @@ import os
 import sys
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def normalize(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if v == 0:
-                    v = 0.0  # -0.0 stringifies as '-0.0' — a spurious FAIL
-                if math.isnan(v):
-                    v = "NaN"
-            vals.append(str(v) if v is not None else "<NULL>")
-        out.append(tuple(vals))
-    return sorted(out)
+def family(t: pa.DataType) -> str:
+    """Collapse an arrow type to the family the driver's hash distinguishes."""
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return "bytes"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{t.field(i).name}:{family(t.field(i).type)}" for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{family(t.key_type)},{family(t.item_type)}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def canon_value(v, t: pa.DataType):
+    """Canonical, hashable form of one value that is stable across engines
+    for same-family types but distinguishes families (Decimal != int)."""
+    if v is None:
+        return ("\x00null",)  # sortable sentinel (plain None breaks sorted())
+    if pa.types.is_boolean(t):
+        return ("b", bool(v))
+    if pa.types.is_integer(t):
+        return ("i", int(v))
+    if pa.types.is_decimal(t):
+        # keep Decimal identity distinct from int/float -- the driver does
+        return ("dec", str(v))
+    if pa.types.is_floating(t):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "NaN")
+        if f == 0.0:
+            f = 0.0  # collapse -0.0
+        return ("f", repr(f))  # bit-exact (repr round-trips); str keeps rows sortable vs "NaN"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ("s", str(v))
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return ("bin", bytes(v))
+    if pa.types.is_date(t):
+        return ("d", v.isoformat())
+    if pa.types.is_timestamp(t):
+        # normalize tz-aware vs naive: treat naive as UTC instants (the
+        # sandbox session tz is UTC on both engines)
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return ("ts", v.isoformat())
+        return ("ts", str(v))
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return ("list", tuple(canon_value(x, t.value_type) for x in v))
+    if pa.types.is_struct(t):
+        fields = sorted((t.field(i).name, t.field(i).type) for i in range(t.num_fields))
+        return ("struct", tuple((n, canon_value(v.get(n), ft)) for n, ft in fields))
+    return ("?", str(v))
+
+
+def canon_table(tbl: pa.Table):
+    """(sorted column names, family signature, sorted multiset of rows)."""
+    names = sorted(tbl.column_names)
+    cols = [tbl.column(n) for n in names]
+    types = [c.type for c in cols]
+    fams = {n: family(t) for n, t in zip(names, types)}
+    pylists = [c.to_pylist() for c in cols]
+    rows = sorted(
+        tuple(canon_value(pylists[j][i], types[j]) for j in range(len(names)))
+        for i in range(tbl.num_rows)
+    )
+    exact = {n: str(t) for n, t in zip(names, types)}
+    return names, fams, exact, rows
 
 
 def main() -> int:
@@ -55,35 +140,48 @@ def main() -> int:
             print(f"[check_oracle] WARNING: no view for {t}: {e}")
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
-    failures = []
+    failures, warned = [], []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        stbl = sdf.toArrow()
         if name not in osql:
-            print(f"{name:24s} rows-only ({len(srows)} rows, no oracle)")
+            print(f"{name:24s} rows-only ({stbl.num_rows} rows, no oracle)")
             continue
-        ores = con.sql(osql[name])
-        orows = ores.fetchall()
-        ocols = list(ores.columns)
-        status = []
-        if len(srows) != len(orows):
-            status.append(f"ROWCOUNT {len(srows)} vs {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            status.append(f"SCHEMA {sorted(scols)} vs {sorted(ocols)}")
-        if not status:
-            a = normalize([tuple(r) for r in srows], scols)
-            b = normalize(orows, ocols)
-            if a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                status.append(f"VALUES differ, e.g. {diff}")
+        otbl = con.sql(osql[name]).arrow()
+        status, warns = [], []
+        snames, sfams, sexact, srows = canon_table(stbl)
+        onames, ofams, oexact, orows = canon_table(otbl)
+        if stbl.num_rows != otbl.num_rows:
+            status.append(f"ROWCOUNT {stbl.num_rows} vs {otbl.num_rows}")
+        if snames != onames:
+            status.append(f"SCHEMA {snames} vs {onames}")
+        else:
+            fam_mismatch = [
+                f"{n}: spark={sfams[n]} oracle={ofams[n]}" for n in snames if sfams[n] != ofams[n]
+            ]
+            if fam_mismatch:
+                status.append(f"TYPE-FAMILY {fam_mismatch}")
+            else:
+                width_mismatch = [
+                    f"{n}: {sexact[n]} vs {oexact[n]}" for n in snames if sexact[n] != oexact[n]
+                ]
+                if width_mismatch:
+                    warns.append(f"width {width_mismatch}")
+        if not status and srows != orows:
+            diff = [(x, y) for x, y in zip(srows, orows) if x != y][:2]
+            status.append(f"VALUES differ, e.g. {diff}")
         if status:
             failures.append(name)
             print(f"{name:24s} FAIL: {'; '.join(status)}")
         else:
-            print(f"{name:24s} OK ({len(srows)} rows)")
+            suffix = f"  [warn: {'; '.join(warns)}]" if warns else ""
+            if warns:
+                warned.append(name)
+            print(f"{name:24s} OK ({stbl.num_rows} rows){suffix}")
+    if warned:
+        print(f"\n{len(warned)} queries with width warnings: {','.join(warned)}")
     print("\nRESULT:", "FAIL " + ",".join(failures) if failures else "ALL OK")
     return 1 if failures else 0
 
