@@ -338,6 +338,17 @@ def asof_join_nearest(
         (F.col(_PAY)[f"__ord_{c}"] if c not in payload_cols else F.col(_PAY)[c]).asc_nulls_first()
         for c in order_cols
     ]
+    # Forward-direction ties REVERSE the order: F.last carries the row
+    # nearest the current row in traversal order, so with equal right
+    # timestamps the backward window (tie asc) carries the LAST row in
+    # right_order_cols order — pandas' backward rule — while the forward
+    # window must carry the FIRST row (a >= search is a lower bound in
+    # pandas), which under a descending traversal means sorting ties
+    # descending (nulls last mirrors asc_nulls_first exactly).
+    tie_rev = [
+        (F.col(_PAY)[f"__ord_{c}"] if c not in payload_cols else F.col(_PAY)[c]).desc_nulls_last()
+        for c in order_cols
+    ]
     wb = (
         Window.partitionBy(*on)
         .orderBy(F.col(_TS).asc_nulls_first(), F.col(_SRC).asc(), *tie)
@@ -345,7 +356,7 @@ def asof_join_nearest(
     )
     wf = (
         Window.partitionBy(*on)
-        .orderBy(F.col(_TS).desc_nulls_first(), F.col(_SRC).asc(), *tie)
+        .orderBy(F.col(_TS).desc_nulls_first(), F.col(_SRC).asc(), *tie_rev)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     null_guard = lambda m: F.when(F.col(_TS).isNull(), F.lit(None)).otherwise(m)  # noqa: E731

@@ -632,9 +632,16 @@ def scrub_card_numbers(
         F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0), luhn_valid
     )
     # \b-anchored regexp fold, NOT a raw substring replace: a validated card
-    # that happens to be a SUBSTRING of some longer digit run elsewhere in
-    # the text must not mangle that run (candidates contain only [0-9 -],
-    # so no regex escaping is needed)
+    # that happens to be a SUBSTRING of some longer CONTIGUOUS digit run
+    # elsewhere in the text must not mangle that run (candidates contain
+    # only [0-9 -], so no regex escaping is needed). Scope: the no-mangle
+    # guarantee covers contiguous runs ONLY — inside a longer space/dash-
+    # SEPARATED run ('serial 99 4111 1111 1111 1111 77') the separators are
+    # word boundaries, so an elsewhere-validated card embedded there IS
+    # redacted. Deliberate: that direction is over-redaction, the safe
+    # failure mode for a PII scrub, and the context guard that would skip it
+    # needs lookaround (Java-only) or consuming context captures — outside
+    # the Java∩RE2 subset the oracle-parity contract pins.
     redacted = F.aggregate(
         valid,
         c,

@@ -10,7 +10,7 @@ re-usable, mergeable sketch blobs across runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -683,6 +683,8 @@ def robust_outlier_rows(
     key_cols: list[str],
     partition_col: str | None = "part_date",
     z: float = 3.5,
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Rows whose MODIFIED z-score ``0.6745·(x − median)/MAD`` exceeds ``z``
     in absolute value — the robust companion of ``outlier_rows``. The
@@ -699,11 +701,20 @@ def robust_outlier_rows(
     (a majority-constant cohort — deviation has no robust unit) or with no
     non-NULL values emit nothing, like outlier_rows' sd-degenerate case.
 
-    Scale: two tiny aggregate passes (exact interpolated medians — order
-    statistics, so no float-sum-order nondeterminism) + one map-only
-    verdict filter with the per-partition (median, MAD) frame broadcast
-    back; the data itself never shuffles, but the column is scanned three
-    times (median, deviations, verdict) — all column-pruned.
+    Scale: two aggregate passes + one map-only verdict filter with the
+    per-partition (median, MAD) frame broadcast back; the data itself never
+    shuffles, but the column is scanned three times (median, deviations,
+    verdict) — all column-pruned. MEMORY BOUND (the honest caveat the old
+    "two tiny passes" wording hid): exact ``F.percentile`` is an order
+    statistic — its aggregation buffer holds EVERY non-NULL value of a
+    cohort, ~8 bytes × rows-per-partition on one executor. Fine to ~10⁸
+    values/cohort; a 10^12-row table with few partitions must either pass
+    ``exact=False`` (t-digest-style ``percentile_approx``: constant
+    ~``approx_accuracy``-sized buffers, rank error ≤ 1/accuracy — at the
+    default 10⁴ the median of any real cohort moves well under the 3.5σ
+    decision margin) or pre-slice cohorts finer. ``exact=True`` stays the
+    default because it is the oracle-parity contract (DuckDB
+    ``quantile_cont``) and bit-deterministic.
     """
     group = [partition_col] if partition_col else []
     if group:
@@ -711,16 +722,19 @@ def robust_outlier_rows(
         src = df.withColumn("__pk", pk)
     else:
         src = df.withColumn("__pk", F.lit(""))
-    med = src.groupBy("__pk").agg(
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
-    )
+    def _median(col: Column) -> Column:
+        if exact:
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, F.lit(0.5), F.lit(int(approx_accuracy)))
+
+    med = src.groupBy("__pk").agg(_median(F.col(value_col)).alias("__med"))
     mad = (
         src.join(F.broadcast(med), "__pk")
         .withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
         .groupBy("__pk")
         .agg(
             F.max("__med").alias("__med"),
-            F.percentile(F.col("__adev"), F.lit(0.5)).alias("__mad"),
+            _median(F.col("__adev")).alias("__mad"),
         )
     )
     mz = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")

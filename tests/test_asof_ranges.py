@@ -474,3 +474,66 @@ def test_asof_nearest_matches_pandas(spark):
         payload_cols={"rid": "m_rid"}, right_order_cols=["rid"],
     ).collect()
     assert got[0].m_rid == 100
+
+
+def test_asof_nearest_duplicate_right_timestamps_match_pandas(spark):
+    """Duplicate right timestamps (the case the unique-pool corpus above can
+    never draw): when the nearest match resolves FORWARD, pandas carries the
+    FIRST right row at that timestamp in sort order (a >= search is a lower
+    bound), and when it resolves BACKWARD, the LAST. Round-4 ADVICE: the
+    forward window used to carry the last tie instead of the first."""
+    from lyra_spark.asof import asof_join_nearest
+
+    rng = np.random.default_rng(29)
+    n_l, n_r = 250, 240
+    lpd = pd.DataFrame({
+        "k": rng.integers(0, 4, n_l).astype(str),
+        # coarse second grid -> plenty of exact collisions on the right
+        "lts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 120, n_l), unit="s"),
+        "lid": np.arange(n_l),
+    })
+    rpd = pd.DataFrame({
+        "k": rng.integers(0, 4, n_r).astype(str),
+        "rts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 120, n_r), unit="s"),
+        "rid": np.arange(n_r),
+    })
+    # pandas resolves equal-ts ties by frame order; sorting by (rts, rid)
+    # makes "frame order" == "rid order", which is what right_order_cols pins
+    rpd_sorted = rpd.sort_values(["rts", "rid"], kind="mergesort").reset_index(drop=True)
+    for tol in (None, 30.0):
+        got = (
+            asof_join_nearest(
+                spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                on=["k"], left_ts="lts", right_ts="rts",
+                payload_cols={"rid": "m_rid"}, right_order_cols=["rid"],
+                tolerance_sec=tol,
+            )
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            lpd.sort_values(["lts", "lid"], kind="mergesort"),
+            rpd_sorted.rename(columns={"rid": "m_rid"}),
+            left_on="lts", right_on="rts", by="k", direction="nearest",
+            **({"tolerance": pd.Timedelta(seconds=tol)} if tol else {}),
+        ).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["m_rid"].astype("float"), exp["m_rid"].astype("float"),
+            check_names=False,
+        )
+
+    # pinned minimal case from the ADVICE: two right rows share the forward
+    # timestamp; pandas (and now the engine) carries rid=100, not rid=200
+    lt = pd.DataFrame({"k": ["a"], "lts": pd.to_datetime(["2024-01-01 00:00:10"]), "lid": [0]})
+    rt = pd.DataFrame({"k": ["a"] * 3,
+                       "rts": pd.to_datetime(["2024-01-01 00:00:01",
+                                              "2024-01-01 00:00:12",
+                                              "2024-01-01 00:00:12"]),
+                       "rid": [50, 100, 200]})
+    got = asof_join_nearest(
+        spark.createDataFrame(lt), spark.createDataFrame(rt),
+        on=["k"], left_ts="lts", right_ts="rts",
+        payload_cols={"rid": "m_rid"}, right_order_cols=["rid"],
+    ).collect()
+    assert got[0].m_rid == 100

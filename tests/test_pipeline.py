@@ -1355,6 +1355,29 @@ def test_scrub_card_numbers_luhn_gate(spark):
     assert got[7] == (0, "acct 4111 1111 1111 1111 1111 is a 20-digit id")
 
 
+def test_scrub_card_numbers_separated_run_over_redacts_by_design(spark):
+    """SEMANTICS 88 scope pin: the no-mangle guarantee covers CONTIGUOUS
+    digit runs only. When a validated card also appears embedded in a longer
+    space/dash-SEPARATED run, the separators are word boundaries and the
+    embedded occurrence IS redacted — deliberate over-redaction, the safe
+    failure direction for a PII scrub (round-4 ADVICE)."""
+    from lyra_spark.pipeline.text import scrub_card_numbers
+
+    rows = [
+        # standalone valid card + the same card inside a 22-digit spaced
+        # serial: the serial's maximal run is rejected by the length gate,
+        # but the fold's \b anchors match at its internal separators
+        (1, "card 4111 1111 1111 1111 and serial 99 4111 1111 1111 1111 77"),
+        # contiguous-run twin of the same shape: embedded occurrence has no
+        # word boundary -> untouched (the guarantee that DOES hold)
+        (2, "card 4111111111111111 and serial 994111111111111177"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.text_redacted for r in scrub_card_numbers(df).collect()}
+    assert got[1] == "card [CARD] and serial 99 [CARD] 77"
+    assert got[2] == "card [CARD] and serial 994111111111111177"
+
+
 def test_pii_scrub_phone_pattern_opt_in(spark):
     """PHONE_E164_PATTERN composes into pii_scrub as an extra pattern; '+'
     requirement keeps bare digit runs unredacted."""

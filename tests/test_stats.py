@@ -573,3 +573,20 @@ def test_robust_outlier_rows_whole_table_mode(spark):
     got = robust_outlier_rows(df, "value", ["event_id"], partition_col=None, z=3.5)
     assert "day" not in got.columns
     assert [r.event_id for r in got.collect()] == [99]
+
+
+def test_robust_outlier_rows_approx_mode_agrees_on_separated_data(spark):
+    """exact=False swaps the order-statistic median (whole-cohort buffer,
+    round-4 ADVICE memory caveat) for percentile_approx with constant
+    buffers; on data whose outliers sit far from the 3.5 cut the verdict
+    set is identical to exact mode."""
+    from lyra_spark.stats import robust_outlier_rows
+
+    rows = [(d, i, 100.0 + (i % 7)) for d in ("a", "b") for i in range(200)]
+    rows += [("a", 900, 5e7), ("b", 901, -4e6)]
+    df = spark.createDataFrame(rows, "day string, event_id long, value double")
+    kw = dict(value_col="value", key_cols=["event_id"], partition_col="day", z=3.5)
+    exact = {(r.day, r.event_id) for r in robust_outlier_rows(df, **kw).collect()}
+    approx = {(r.day, r.event_id)
+              for r in robust_outlier_rows(df, exact=False, **kw).collect()}
+    assert exact == approx == {("a", 900), ("b", 901)}
