@@ -2059,6 +2059,53 @@ def q_metric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.withColumnRenamed("pass", "passed")
 
 
+def q_nested_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct-path + array rule kinds (SURVEY §2 row 22d, round 5):
+    a derived struct column validated through dotted-path targeting
+    (Catalyst nested-field resolution — enum on meta.et, range on meta.k)
+    and a derived array column through items/has/array_size (F.forall /
+    F.exists — single codegen'd expressions, no explode). The WHOLE pass
+    still rides engine.row_violations' one-scan array→filter→explode
+    assembly. Array observed_values use Spark's native array→string cast
+    ('[a, null]'); the DuckDB oracle reconstructs that rendering exactly.
+    """
+    ensure_shipped(spark)
+    from lyra_spark.engine import row_violations
+
+    ev = _read(spark, sf_dir, "events")
+    d = (
+        ev.withColumn(
+            "meta",
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("event_type").alias("et"),
+            ),
+        )
+        .withColumn(
+            "tags",
+            F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("array<string>"))
+            .when(F.col("event_id") % 13 == 0, F.array().cast("array<string>"))
+            .otherwise(
+                F.array(
+                    F.col("event_type"),
+                    F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+                        F.concat(F.lit("tag"), (F.col("event_id") % 5).cast("string"))
+                    ),
+                )
+            ),
+        )
+    )
+    rs = RuleSet([
+        R.enum("meta.et", ["click", "view", "purchase", "signup"], rule_id="et_enum"),
+        R.range_rule("meta.k", min=0, max=80, rule_id="k_range"),
+        R.items("tags", R.length("tags", max=6), rule_id="tags_len6"),
+        R.items("tags", R.required("tags"), rule_id="tags_no_null"),
+        R.has("tags", R.enum("tags", ["click", "view"]), rule_id="tags_has_cv"),
+        R.array_size("tags", min=2, rule_id="tags_size2"),
+    ])
+    return row_violations(d, rs, key_cols=["event_id"], partition_col=None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the correctness driver samples the FIRST 50 entries.
     # Round-4 checked the (then) first 50; round-5 therefore leads with
@@ -2125,9 +2172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_drift": q_trailing_drift,
         "key_skew": q_key_skew,
         "violation_samples": q_violation_samples,
-        "profile_findings": q_profile_findings,
+        # -- new in round 5: nested struct-path + array rule kinds --
+        "nested_rules": q_nested_rules,
         # ---------------- position 51+ (driver-checked green in r4, or
         # never-checked with structurally-safest oracles) ----------------
+        "profile_findings": q_profile_findings,
         "multi_sketch": q_multi_sketch,
         "numeric_trailing_drift": q_numeric_trailing_drift,
         "cms_tolerance": q_cms_tolerance,
@@ -2700,6 +2749,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.c_custkey < b.c_custkey
               AND abs(length(a.c_name) - length(b.c_name)) <= 1
               AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "nested_rules": """
+            WITH d AS (
+                SELECT event_id,
+                       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                       event_type AS et,
+                       CASE WHEN event_id % 11 = 0 THEN NULL
+                            WHEN event_id % 13 = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE [event_type,
+                                  CASE WHEN event_id % 7 = 0 THEN NULL
+                                       ELSE 'tag' || CAST(event_id % 5 AS VARCHAR) END]
+                       END AS tags
+                FROM events
+            ),
+            rep AS (
+                SELECT *,
+                       CASE WHEN tags IS NULL THEN NULL
+                            -- reproduce Spark's CAST(array<string> AS STRING)
+                            -- rendering byte-for-byte: '[a, null, b]'
+                            -- COALESCE: array_to_string([]) is NULL in
+                            -- DuckDB, but Spark renders an empty array '[]'
+                            ELSE '[' || COALESCE(array_to_string(
+                                     list_transform(tags, x -> coalesce(x, 'null')), ', '), '')
+                                 || ']' END AS tags_repr
+                FROM d
+            )
+            SELECT event_id, 'et_enum' AS rule_id, et AS observed_value
+              FROM rep WHERE et IS NOT NULL
+               AND et NOT IN ('click', 'view', 'purchase', 'signup')
+            UNION ALL
+            SELECT event_id, 'k_range', CAST(k AS VARCHAR)
+              FROM rep WHERE k IS NOT NULL AND NOT (k >= 0 AND k <= 80)
+            UNION ALL
+            SELECT event_id, 'tags_len6', tags_repr
+              FROM rep WHERE tags IS NOT NULL
+               AND len(list_filter(tags, x -> x IS NOT NULL AND length(x) > 6)) > 0
+            UNION ALL
+            SELECT event_id, 'tags_no_null', tags_repr
+              FROM rep WHERE tags IS NOT NULL
+               AND len(list_filter(tags, x -> x IS NULL)) > 0
+            UNION ALL
+            SELECT event_id, 'tags_has_cv', tags_repr
+              FROM rep WHERE tags IS NOT NULL
+               AND len(list_filter(tags, x -> x IS NOT NULL AND x IN ('click', 'view'))) = 0
+            UNION ALL
+            SELECT event_id, 'tags_size2', tags_repr
+              FROM rep WHERE tags IS NOT NULL AND len(tags) < 2
         """,
         "metric_rules": """
             WITH ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),

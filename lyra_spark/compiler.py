@@ -121,6 +121,34 @@ def _check_predicate(spec: RuleSpec, col: Column) -> Column:
     if kind == "cast":
         # pass iff NULL or castable; evaluated on the RAW column.
         return _skip_null_wrap(col, col.try_cast(p["to"]).isNotNull())
+    if kind in ("items", "has"):
+        # lyra/Joi array().items()/.has(): the element rule compiles through
+        # THIS function against the lambda variable — one nested codegen'd
+        # expression, no explode, no shuffle, no Python. Element rules are
+        # restricted (rules._ITEM_SUBKINDS) to kinds whose predicates are
+        # pure single-column expressions, so the recursion is always legal.
+        ikind, iparams = p["item"]
+        sub = RuleSpec(
+            rule_id=f"{spec.rule_id}#item", kind=ikind, column=spec.column, params=iparams
+        )
+        if kind == "items":
+            # ∀ elements; the sub-predicate is already skip-NULL-wrapped, so
+            # NULL elements pass content kinds and fail only items(required).
+            # forall over NULL array is NULL -> outer wrap passes it.
+            return _skip_null_wrap(col, F.forall(col, lambda x: _check_predicate(sub, x)))
+        # ∃ a NON-NULL witness: without the isNotNull guard a NULL element
+        # would vacuously satisfy any skip-NULL-wrapped content rule.
+        # exists over an EMPTY array is False -> has fails (Joi's rule).
+        return _skip_null_wrap(
+            col, F.exists(col, lambda x: x.isNotNull() & _check_predicate(sub, x))
+        )
+    if kind == "array_size":
+        pred = F.lit(True)
+        if p.get("min") is not None:
+            pred = pred & (F.size(col) >= p["min"])
+        if p.get("max") is not None:
+            pred = pred & (F.size(col) <= p["max"])
+        return _skip_null_wrap(col, pred)
     if kind == "any_of":
         # Joi alternatives().try(): OR of the alternatives' own predicates.
         # Each sub-predicate is already skip-NULL-wrapped by its kind, so a
@@ -167,6 +195,19 @@ def apply_coercions(df: DataFrame, ruleset: RuleSet) -> DataFrame:
     coerced: set[str] = set()
     for spec in ruleset.coercions:
         c = spec.column
+        if "." in c:
+            # Nested paths are CHECK-only in v1 (rules.py "nested paths &
+            # arrays" note): rewriting a struct field needs a withField
+            # chain whose __raw__ preservation has no clean column home.
+            # A STRICT cast never rewrites (and needs no raw copy — the
+            # field is never coerced, so the check reads it live): allow it.
+            if spec.kind == "cast" and spec.p.get("strict"):
+                continue
+            raise ValueError(
+                f"coercion rule {spec.rule_id!r} targets nested path {c!r}: "
+                "coercions are top-level-only — project the field to a column "
+                "first, or use cast(..., strict=True) for check-only validation"
+            )
         if c not in coerced:
             df = df.withColumn(RAW_PREFIX + c, F.col(c))
             coerced.add(c)

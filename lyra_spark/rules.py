@@ -244,6 +244,78 @@ def transform(column: str, fn: str, rule_id: str | None = None) -> RuleSpec:
     return _mk("transform", column, rule_id, fn=fn)
 
 
+# --- nested paths & arrays ----------------------------------------------------
+# lyra object({...}) / array().items(...) semantics (SURVEY §1.2's deferred
+# generalization hook, built in round 5):
+#   * STRUCT PATHS: every CHECK kind accepts a dotted column ("props.k.v") —
+#     Catalyst resolves nested fields natively, so a dotted target costs the
+#     same single-pass codegen'd expression as a top-level one. Dots always
+#     mean nesting (a literal-dot top-level name needs renaming first).
+#     COERCIONS stay top-level-only in v1: rewriting a struct field means a
+#     withField chain whose raw-value preservation has no clean column home —
+#     apply_coercions raises loudly instead of silently no-oping. A STRICT
+#     cast (check-only, never rewrites) is allowed on nested paths.
+#   * ARRAYS: ``items(col, rule)`` = every element satisfies the element rule
+#     (F.forall — one codegen'd expression, no explode, no shuffle);
+#     ``has(col, rule)`` = at least one NON-NULL element satisfies it
+#     (F.exists); ``array_size(col, min, max)`` bounds F.size. NULL array
+#     passes all three (optional semantics, decision 2); an EMPTY array
+#     passes items (vacuous ∀) and array_size(min=0) but FAILS has (∃ over
+#     nothing) — Joi's rule. NULL ELEMENTS inside items keep element-level
+#     optional semantics: they pass every content kind and fail only the
+#     ``required`` element rule (items(required) = "no NULL elements").
+_ITEM_SUBKINDS = {
+    "required", "nonempty", "enum", "deny", "pattern", "format",
+    "length", "range", "integer", "multiple_of",
+}
+
+
+def _validate_element_rule(outer: str, column: str, item: "RuleSpec") -> None:
+    if not isinstance(item, RuleSpec) or item.kind not in _ITEM_SUBKINDS:
+        kind = getattr(item, "kind", item)
+        raise ValueError(
+            f"{outer}: element rule kind {kind!r} not allowed "
+            f"(allowed: {sorted(_ITEM_SUBKINDS)}) — compare needs a row scope, "
+            "custom cannot run inside a lambda, cast coercion is ambiguous per-element"
+        )
+    if item.column != column:
+        raise ValueError(f"{outer}: element rule targets {item.column!r}, not {column!r}")
+    if item.when is not None:
+        raise ValueError(f"{outer}: element rules cannot carry their own 'when' — gate the {outer}")
+
+
+def items(column: str, item: "RuleSpec", rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """lyra/Joi ``array().items(rule)``: EVERY element of the array column
+    satisfies the element rule. Compiles to ``F.forall`` — a single
+    codegen'd expression, no explode, no shuffle. NULL array passes; empty
+    array passes (vacuous); NULL elements pass content kinds and fail only
+    an ``items(required(...))`` element rule."""
+    _validate_element_rule("items", column, item)
+    return _mk("items", column, rule_id, when, item=(item.kind, item.params))
+
+
+def has(column: str, item: "RuleSpec", rule_id: str | None = None, when: Cond | None = None) -> RuleSpec:
+    """lyra/Joi ``array().has(rule)``: AT LEAST ONE non-NULL element
+    satisfies the element rule (``F.exists``). NULL array passes (optional
+    semantics); an EMPTY array FAILS — there is no witness."""
+    _validate_element_rule("has", column, item)
+    return _mk("has", column, rule_id, when, item=(item.kind, item.params))
+
+
+def array_size(
+    column: str,
+    min: int | None = None,  # noqa: A002 - mirrors length()'s public names
+    max: int | None = None,  # noqa: A002
+    rule_id: str | None = None,
+    when: Cond | None = None,
+) -> RuleSpec:
+    """lyra/Joi ``array().min()/.max()/.length()``: bounds on F.size.
+    NULL array passes (pair with required)."""
+    if min is None and max is None:
+        raise ValueError("array_size needs min and/or max")
+    return _mk("array_size", column, rule_id, when, min=min, max=max)
+
+
 # --- conditional & custom -----------------------------------------------------
 _ANY_OF_SUBKINDS = {
     "nonempty", "enum", "deny", "pattern", "format", "length",
@@ -371,6 +443,10 @@ def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
                                 for pk, pv in dict(ap).items()}}
                 for ak, ap in r.p["alts"]
             ]
+        elif r.kind in ("items", "has"):
+            ik, ip = r.p["item"]
+            d["item"] = {"kind": ik, **{pk: (list(pv) if isinstance(pv, tuple) else pv)
+                                        for pk, pv in dict(ip).items()}}
         else:
             d.update({k: (list(v) if isinstance(v, tuple) else v) for k, v in r.params})
         if r.when is not None:
@@ -388,7 +464,7 @@ def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
 _CONFIG_KINDS = {
     "required", "nonempty", "forbidden", "enum", "deny", "pattern", "length",
     "range", "integer", "multiple_of", "cast", "default", "transform", "custom",
-    "format", "compare", "any_of",
+    "format", "compare", "any_of", "items", "has", "array_size",
 }
 _META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version", "tolerance"}
 
@@ -477,6 +553,25 @@ def ruleset_from_json(source: str) -> RuleSet:
                         )
                     sub_specs.append(_BUILDERS[sd["kind"]](d["column"], **sparams))
                 spec = any_of(d["column"], sub_specs, rule_id=d.get("rule_id"), when=when)
+            elif kind in ("items", "has"):
+                sd = d.get("item")
+                if not isinstance(sd, dict) or sd.get("kind") not in _ITEM_SUBKINDS:
+                    raise ValueError(
+                        f"rule #{i}: {kind} needs an 'item' rule object with kind in "
+                        f"{sorted(_ITEM_SUBKINDS)}"
+                    )
+                sparams = {k2: v2 for k2, v2 in sd.items() if k2 != "kind"}
+                sunknown = set(sparams) - _KIND_PARAMS[sd["kind"]]
+                if sunknown:
+                    raise ValueError(
+                        f"rule #{i} item ({sd['kind']}): unknown parameter(s) {sorted(sunknown)}"
+                    )
+                sub_spec = _BUILDERS[sd["kind"]](d["column"], **sparams)
+                # NOTE: the module-level builders by name — the local parsed
+                # list is also called `items` and would shadow the builder
+                spec = _ARRAY_WRAPPERS[kind](
+                    d["column"], sub_spec, rule_id=d.get("rule_id"), when=when
+                )
             elif kind in ("default", "transform"):
                 if when is not None:
                     raise ValueError("coercion rules take no 'when'")
@@ -526,7 +621,10 @@ _BUILDERS: dict[str, Callable] = {
     "transform": transform,
     "format": format_rule,
     "compare": compare,
+    "array_size": array_size,
 }
+
+_ARRAY_WRAPPERS: dict[str, Callable] = {"items": items, "has": has}
 
 # Per-kind legal parameter names, mirroring the builder signatures above — the
 # loader's typo guard. Keep in sync when adding a builder.
@@ -548,6 +646,9 @@ _KIND_PARAMS: dict[str, set[str]] = {
     "format": {"name"},
     "compare": {"op", "other"},
     "any_of": {"alternatives"},
+    "items": {"item"},
+    "has": {"item"},
+    "array_size": {"min", "max"},
 }
 
 
