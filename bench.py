@@ -86,7 +86,46 @@ def main() -> None:
         _, verd = run_suite(tdf, dim, viol_out, input_path=os.path.join(fx, "transcripts"))
         force(verd)
 
-    timed("transcript_validate_suite", suite)
+    # ---- probe-gated headline (BENCH/BASELINE.md methodology, round-5) ----
+    # This host is a shared microVM whose delivered CPU/memory bandwidth
+    # swings 2-3x on minute timescales; an un-probed single number regularly
+    # measures the neighbors (r4's 1.46x "regression" was exactly this).
+    # Bracket every headline sample with the same CPU + bandwidth probes the
+    # sf32 scaling gate uses, keep the MIN wall, and RECORD the probe values
+    # so the reader can attribute the number. Storm-window samples retry (≤2
+    # extra) while the budget allows; the probes are never a reason to omit
+    # the record.
+    sys.path.insert(0, os.path.join(REPO, "BENCH"))
+    from run_scaling import probe_bandwidth, probe_parallel
+
+    probe_procs = min(16, int(cpus))
+    # Gates from the sf32 scaling artifact: ~290 M-it/s AGGREGATE at 16-way
+    # (≈18/proc — the busy loop scales linearly in procs) and ≥40 GB/s of
+    # delivered bandwidth (a shared-bus absolute, NOT per-proc).
+    cpu_gate, bw_gate = 18.0 * probe_procs, 40.0
+
+    def probe() -> dict:
+        return {
+            "cpu_mits": probe_parallel(probe_procs),
+            "bw_gbs": probe_bandwidth(probe_procs),
+        }
+
+    def probe_clear(p: dict) -> bool:
+        return p["cpu_mits"] >= cpu_gate and p["bw_gbs"] >= bw_gate
+
+    probes = [probe()]
+    best = float("inf")
+    for _ in range(3):  # one mandatory sample + up to two storm retries
+        t0 = time.perf_counter()
+        suite()
+        best = min(best, time.perf_counter() - t0)
+        probes.append(probe())
+        if probe_clear(probes[-2]) and probe_clear(probes[-1]):
+            break
+        if time.perf_counter() - bench_t0 > budget_s * 0.4:
+            break
+    timings["transcript_validate_suite"] = round(best, 3)
+    headline_gated = probe_clear(probes[-2]) and probe_clear(probes[-1])
     timed("transcript_stats", lambda: force(column_stats(tdf, ["conv_id", "role", "text", "tool", "turn_idx"])))
     timed("transcript_length_hist", lambda: force(length_histogram(tdf, "text")))
     timed(
@@ -95,7 +134,10 @@ def main() -> None:
     )
 
     qs = entry_mod.queries()
-    for name in ["validate_events", "verdicts_events", "custom_rule", "hll_tolerance", "agg_lineitem", "broadcast_join", "window_topk", "uniqueness", "monotone", "contiguity", "column_entropy", "correlation", "percentiles", "asof_join", "range_join", "weighted_sample", "cms_tolerance", "key_skew"]:
+    # severity/tolerance verdict grids + nested/array rules are product
+    # surface (round-4 ADVICE task 7): a per-round number guards the grid
+    # logic against regression as it grows
+    for name in ["validate_events", "verdicts_events", "custom_rule", "hll_tolerance", "agg_lineitem", "broadcast_join", "window_topk", "uniqueness", "monotone", "contiguity", "column_entropy", "correlation", "percentiles", "asof_join", "range_join", "weighted_sample", "cms_tolerance", "key_skew", "severity_verdicts", "tolerance_verdicts", "nested_rules"]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     # LLM-pipeline operators over documents/embeddings — the judge grades
@@ -182,6 +224,12 @@ def main() -> None:
                 "sf": float(sf),
                 "turns": n_turns,
                 "cpus": int(cpus),
+                # host-weather attribution: busy-loop + stream-copy probes
+                # bracketing every headline sample (min-wall kept); gated =
+                # final sample sat between two clear probes
+                "probe_cpu_mits": [p["cpu_mits"] for p in probes],
+                "probe_bw_gbs": [p["bw_gbs"] for p in probes],
+                "headline_probe_gated": headline_gated,
             }
         )
     )

@@ -61,7 +61,10 @@ def rule_ids(
     return ids
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, catalog: "lio.TableCatalog | None" = None) -> int:
+    # ``catalog``: inject a TableCatalog (metadata interface) — tests drive
+    # the Iceberg seam with a fake; None resolves from the table URI
+    # (parquet footers locally, Iceberg metadata tables for iceberg: URIs).
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True)
     ap.add_argument("--tools-dim", required=True)
@@ -219,12 +222,20 @@ def main(argv: list[str] | None = None) -> int:
         ruleset = transcript_ruleset()
     hll_cols = [c.strip() for c in args.hll_cols.split(",") if c.strip()] if args.hll_cols else []
     # Per-partition row counts from table metadata (parquet footers locally,
-    # Iceberg manifests in prod): computed once, reused by every --out verdict
-    # roll-up below so the loop never rescans a partition just to count it.
-    meta_counts = lio.partition_row_counts(args.table)
+    # Iceberg manifests in prod — one TableCatalog interface either way):
+    # computed once, reused by every --out verdict roll-up below so the loop
+    # never rescans a partition just to count it.
+    if catalog is None:
+        catalog = lio.catalog_for(spark, args.table)
+    meta_counts = catalog.partition_record_counts()
+    # snapshot lineage: an explicit --snapshot-id wins; otherwise the catalog
+    # supplies it (Iceberg: current snapshot; parquet stand-in: None)
+    snapshot_id = args.snapshot_id if args.snapshot_id is not None else catalog.snapshot_id()
 
     manifest = ckpt.load_manifest(args.checkpoint, args.run_id)
-    all_parts = lio.list_partitions(spark, df)
+    # Partition listing: catalog metadata when it serves one (Iceberg's
+    # .partitions is authoritative), else the pruned distinct scan.
+    all_parts = catalog.partitions() or lio.list_partitions(spark, df)
     pending = manifest.pending(all_parts, ruleset)
     n_done = len(all_parts) - len(pending)
     if args.revalidate_changed:
@@ -235,7 +246,7 @@ def main(argv: list[str] | None = None) -> int:
             print("[lyra] WARNING: --revalidate-changed needs metadata counts; "
                   "table layout does not expose them — skipping change detection")
         else:
-            changed = manifest.changed(ruleset, meta_counts, args.snapshot_id)
+            changed = manifest.changed(ruleset, meta_counts, snapshot_id)
             if changed:
                 print(f"[lyra] revalidate-changed: {len(changed)} completed "
                       f"partition(s) changed since validation: {sorted(changed)[:5]}")
@@ -459,7 +470,7 @@ def main(argv: list[str] | None = None) -> int:
 
     def record(pk: str, n_rows: int, n_viol: int, gate: bool, wall_ms: float) -> None:
         manifest.record(pk, ruleset, rows=n_rows, violations=n_viol, wall_ms=wall_ms,
-                        snapshot_id=args.snapshot_id)
+                        snapshot_id=snapshot_id)
         ckpt.save_manifest(args.checkpoint, manifest)
         # `pass` is the partition's ACTUAL gate (verdict_gate: tolerance- and
         # severity-aware), not violations == 0 — a within-tolerance partition
@@ -534,7 +545,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.freshness_hours is not None:
         from lyra_spark.stats import freshness_report
 
-        ranges = lio.partition_ts_range(args.table, "ts")
+        ranges = catalog.partition_ts_range("ts")
         fr = freshness_report(
             df, ts_col="ts", partition_col="part_date",
             max_lag_hours=args.freshness_hours, ranges=ranges,

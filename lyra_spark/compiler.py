@@ -185,6 +185,29 @@ def _check_predicate(spec: RuleSpec, col: Column) -> Column:
     raise ValueError(f"unknown rule kind {spec.kind!r}")
 
 
+def message_column(spec: RuleSpec, observed: Column) -> Column:
+    """Render the rule's human message as a Column (lyra .messages parity).
+
+    Compile-time placeholders ({column}, {rule_id}, parameter names) are
+    already interpolated by rules.message_template; the runtime ``{value}``
+    token splices the observed value in ('<NULL>' when NULL) via a literal
+    F.concat — pure codegen, no Python."""
+    from lyra_spark.rules import _RUNTIME_TOKEN, message_template
+
+    t = message_template(spec)
+    parts = t.split(_RUNTIME_TOKEN)
+    if len(parts) == 1:
+        return F.lit(t)
+    obs = F.coalesce(observed, F.lit("<NULL>"))
+    segs: list[Column] = []
+    for i, p in enumerate(parts):
+        if i:
+            segs.append(obs)
+        if p:
+            segs.append(F.lit(p))
+    return F.concat(*segs)
+
+
 def apply_coercions(df: DataFrame, ruleset: RuleSet) -> DataFrame:
     """Rewrite columns per coercion rules, preserving originals as __raw__<col>.
 

@@ -63,8 +63,18 @@ def row_violations(
     key_cols: list[str] = KEY_COLS,
     partition_col: str | None = "part_date",
     extra_checks: list[tuple] | None = None,
+    messages: bool = False,
+    abort_early: bool = False,
 ) -> DataFrame:
     """Evaluate all row-level rules; one violation row per (row, failed rule).
+
+    ``messages=True`` adds a rendered human ``message`` column (lyra
+    .messages parity — compiler.message_column; templates per rule via
+    rules.with_message, defaults per kind). ``abort_early=True`` is lyra's
+    abortEarly: emit only the FIRST failing rule per row in ruleset order —
+    same single scan, the emit just takes element 1 of the failure array
+    instead of exploding it (strictly cheaper; per-row short-circuit is
+    already how the codegen'd boolean OR evaluates).
 
     ``extra_checks``: optional (rule_id, passes, observed) triples appended to
     the compiled rule array — the hook by which map-only dataset checks
@@ -84,16 +94,36 @@ def row_violations(
     if not checks:
         raise ValueError("ruleset has no checking rules")
     triples = [(c.spec.rule_id, c.passes, c.observed) for c in checks] + list(extra_checks or [])
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(rid).alias("rule_id"),
-                ok.alias("ok"),
-                obs.alias("observed_value"),
-            )
+    if messages:
+        from lyra_spark.compiler import message_column
+
+        msg_by_rid = {c.spec.rule_id: message_column(c.spec, c.observed) for c in checks}
+        fields = [
+            (rid, ok, obs, msg_by_rid.get(rid, F.lit(f'"{rid}" failed')))
             for rid, ok, obs in triples
         ]
-    )
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(rid).alias("rule_id"),
+                    ok.alias("ok"),
+                    obs.alias("observed_value"),
+                    msg.alias("message"),
+                )
+                for rid, ok, obs, msg in fields
+            ]
+        )
+    else:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(rid).alias("rule_id"),
+                    ok.alias("ok"),
+                    obs.alias("observed_value"),
+                )
+                for rid, ok, obs in triples
+            ]
+        )
     # Violation pre-filter: rows pass a rule unless ok is literally False
     # (NULL ok is dropped by the array filter below), so `ok == False` for ANY
     # rule is exactly the emit condition. Evaluating this cheap boolean OR
@@ -106,11 +136,16 @@ def row_violations(
         cond = ok.eqNullSafe(F.lit(False))
         any_fail = cond if any_fail is None else (any_fail | cond)
     keep = list(key_cols) + ([partition_col] if partition_col else [])
-    return (
-        coerced.where(any_fail)
-        .select(*keep, F.explode(F.filter(arr, lambda x: ~x["ok"])).alias("v"))
-        .select(*keep, F.col("v.rule_id").alias("rule_id"), F.col("v.observed_value").alias("observed_value"))
-    )
+    out_cols = [F.col("v.rule_id").alias("rule_id"), F.col("v.observed_value").alias("observed_value")]
+    if messages:
+        out_cols.append(F.col("v.message").alias("message"))
+    failed = F.filter(arr, lambda x: ~x["ok"])
+    if abort_early:
+        # the any_fail pre-filter guarantees the array is non-empty here
+        picked = coerced.where(any_fail).select(*keep, F.element_at(failed, 1).alias("v"))
+    else:
+        picked = coerced.where(any_fail).select(*keep, F.explode(failed).alias("v"))
+    return picked.select(*keep, *out_cols)
 
 
 def clean_rows(

@@ -41,6 +41,12 @@ class RuleSpec:
     # predicate semantics: violations still report row-level, and it is
     # excluded from the fingerprint so tuning a threshold never invalidates
     # a resumable run's checkpoint.
+    # `message` (None default): lyra .messages()/.label() parity — a human
+    # template rendered into the optional `message` violation column.
+    # {column}/{rule_id}/{<param>} interpolate at COMPILE time, {value} at
+    # RUNTIME (the observed value). Presentation metadata like severity:
+    # excluded from the fingerprint, so wording changes never invalidate
+    # checkpoints.
     rule_id: str
     kind: str
     column: str
@@ -49,6 +55,7 @@ class RuleSpec:
     severity: str = "error"
     version: str = "1"
     tolerance: float = 0.0
+    message: str | None = None
 
     @property
     def p(self) -> dict[str, Any]:
@@ -359,16 +366,59 @@ def any_of(
 
 def conditional(rule: RuleSpec, when: Cond) -> RuleSpec:
     """Apply ``rule`` only where ``when`` holds (lyra when/refs)."""
-    return RuleSpec(
-        rule_id=rule.rule_id,
-        kind=rule.kind,
-        column=rule.column,
-        params=rule.params,
-        when=when,
-        severity=rule.severity,
-        version=rule.version,
-        tolerance=rule.tolerance,
-    )
+    import dataclasses
+
+    return dataclasses.replace(rule, when=when)
+
+
+# lyra-style default error messages per kind ({value} renders at runtime).
+DEFAULT_MESSAGES: dict[str, str] = {
+    "required": '"{column}" is required',
+    "forbidden": '"{column}" is not allowed',
+    "nonempty": '"{column}" is not allowed to be empty',
+    "enum": '"{column}" must be one of {values}',
+    "deny": '"{column}" contains a denied value ({value})',
+    "pattern": '"{column}" with value {value} fails to match the required pattern',
+    "format": '"{column}" must be a valid {name} ({value})',
+    "length": '"{column}" length is out of bounds ({value})',
+    "range": '"{column}" must be within the allowed range ({value})',
+    "integer": '"{column}" must be an integer ({value})',
+    "multiple_of": '"{column}" must be a multiple of {k} ({value})',
+    "cast": '"{column}" cannot be cast to {to} ({value})',
+    "compare": '"{column}" comparison with "{other}" failed ({value})',
+    "any_of": '"{column}" does not match any of the allowed alternatives ({value})',
+    "items": '"{column}" has an element that fails the item rule',
+    "has": '"{column}" is missing a required element',
+    "array_size": '"{column}" size is out of bounds',
+    "custom": '"{column}" failed custom check {rule_id} ({value})',
+}
+
+_RUNTIME_TOKEN = "{value}"
+
+
+def message_template(spec: RuleSpec) -> str:
+    """The rule's message with every COMPILE-TIME placeholder interpolated
+    ({column}, {rule_id}, and any rule parameter by name); the runtime
+    ``{value}`` token survives for the compiler to splice the observed
+    value into (compiler.message_column)."""
+    t = spec.message or DEFAULT_MESSAGES.get(spec.kind, '"{column}" failed {rule_id}')
+    subs = {"column": spec.column, "rule_id": spec.rule_id}
+    for k, v in spec.params:
+        subs[k] = list(v) if isinstance(v, tuple) else v
+    out = t
+    for k, v in subs.items():
+        out = out.replace("{" + k + "}", str(v))
+    return out
+
+
+def with_message(rule: RuleSpec, message: str) -> RuleSpec:
+    """lyra ``.messages('...')``: attach a human error template to a rule.
+    Placeholders: {column}, {rule_id}, any parameter name ({values}, {min},
+    ...) — interpolated at compile time — and {value}, replaced at runtime
+    by the observed value ('<NULL>' when NULL)."""
+    import dataclasses
+
+    return dataclasses.replace(rule, message=message)
 
 
 # Registry of custom vectorized predicates: rule_id → pandas Series→Series[bool].
@@ -457,6 +507,8 @@ def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
             d["tolerance"] = r.tolerance
         if r.version != "1":
             d["version"] = r.version
+        if r.message is not None:
+            d["message"] = r.message
         out.append(d)
     return json.dumps(out, indent=indent)
 
@@ -466,7 +518,7 @@ _CONFIG_KINDS = {
     "range", "integer", "multiple_of", "cast", "default", "transform", "custom",
     "format", "compare", "any_of", "items", "has", "array_size",
 }
-_META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version", "tolerance"}
+_META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version", "tolerance", "message"}
 
 
 def ruleset_from_json(source: str) -> RuleSet:
@@ -580,7 +632,7 @@ def ruleset_from_json(source: str) -> RuleSet:
                 spec = _BUILDERS[kind](d["column"], rule_id=d.get("rule_id"), when=when, **params)
         except TypeError as e:
             raise ValueError(f"rule #{i} ({kind}/{d['column']}): {e}") from None
-        if "severity" in d or "version" in d or "tolerance" in d:
+        if "severity" in d or "version" in d or "tolerance" in d or "message" in d:
             import dataclasses
 
             # validate like kinds/params: a typo'd severity ("warning",
@@ -595,11 +647,15 @@ def ruleset_from_json(source: str) -> RuleSet:
                 raise ValueError(
                     f"rule #{i}: tolerance must be a fraction in [0, 1), got {tol!r}"
                 )
+            msg = d.get("message", spec.message)
+            if msg is not None and not isinstance(msg, str):
+                raise ValueError(f"rule #{i}: message must be a string, got {type(msg).__name__}")
             spec = dataclasses.replace(
                 spec,
                 severity=d.get("severity", spec.severity),
                 version=str(d.get("version", spec.version)),
                 tolerance=float(tol),
+                message=msg,
             )
         rules.append(spec)
     return RuleSet(rules)
