@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
                          "verdicts")
     ap.add_argument("--out", default=None, help="violations output dir (parquet)")
     ap.add_argument("--report", default=None, help="machine-readable JSON summary path")
+    ap.add_argument("--messages", action="store_true",
+                    help="add a rendered human `message` column to violations "
+                         "(per-rule templates via the config's \"message\" key; "
+                         "per-kind defaults otherwise)")
+    ap.add_argument("--abort-early", action="store_true",
+                    help="lyra abortEarly: emit only the FIRST failing rule per "
+                         "row (ruleset order) instead of every failure")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if not args.rules and not args.metric_rules:
@@ -76,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
             [c.strip() for c in args.key_cols.split(",") if c.strip()]
             if args.key_cols else [df.columns[0]]
         )
-        res = validate(df, ruleset, key_cols=key_cols, partition_col=part_col)
+        res = validate(df, ruleset, key_cols=key_cols, partition_col=part_col,
+                       messages=args.messages, abort_early=args.abort_early)
         if args.out:
             res.violations.write.mode("overwrite").parquet(args.out)
             viol = spark.read.schema(res.violations.schema).parquet(args.out)

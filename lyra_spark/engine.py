@@ -317,16 +317,23 @@ def validate(
     extra_violations: list[DataFrame] | None = None,
     extra_rule_ids: list[str] | None = None,
     persist: bool = False,
+    messages: bool = False,
+    abort_early: bool = False,
 ) -> ValidationResult:
     """Run the row-rule family (+ optional dataset-check violation frames) and
     roll up per-partition verdicts.
 
     ``extra_violations`` lets dataset-level checks (uniqueness, referential,
     monotone — lyra_spark.checks) merge into the same violations output and
-    verdict grid; each frame must share the violation schema.
+    verdict grid; each frame must share the violation schema (when
+    ``messages=True`` they gain a generic '<rule_id> failed' message so the
+    union stays schema-equal).
     """
-    viol = row_violations(df, ruleset, key_cols, partition_col)
+    viol = row_violations(df, ruleset, key_cols, partition_col,
+                          messages=messages, abort_early=abort_early)
     for ev in extra_violations or []:
+        if messages and "message" not in ev.columns:
+            ev = ev.withColumn("message", F.concat(F.lit('"'), F.col("rule_id"), F.lit('" failed')))
         viol = viol.unionByName(ev)
     if persist:
         viol = viol.persist(StorageLevel.MEMORY_AND_DISK)

@@ -171,13 +171,13 @@ def fuzzy_join(
         return (
             _fuzzy_join_deletion(l_short, r_short, left_on, right_on, d, left_id, right_id)
             .unionByName(
-                _fuzzy_join_passjoin(l_long, right, left_on, right_on, d, left_id, right_id)
+                _fuzzy_join_passjoin(l_long, right, left_on, right_on, d, left_id, right_id, spread)
             )
             .unionByName(
-                _fuzzy_join_passjoin(l_short, r_long, left_on, right_on, d, left_id, right_id)
+                _fuzzy_join_passjoin(l_short, r_long, left_on, right_on, d, left_id, right_id, spread)
             )
         )
-    return _fuzzy_join_passjoin(left, right, left_on, right_on, d, left_id, right_id)
+    return _fuzzy_join_passjoin(left, right, left_on, right_on, d, left_id, right_id, spread)
 
 
 # deletion-neighborhood fan-out at this length (d=2: ~2k variants) is ~the
@@ -193,6 +193,7 @@ def _fuzzy_join_passjoin(
     d: int,
     left_id: str,
     right_id: str,
+    spread: bool | None = None,
 ) -> DataFrame:
     """PassJoin segment blocking — see the module docstring."""
     segs = _segments(d)

@@ -76,6 +76,31 @@ def test_check_whole_table_tolerance_gate(tmp_path, events_table):
     assert run(["--table", events_table, "--rules", str(rules)]) == 1
 
 
+def test_check_messages_and_abort_early(tmp_path, spark, events_table):
+    """--messages renders the config's template (with runtime {value}) into a
+    message column; --abort-early keeps only the first failing rule per row."""
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"kind": "enum", "column": "event_type",
+         "values": ["click", "view", "purchase", "signup"], "rule_id": "et_enum",
+         "message": "bad type: {value}"},
+        {"kind": "range", "column": "value", "min": 0.0, "max": 100.0,
+         "rule_id": "v_range"},
+    ]))
+    out = tmp_path / "viol"
+    run(["--table", events_table, "--rules", str(rules),
+         "--key-cols", "event_id", "--out", str(out),
+         "--messages", "--abort-early"])
+    viol = spark.read.parquet(str(out))
+    assert "message" in viol.columns
+    rows = viol.collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))  # abort-early: one row per failing row
+    by_rule = {r.rule_id: r for r in rows}
+    assert by_rule["et_enum"].message == f"bad type: {by_rule['et_enum'].observed_value}"
+    assert by_rule["v_range"].message.startswith('"value" must be within')
+
+
 def test_check_requires_some_config(events_table):
     with pytest.raises(SystemExit, match="nothing to check"):
         run(["--table", events_table])
