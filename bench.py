@@ -115,14 +115,21 @@ def main() -> None:
 
     probes = [probe()]
     best = float("inf")
-    for _ in range(3):  # one mandatory sample + up to two storm retries
+    n_samples = 0
+    while True:
         t0 = time.perf_counter()
         suite()
         best = min(best, time.perf_counter() - t0)
+        n_samples += 1
         probes.append(probe())
-        if probe_clear(probes[-2]) and probe_clear(probes[-1]):
+        bracket_clear = probe_clear(probes[-2]) and probe_clear(probes[-1])
+        # ALWAYS at least two samples: the first pays JVM/codegen warmup for
+        # the whole suite (measured 9.1 s cold vs 3.9 s warm on identical
+        # weather) and min-wall needs a warm sample regardless of probes.
+        # Then keep retrying (to 4) only while the bracket is stormy.
+        if n_samples >= 2 and (bracket_clear or n_samples >= 4):
             break
-        if time.perf_counter() - bench_t0 > budget_s * 0.4:
+        if n_samples >= 2 and time.perf_counter() - bench_t0 > budget_s * 0.4:
             break
     timings["transcript_validate_suite"] = round(best, 3)
     headline_gated = probe_clear(probes[-2]) and probe_clear(probes[-1])
