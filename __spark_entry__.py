@@ -2130,6 +2130,25 @@ def q_abort_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lyra object().unknown(false) parity (SURVEY §2 row 22f): the
+    json_unknown_keys rule over a derived props column with planted unknown
+    keys and invalid JSON — json_object_keys + F.forall, one codegen'd
+    map-only pass through the standard violation assembly."""
+    ensure_shipped(spark)
+    from lyra_spark.engine import row_violations
+
+    ev = _read(spark, sf_dir, "events")
+    d = ev.withColumn(
+        "props2",
+        F.when(F.col("event_id") % 37 == 0, F.lit("not json"))
+        .when(F.col("event_id") % 31 == 0, F.regexp_replace("props", r"\}$", ', "zz": 1}'))
+        .otherwise(F.col("props")),
+    )
+    rs = RuleSet([R.json_unknown_keys("props2", ["k"], rule_id="props_keys")])
+    return row_violations(d, rs, key_cols=["event_id"], partition_col=None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the correctness driver samples the FIRST 50 entries.
     # Round-4 checked the (then) first 50; round-5 therefore leads with
@@ -2203,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-checked with structurally-safest oracles) ----------------
         "violation_samples": q_violation_samples,
         "profile_findings": q_profile_findings,
+        "json_keys": q_json_keys,
         "multi_sketch": q_multi_sketch,
         "numeric_trailing_drift": q_numeric_trailing_drift,
         "cms_tolerance": q_cms_tolerance,
@@ -2775,6 +2795,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.c_custkey < b.c_custkey
               AND abs(length(a.c_name) - length(b.c_name)) <= 1
               AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "json_keys": """
+            WITH d AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 37 = 0 THEN 'not json'
+                            WHEN event_id % 31 = 0
+                                 THEN regexp_replace(props, '\\}$', ', "zz": 1}')
+                            ELSE props END AS props2
+                FROM events
+            )
+            SELECT event_id, 'props_keys' AS rule_id, props2 AS observed_value
+            FROM d
+            WHERE props2 IS NOT NULL
+              AND (NOT json_valid(props2)
+                   OR json_type(props2) <> 'OBJECT'
+                   OR len(list_filter(json_keys(props2), k -> k NOT IN ('k'))) > 0)
         """,
         "abort_messages": """
             SELECT event_id,

@@ -149,6 +149,14 @@ def _check_predicate(spec: RuleSpec, col: Column) -> Column:
         if p.get("max") is not None:
             pred = pred & (F.size(col) <= p["max"])
         return _skip_null_wrap(col, pred)
+    if kind == "json_unknown_keys":
+        # json_object_keys is NULL for invalid JSON / non-objects -> the
+        # isNotNull conjunct makes those FAIL (a broken "object with known
+        # keys" expectation), while a NULL column value still skips via the
+        # outer wrap (lyra optional semantics)
+        keys = F.json_object_keys(col)
+        ok = keys.isNotNull() & F.forall(keys, lambda k: k.isin(*p["allowed"]))
+        return _skip_null_wrap(col, ok)
     if kind == "any_of":
         # Joi alternatives().try(): OR of the alternatives' own predicates.
         # Each sub-predicate is already skip-NULL-wrapped by its kind, so a
@@ -241,8 +249,24 @@ def apply_coercions(df: DataFrame, ruleset: RuleSet) -> DataFrame:
         elif spec.kind == "default":
             df = df.withColumn(c, F.coalesce(F.col(c), F.lit(p["value"])))
         elif spec.kind == "transform":
-            fn = {"trim": F.trim, "lower": F.lower, "upper": F.upper}[p["fn"]]
+            fn = {
+                "trim": F.trim,
+                "lower": F.lower,
+                "upper": F.upper,
+                # trim + collapse internal whitespace runs to one space
+                "squish": lambda col: F.regexp_replace(F.trim(col), r"\s+", " "),
+            }[p["fn"]]
             df = df.withColumn(c, fn(F.col(c)))
+        elif spec.kind == "replace":
+            if p.get("regex"):
+                df = df.withColumn(c, F.regexp_replace(F.col(c), p["search"], p["replacement"]))
+            else:
+                # literal substitution: F.replace treats arguments literally
+                df = df.withColumn(
+                    c, F.replace(F.col(c), F.lit(p["search"]), F.lit(p["replacement"]))
+                )
+        elif spec.kind == "truncate":
+            df = df.withColumn(c, F.substring(F.col(c), 1, p["max_len"]))
     return df
 
 

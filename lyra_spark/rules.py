@@ -245,10 +245,37 @@ def default(column: str, value: Any, rule_id: str | None = None) -> RuleSpec:
 
 
 def transform(column: str, fn: str, rule_id: str | None = None) -> RuleSpec:
-    """String coercion: fn ∈ {trim, lower, upper}. Never violates."""
-    if fn not in ("trim", "lower", "upper"):
+    """String coercion: fn ∈ {trim, lower, upper, squish}. Never violates.
+    ``squish`` = trim + collapse every internal whitespace run to one space
+    (the normalization lyra users chain by hand; also what conv-dedup's
+    content hash applies)."""
+    if fn not in ("trim", "lower", "upper", "squish"):
         raise ValueError(f"unsupported transform {fn!r}")
     return _mk("transform", column, rule_id, fn=fn)
+
+
+def replace(
+    column: str,
+    search: str,
+    replacement: str,
+    regex: bool = False,
+    rule_id: str | None = None,
+) -> RuleSpec:
+    """String coercion: substitute every occurrence of ``search`` (a literal,
+    or a Java-regex when ``regex=True``) with ``replacement``. Never
+    violates — lyra .replace() parity; downstream rules see the rewritten
+    value, observed_value still reports the original (decision 7)."""
+    return _mk("replace", column, rule_id, search=search, replacement=replacement,
+               regex=bool(regex) or None)
+
+
+def truncate(column: str, max_len: int, rule_id: str | None = None) -> RuleSpec:
+    """String coercion: hard-cap the value at ``max_len`` characters (lyra
+    .truncate() — the coercing sibling of the `length` CHECK). Never
+    violates."""
+    if int(max_len) < 0:
+        raise ValueError("max_len must be >= 0")
+    return _mk("truncate", column, rule_id, max_len=int(max_len))
 
 
 # --- nested paths & arrays ----------------------------------------------------
@@ -323,6 +350,20 @@ def array_size(
     return _mk("array_size", column, rule_id, when, min=min, max=max)
 
 
+def json_unknown_keys(
+    column: str, allowed: Sequence[str], rule_id: str | None = None, when: Cond | None = None
+) -> RuleSpec:
+    """lyra ``object({...}).unknown(false)`` for a JSON-object STRING column
+    (the transcript `props`-payload shape): any TOP-LEVEL key outside
+    ``allowed`` is a violation. Invalid JSON or a non-object value also
+    violates — the expectation "this is an object with known keys" is broken
+    either way (pair with required-key checks via derived `get_json_object`
+    columns or `from_json` + dotted-path rules). NULL passes (optional
+    semantics, decision 2). Compiles to ``json_object_keys`` + ``F.forall``
+    — one codegen'd expression, no Python, no shuffle."""
+    return _mk("json_unknown_keys", column, rule_id, when, allowed=list(allowed))
+
+
 # --- conditional & custom -----------------------------------------------------
 _ANY_OF_SUBKINDS = {
     "nonempty", "enum", "deny", "pattern", "format", "length",
@@ -390,6 +431,7 @@ DEFAULT_MESSAGES: dict[str, str] = {
     "items": '"{column}" has an element that fails the item rule',
     "has": '"{column}" is missing a required element',
     "array_size": '"{column}" size is out of bounds',
+    "json_unknown_keys": '"{column}" has keys outside {allowed} (or is not a JSON object)',
     "custom": '"{column}" failed custom check {rule_id} ({value})',
 }
 
@@ -460,11 +502,11 @@ class RuleSet:
 
     @property
     def coercions(self) -> list[RuleSpec]:
-        return [r for r in self.rules if r.kind in ("cast", "default", "transform")]
+        return [r for r in self.rules if r.kind in ("cast", "default", "transform", "replace", "truncate")]
 
     @property
     def checks(self) -> list[RuleSpec]:
-        return [r for r in self.rules if r.kind not in ("default", "transform")]
+        return [r for r in self.rules if r.kind not in ("default", "transform", "replace", "truncate")]
 
     def fingerprint(self) -> str:
         h = hashlib.sha256()
@@ -516,7 +558,9 @@ def ruleset_to_json(ruleset: RuleSet, indent: int = 2) -> str:
 _CONFIG_KINDS = {
     "required", "nonempty", "forbidden", "enum", "deny", "pattern", "length",
     "range", "integer", "multiple_of", "cast", "default", "transform", "custom",
+    "replace", "truncate",
     "format", "compare", "any_of", "items", "has", "array_size",
+    "json_unknown_keys",
 }
 _META_KEYS = {"kind", "column", "rule_id", "when", "severity", "version", "tolerance", "message"}
 
@@ -624,7 +668,7 @@ def ruleset_from_json(source: str) -> RuleSet:
                 spec = _ARRAY_WRAPPERS[kind](
                     d["column"], sub_spec, rule_id=d.get("rule_id"), when=when
                 )
-            elif kind in ("default", "transform"):
+            elif kind in ("default", "transform", "replace", "truncate"):
                 if when is not None:
                     raise ValueError("coercion rules take no 'when'")
                 spec = _BUILDERS[kind](d["column"], rule_id=d.get("rule_id"), **params)
@@ -678,6 +722,9 @@ _BUILDERS: dict[str, Callable] = {
     "format": format_rule,
     "compare": compare,
     "array_size": array_size,
+    "json_unknown_keys": json_unknown_keys,
+    "replace": replace,
+    "truncate": truncate,
 }
 
 _ARRAY_WRAPPERS: dict[str, Callable] = {"items": items, "has": has}
@@ -705,6 +752,9 @@ _KIND_PARAMS: dict[str, set[str]] = {
     "items": {"item"},
     "has": {"item"},
     "array_size": {"min", "max"},
+    "json_unknown_keys": {"allowed"},
+    "replace": {"search", "replacement", "regex"},
+    "truncate": {"max_len"},
 }
 
 
