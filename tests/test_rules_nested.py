@@ -146,3 +146,53 @@ def test_array_rules_stay_single_pass(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        arrays=st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(st.one_of(st.none(), st.sampled_from(["a", "bb", "ccc", "dddd"])),
+                         min_size=0, max_size=5),
+            ),
+            min_size=1, max_size=12,
+        ),
+        max_len=st.sampled_from([1, 2, 3]),
+    )
+    def test_items_has_size_match_python_reference(spark, arrays, max_len):
+        """items/has/array_size agree with a direct Python evaluation of the
+        pinned semantics on arbitrary arrays (NULL arrays, empty arrays,
+        NULL elements, mixed lengths)."""
+        rows = list(enumerate(arrays))
+        rs = RuleSet([
+            R.items("tags", R.length("tags", max=max_len), rule_id="it"),
+            R.items("tags", R.required("tags"), rule_id="req"),
+            R.has("tags", R.length("tags", max=max_len), rule_id="hs"),
+            R.array_size("tags", min=1, max=3, rule_id="sz"),
+        ])
+        got = _passes(spark, rs, rows=rows, schema="id long, tags array<string>")
+        for i, arr in rows:
+            if arr is None:
+                exp = {"it": True, "req": True, "hs": True, "sz": True}
+            else:
+                exp = {
+                    # NULL elements pass content kinds...
+                    "it": all(x is None or len(x) <= max_len for x in arr),
+                    # ...and fail only items(required)
+                    "req": all(x is not None for x in arr),
+                    # has needs a NON-NULL witness; empty array fails
+                    "hs": any(x is not None and len(x) <= max_len for x in arr),
+                    "sz": 1 <= len(arr) <= 3,
+                }
+            assert got[i] == exp, (i, arr, got[i], exp)
