@@ -129,6 +129,9 @@ def suggest_rules(
             aggs += [
                 F.min(F.length(c)).cast("long").alias(f"__ln_{c}"),
                 F.max(F.length(c)).cast("long").alias(f"__lx_{c}"),
+                # how many non-NULL values parse as a JSON OBJECT
+                # (json_object_keys is NULL for invalid JSON / non-objects)
+                F.sum(F.json_object_keys(F.col(c)).isNotNull().cast("long")).alias(f"__jo_{c}"),
             ]
     wide = df.agg(*aggs)
 
@@ -189,6 +192,61 @@ def suggest_rules(
             )
         )
         base = base.unionByName(enums)
+
+        # JSON key policing (round 5, SURVEY §2 row 22f): a string column
+        # whose EVERY non-NULL value is a JSON OBJECT gets a
+        # json_unknown_keys proposal over the observed top-level key union —
+        # zero violations on the profiled table by construction (the
+        # suggestion self-validation contract). Key cardinality is capped by
+        # enum_max_card exactly like enum value lists, so the collected list
+        # is bounded; columns carrying id-keyed maps never qualify.
+        qual = (
+            wide.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            ((F.col(f"__nn_{c}") > 0)
+                             & (F.col(f"__jo_{c}") == F.col(f"__nn_{c}"))).alias("ok"),
+                        )
+                        for c in str_cols
+                    ])
+                ).alias("q")
+            )
+            .filter(F.col("q.ok"))
+            .select(F.col("q.column").alias("column"))
+        )
+        kpairs = (
+            df.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(F.lit(c).alias("column"),
+                                 F.json_object_keys(F.col(c)).alias("ks"))
+                        for c in str_cols
+                    ])
+                ).alias("p")
+            )
+            .select("p.column", F.explode("p.ks").alias("value"))
+        )
+        kgrid = kpairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("__cnt"))
+        klow = (
+            kgrid.groupBy("column").agg(F.count(F.lit(1)).alias("__card"))
+            .filter((F.col("__card") >= 1) & (F.col("__card") <= enum_max_card))
+            .select("column")
+        )
+        jkeys = (
+            kgrid.join(F.broadcast(klow), "column")
+            .join(F.broadcast(qual), "column")
+            .groupBy("column")
+            .agg(F.array_join(F.array_sort(F.collect_list("value")), enum_sep).alias("vals"))
+            .select(
+                "column",
+                F.lit("json_keys").alias("kind"),
+                *[_empty_fields()[k].alias(k) for k in SUGGESTION_COLUMNS[2:-1]],
+                "vals",
+            )
+        )
+        base = base.unionByName(jkeys)
     return base.select(*SUGGESTION_COLUMNS)
 
 
@@ -220,6 +278,9 @@ def ruleset_from_suggestions(
         elif kind == "enum":
             vals = row["vals"].split(enum_sep) if row["vals"] else []
             specs.append(R.enum(c, vals, rule_id=rid))
+        elif kind == "json_keys":
+            keys = row["vals"].split(enum_sep) if row["vals"] else []
+            specs.append(R.json_unknown_keys(c, keys, rule_id=rid))
         elif kind == "length":
             specs.append(R.length(c, min=int(row["len_lo"]), max=int(row["len_hi"]), rule_id=rid))
         elif kind == "range":

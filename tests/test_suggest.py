@@ -157,3 +157,42 @@ def test_metric_rules_approx_profile_skips_uniqueness(frame):
     assert any(r.startswith("suggested_uniqueness_") for r in exact_rules)
     assert not any(r.startswith("suggested_uniqueness_") for r in approx_rules)
     assert approx_rules < exact_rules  # everything else unchanged
+
+
+def test_json_keys_suggestion_proposed_and_self_validates(spark):
+    """A string column whose every non-NULL value is a JSON object gets a
+    json_unknown_keys proposal over the observed key union; a column with
+    one non-object value does NOT qualify; and the proposed rule validates
+    the profiled frame with zero violations (the self-validation contract)."""
+    from lyra_spark.engine import row_violations
+    from lyra_spark.suggest import ruleset_from_suggestions, suggest_rules
+
+    rows = [
+        (1, '{"k": 1}', '{"a": 1}'),
+        (2, '{"k": 2, "v": "x"}', "not json"),
+        (3, None, '{"a": 2}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string, mixed string")
+    sugg = suggest_rules(df, ["props", "mixed"], distinct_mode="exact").collect()
+    kinds = {(r["column"], r["kind"]) for r in sugg}
+    assert ("props", "json_keys") in kinds
+    assert ("mixed", "json_keys") not in kinds  # one non-object disqualifies
+    jrow = next(r for r in sugg if r["column"] == "props" and r["kind"] == "json_keys")
+    assert jrow["vals"] == "k|v"  # sorted key union
+
+    rs, _ = ruleset_from_suggestions(sugg)
+    jrule = next(r for r in rs if r.kind == "json_unknown_keys")
+    assert jrule.p["allowed"] == ("k", "v")
+    viol = row_violations(df, type(rs)([jrule]), key_cols=["id"], partition_col=None)
+    assert viol.count() == 0  # zero violations on the profiled table
+
+
+def test_json_keys_suggestion_respects_cardinality_cap(spark):
+    """An id-keyed map column (every row a different key) must not propose an
+    unbounded key enum — the enum_max_card cap applies to keys too."""
+    from lyra_spark.suggest import suggest_rules
+
+    rows = [(i, '{"key%04d": 1}' % i) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, m string")
+    sugg = suggest_rules(df, ["m"], enum_max_card=20, distinct_mode="exact").collect()
+    assert not any(r["kind"] == "json_keys" for r in sugg)
