@@ -53,7 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                          "per-kind defaults otherwise)")
     ap.add_argument("--abort-early", action="store_true",
                     help="lyra abortEarly: emit only the FIRST failing rule per "
-                         "row (ruleset order) instead of every failure")
+                         "row (ruleset order) instead of every failure. NOTE: "
+                         "per-rule violation counts then attribute each row to "
+                         "its first failing rule only, so later rules' verdict/"
+                         "tolerance gates see UNDERCOUNTS — a reporting mode, "
+                         "not a gating mode")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if not args.rules and not args.metric_rules:
@@ -83,6 +87,15 @@ def main(argv: list[str] | None = None) -> int:
             [c.strip() for c in args.key_cols.split(",") if c.strip()]
             if args.key_cols else [df.columns[0]]
         )
+        if args.abort_early:
+            # abortEarly is a REPORTING shape (lyra: stop at the first
+            # error), not a gating one: a row failing rules A and B counts
+            # only toward A, so B's verdict/tolerance gate sees an
+            # undercount and can pass where the full report would fail.
+            # Say so loudly rather than silently weakening the CI gate.
+            print("[lyra] WARNING: --abort-early attributes each row to its "
+                  "FIRST failing rule only; per-rule gates see undercounts — "
+                  "drop the flag for gating runs")
         res = validate(df, ruleset, key_cols=key_cols, partition_col=part_col,
                        messages=args.messages, abort_early=args.abort_early)
         if args.out:

@@ -200,12 +200,14 @@ def message_column(spec: RuleSpec, observed: Column) -> Column:
     already interpolated by rules.message_template; the runtime ``{value}``
     token splices the observed value in ('<NULL>' when NULL) via a literal
     F.concat — pure codegen, no Python."""
-    from lyra_spark.rules import _RUNTIME_TOKEN, message_template
+    from lyra_spark.rules import message_template
 
-    t = message_template(spec)
-    parts = t.split(_RUNTIME_TOKEN)
+    # message_template splits on the runtime {value} token BEFORE
+    # interpolating params (splice-safety — see its docstring) and returns
+    # the segments directly
+    parts = message_template(spec)
     if len(parts) == 1:
-        return F.lit(t)
+        return F.lit(parts[0])
     obs = F.coalesce(observed, F.lit("<NULL>"))
     segs: list[Column] = []
     for i, p in enumerate(parts):

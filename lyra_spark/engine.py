@@ -97,11 +97,13 @@ def row_violations(
     if messages:
         from lyra_spark.compiler import message_column
 
-        msg_by_rid = {c.spec.rule_id: message_column(c.spec, c.observed) for c in checks}
-        fields = [
-            (rid, ok, obs, msg_by_rid.get(rid, F.lit(f'"{rid}" failed')))
-            for rid, ok, obs in triples
+        # index-aligned with `triples` (checks first, extra_checks after) —
+        # never keyed by rule_id: two checks sharing an id would collapse to
+        # one message
+        msgs = [message_column(c.spec, c.observed) for c in checks] + [
+            F.lit(f'"{rid}" failed') for rid, _, _ in (extra_checks or [])
         ]
+        fields = [(rid, ok, obs, msg) for (rid, ok, obs), msg in zip(triples, msgs)]
         arr = F.array(
             *[
                 F.struct(

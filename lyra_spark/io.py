@@ -46,10 +46,19 @@ def planned_scan_tasks(df: DataFrame) -> int | None:
     upstream query stages at plan-build time (a surprise job whose probed
     count could also go stale). This walks ``df.inputFiles()`` (file-index
     listing, no executors) and sums ``ceil(size / maxPartitionBytes)`` per
-    file — the same splitting rule FilePartition uses, minus small-file
-    packing, so it upper-bounds the real count slightly; for an
-    under-parallelism test (``< defaultParallelism``) that bias is safe
-    (we only skip the spread when the scan is provably wide enough).
+    SPLITTABLE file — the same splitting rule FilePartition uses, minus
+    small-file packing. Files whose extension marks a non-splittable
+    compression codec (gzip & friends) count as ONE task regardless of
+    size: a 1 GB .json.gz scans as a single partition, and sizing it as 8
+    would wrongly skip the spread (over-estimation is the UNSAFE direction
+    for an under-parallelism test).
+
+    Known blind spot, documented rather than probed: the estimate describes
+    the LEAF SCAN. A plan narrowed after the scan (``coalesce(1)``, a
+    1-partition shuffle before the heavy map) still reports the scan's
+    width — detecting that requires walking the physical plan, which under
+    AQE is exactly the eager finalization this function exists to avoid.
+    Callers that narrow explicitly should pass ``spread=True`` themselves.
 
     Returns None (— caller should NOT repartition) when the estimate is
     unavailable: non-file sources (in-memory test relations are already
@@ -64,6 +73,7 @@ def planned_scan_tasks(df: DataFrame) -> int | None:
     if not files:
         return None
     mpb = _conf_bytes(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    non_splittable = (".gz", ".zip", ".deflate", ".zst", ".bz2", ".xz", ".lz4", ".snappy")
     tasks = 0
     for uri in files:
         parsed = urllib.parse.urlparse(uri)
@@ -74,7 +84,12 @@ def planned_scan_tasks(df: DataFrame) -> int | None:
             size = os.stat(path).st_size
         except OSError:
             return None
-        tasks += max(1, -(-size // max(mpb, 1)))
+        # .parquet is internally splittable whatever its codec; the
+        # extension check targets whole-file-compressed text/json/csv
+        if path.lower().endswith(non_splittable):
+            tasks += 1
+        else:
+            tasks += max(1, -(-size // max(mpb, 1)))
     return tasks
 
 
@@ -377,10 +392,17 @@ class ParquetFooterCatalog(TableCatalog):
         self.partition_col = partition_col
 
     def partitions(self) -> list[str] | None:
-        dirs = _partition_dirs(self.path, self.partition_col)
-        if dirs is None:
-            return None
-        return sorted(key for key, _ in dirs)
+        # Deliberately None: Hive DIRECTORY NAMES are not authoritative for
+        # str(partition VALUE) — an int partition column with zero-padded
+        # dirs ('part=05' vs value 5) would hand the validate loop a key
+        # that partition_scope matches ZERO rows on, silently recording a
+        # 0-row pass. The distinct-scan listing (list_partitions) derives
+        # keys from the VALUES themselves and stays the source of truth;
+        # footer COUNTS remain served (a key mismatch there only degrades a
+        # metadata-backed verdict to the scan path — safe). Iceberg's
+        # .partitions metadata serves VALUES, not dir names, so the real
+        # catalog implements this method.
+        return None
 
     def partition_record_counts(self) -> dict[str, int] | None:
         return partition_row_counts(self.path, self.partition_col)
@@ -403,10 +425,18 @@ class IcebergTableCatalog(TableCatalog):
         self.partition_col = partition_col
 
     def snapshot_id(self) -> str | None:
-        rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.table}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).collect()
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self.table}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+        except Exception as e:
+            # contract: metadata is an optimization, never a correctness
+            # dependency — an unpartitioned table, a differently-named
+            # partition field, or absent metadata tables must degrade to
+            # the scan path, not crash the run
+            print(f"[lyra] WARNING: catalog snapshot query failed ({e}); continuing without")
+            return None
         return str(rows[0][0]) if rows else None
 
     def _partition_rows(self):
@@ -416,10 +446,18 @@ class IcebergTableCatalog(TableCatalog):
         ).collect()
 
     def partitions(self) -> list[str] | None:
-        return sorted(str(r["key"]) for r in self._partition_rows())
+        try:
+            return sorted(str(r["key"]) for r in self._partition_rows())
+        except Exception as e:
+            print(f"[lyra] WARNING: catalog partition listing failed ({e}); falling back to scan")
+            return None
 
     def partition_record_counts(self) -> dict[str, int] | None:
-        return {str(r["key"]): int(r["record_count"]) for r in self._partition_rows()}
+        try:
+            return {str(r["key"]): int(r["record_count"]) for r in self._partition_rows()}
+        except Exception as e:
+            print(f"[lyra] WARNING: catalog record counts failed ({e}); falling back to scan")
+            return None
 
     def partition_ts_range(self, ts_col: str) -> dict[str, tuple] | None:
         # Iceberg's readable_metrics on the .files table exposes per-file

@@ -438,19 +438,25 @@ DEFAULT_MESSAGES: dict[str, str] = {
 _RUNTIME_TOKEN = "{value}"
 
 
-def message_template(spec: RuleSpec) -> str:
-    """The rule's message with every COMPILE-TIME placeholder interpolated
-    ({column}, {rule_id}, and any rule parameter by name); the runtime
-    ``{value}`` token survives for the compiler to splice the observed
-    value into (compiler.message_column)."""
+def message_template(spec: RuleSpec) -> list[str]:
+    """The rule's message as SEGMENTS split on the runtime ``{value}``
+    token, with every COMPILE-TIME placeholder ({column}, {rule_id}, any
+    rule parameter by name) interpolated WITHIN each segment. Splitting
+    FIRST is load-bearing: a parameter whose interpolated value happens to
+    contain the literal string '{value}' (an enum list with that member,
+    say) must render as that literal, never as a second runtime splice
+    point. The compiler joins the segments with the observed-value column
+    (compiler.message_column)."""
     t = spec.message or DEFAULT_MESSAGES.get(spec.kind, '"{column}" failed {rule_id}')
     subs = {"column": spec.column, "rule_id": spec.rule_id}
     for k, v in spec.params:
         subs[k] = list(v) if isinstance(v, tuple) else v
-    out = t
-    for k, v in subs.items():
-        out = out.replace("{" + k + "}", str(v))
-    return out
+    segments = []
+    for seg in t.split(_RUNTIME_TOKEN):
+        for k, v in subs.items():
+            seg = seg.replace("{" + k + "}", str(v))
+        segments.append(seg)
+    return segments
 
 
 def with_message(rule: RuleSpec, message: str) -> RuleSpec:

@@ -227,16 +227,33 @@ def suggest_rules(
                 ).alias("p")
             )
             .select("p.column", F.explode("p.ks").alias("value"))
+            # prune BEFORE the (column, key) shuffle: qual comes from the
+            # already-computed 1-row wide aggregate, so non-qualifying
+            # columns' keys never enter the groupBy at all
+            .join(F.broadcast(qual), "column")
         )
         kgrid = kpairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("__cnt"))
         klow = (
-            kgrid.groupBy("column").agg(F.count(F.lit(1)).alias("__card"))
-            .filter((F.col("__card") >= 1) & (F.col("__card") <= enum_max_card))
+            kgrid.groupBy("column").agg(
+                F.count(F.lit(1)).alias("__card"),
+                # a key containing the list separator (or an empty key)
+                # cannot round-trip through the joined `vals` string — the
+                # reconstituted rule would VIOLATE the profiled table,
+                # breaking the self-validation contract. Disqualify the
+                # whole column instead of proposing a wrong rule.
+                F.max(
+                    F.col("value").contains(enum_sep) | (F.length("value") == 0)
+                ).alias("__bad_key"),
+            )
+            .filter(
+                (F.col("__card") >= 1)
+                & (F.col("__card") <= enum_max_card)
+                & (~F.col("__bad_key"))
+            )
             .select("column")
         )
         jkeys = (
             kgrid.join(F.broadcast(klow), "column")
-            .join(F.broadcast(qual), "column")
             .groupBy("column")
             .agg(F.array_join(F.array_sort(F.collect_list("value")), enum_sep).alias("vals"))
             .select(

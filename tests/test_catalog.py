@@ -48,7 +48,11 @@ def test_parquet_footer_catalog_matches_module_functions(fixtures_sf0001):
     cat = lio.ParquetFooterCatalog(table)
     counts = cat.partition_record_counts()
     assert counts == lio.partition_row_counts(table)
-    assert counts and cat.partitions() == sorted(counts)
+    # partition LISTING is deliberately None for the footer stand-in: Hive
+    # dir names are not authoritative for str(partition value) (zero-padded
+    # dirs would feed partition_scope keys matching zero rows) — the
+    # distinct-scan listing stays the source of truth
+    assert counts and cat.partitions() is None
     assert cat.partition_ts_range("ts") == lio.partition_ts_range(table, "ts")
     assert cat.snapshot_id() is None  # parquet has no snapshot lineage
 

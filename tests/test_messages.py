@@ -84,10 +84,28 @@ def test_message_config_roundtrip():
 
 def test_message_template_interpolation():
     spec = with_message(R.multiple_of("n", 4), '{column}/{rule_id}: {k} and {value}')
-    assert message_template(spec) == 'n/n_multiple_of: 4 and {value}'
+    # returned as segments split on the runtime token, params interpolated
+    assert message_template(spec) == ['n/n_multiple_of: 4 and ', '']
     # every kind has a default template
     for kind in ("required", "enum", "range", "items", "has", "array_size", "cast"):
         assert kind in DEFAULT_MESSAGES
+
+
+def test_message_template_splice_safety(spark):
+    """A parameter value containing the literal '{value}' must render as that
+    literal — never become a second runtime splice point — and an
+    un-interpolated placeholder like '{values}' on a rule without that param
+    stays literal (split-before-interpolate contract)."""
+    spec = with_message(R.enum("s", ["{value}", "ok"]), "want {values}, got {value}")
+    segs = message_template(spec)
+    assert segs == ["want ['{value}', 'ok'], got ", ""]
+    spec2 = with_message(R.required("s"), "expected {values}")
+    assert message_template(spec2) == ["expected {values}"]
+
+    df = spark.createDataFrame([(1, "bad")], "id long, s string")
+    got = row_violations(df, RuleSet([spec]), key_cols=["id"], partition_col=None,
+                         messages=True).collect()
+    assert got[0].message == "want ['{value}', 'ok'], got bad"
 
 
 def test_messages_plan_stays_single_pass(spark, df, rs):

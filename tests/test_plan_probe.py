@@ -76,3 +76,28 @@ def test_auto_probe_runs_no_job(spark, tmp_path):
     spread_if_narrow(df)
     after = len(spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None))
     assert after == before
+
+
+def test_planned_scan_tasks_non_splittable_counts_one(spark, tmp_path):
+    """A whole-file-compressed text/json file scans as ONE partition however
+    large it is — sizing it by maxPartitionBytes would over-estimate and
+    wrongly skip the spread (the unsafe direction)."""
+    import gzip
+
+    p = tmp_path / "big.json.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(50_000):
+            f.write('{"id": %d, "pad": "%s"}\n' % (i, "x" * 64))
+    df = spark.read.json(str(p))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        est = lio_planned(df)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    assert est == 1  # not ceil(size / 64KB)
+
+
+def lio_planned(df):
+    from lyra_spark.io import planned_scan_tasks
+
+    return planned_scan_tasks(df)
